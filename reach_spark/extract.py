@@ -1,0 +1,1222 @@
+"""Sentence-local extraction core: tokenize → POS-lite → lemma → dictionary
+NER → Odin-style rule cascade (entities, modifications, simple events,
+bindings, regulations, activations, negation, hypothesis, polarity).
+
+These are pure Python functions over token arrays — deliberately free of any
+Spark import so they unit-test instantly; the Spark operators wrap them in
+Arrow-batched ``mapInPandas`` (SURVEY.md §2.2-§2.4: every NLP operator is a
+vectorized UDF; the State of the Odin fixpoint is sentence-local, so the whole
+cascade runs in one partition-local pass with zero shuffles — SURVEY §2.3 O3).
+
+Reference semantics being reimplemented (file:line cites, no code copied):
+  - rule NER longest match: processors/.../ner/KBLoader.scala:51-67
+  - entity grammar + sites/mutants: biogrammar/entities/entities.yml:9-298
+  - PTM storage (mods, not events): darpa/DarpaActions.scala:84-104
+  - simple events (13 templatic types): biogrammar/events/simple-event_template.yml
+  - bindings incl. pair explosion: darpa/DarpaActions.scala:250-289
+  - regulations/activations + polarity: biogrammar/events/pos-reg_template.yml,
+    darpa/DarpaActions.scala:197-238, polarity/LinguisticPolarityEngine.scala:60-75
+  - splitSimpleEvents / handleAutoEvent: darpa/DarpaActions.scala:334-368,170-193
+  - negation/hypothesis handlers: darpa/NegationHandler.scala, HypothesisHandler.scala
+  - keepMostCompleteMentions: darpa/MentionFilter.scala:371-390
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Any
+
+from . import resources as R
+
+Token = str
+Mention = dict[str, Any]
+
+# ---------------------------------------------------------------------------
+# Tokenization & sentence split (reference BioNLPProcessor.scala:18-30 —
+# bio-aware tokenizer; ours keeps protein names like "NF-kappaB", "T669A",
+# "p65" intact and splits punctuation)
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"[A-Za-z0-9](?:[A-Za-z0-9_+/'.-]*[A-Za-z0-9+])?|\S"
+)
+_SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z\"(])")
+
+MAX_SENT_TOKENS = 100  # parse guard, reference BioNLPProcessor.scala:24
+
+
+def split_sentences(text: str) -> list[str]:
+    parts = [p.strip() for p in _SENT_SPLIT_RE.split(text)]
+    return [p for p in parts if p]
+
+
+def tokenize(sent: str) -> tuple[list[str], list[int], list[int]]:
+    words, starts, ends = [], [], []
+    for m in _TOKEN_RE.finditer(sent):
+        w = m.group(0)
+        s = m.start()
+        # split trailing sentence punctuation glued to a word
+        while len(w) > 1 and w[-1] in ".,;:":
+            words.append(w[:-1]) if False else None
+            w2 = w[:-1]
+            words.append(w2)
+            starts.append(s)
+            ends.append(s + len(w2))
+            words.append(w[-1])
+            starts.append(s + len(w2))
+            ends.append(s + len(w))
+            w = ""
+            break
+        if w:
+            words.append(w)
+            starts.append(s)
+            ends.append(s + len(w))
+    return words, starts, ends
+
+
+_PREPS = {"of", "by", "in", "on", "at", "to", "with", "between", "from",
+          "upon", "into", "for", "via", "through", "within", "during",
+          "among", "under", "after", "before", "without"}
+_DETS = {"the", "a", "an", "this", "that", "these", "those", "both", "its",
+         "their", "our", "such", "each", "any", "all", "some", "no"}
+_CONJ = {"and", "or", "nor", "but"}
+_AUX = {"is", "was", "are", "were", "be", "been", "being", "has", "have",
+        "had", "can", "could", "may", "might", "will", "would", "shall",
+        "should", "must", "does", "did", "do", "am"}
+_VERB_SUFFIXES = ("ates", "ate", "ated", "ating", "izes", "ize", "ized",
+                  "izing", "yses", "yse", "ysed", "yzes", "yze", "yzed",
+                  "ifies", "ify", "ified")
+_KNOWN_VERBS = {
+    "binds", "bind", "bound", "binding", "interacts", "interact",
+    "associates", "associate", "associated", "fails", "fail", "failed",
+    "promotes", "promote", "promoted", "promotted", "increases", "increase",
+    "increased", "decreases", "decrease", "decreased", "inhibits", "inhibit",
+    "inhibited", "activates", "activate", "activated", "regulates",
+    "regulate", "regulated", "induces", "induce", "induced", "observed",
+    "observe", "tested", "test", "required", "require", "requires",
+    "augmented", "augment", "suppresses", "suppress", "suppressed",
+    "blocks", "block", "blocked", "translocates", "translocate",
+    "translocated", "transcribed", "transcribes", "transcribe", "expressed",
+    "expresses", "express", "recruits", "recruit", "recruited", "digested",
+    "fractioned", "degrades", "degrade", "degraded", "upregulates",
+    "upregulate", "upregulated", "downregulates", "downregulate",
+    "downregulated", "mediates", "mediate", "mediated", "enhances",
+    "enhance", "enhanced", "reduces", "reduce", "reduced", "prevents",
+    "prevent", "prevented", "stimulates", "stimulate", "stimulated",
+    "hypothesized", "hypothesize", "speculated", "suggests", "suggested",
+    "disrupted", "disrupts", "disrupt", "abolished", "abolishes",
+}
+
+
+def pos_tag(words: list[str]) -> list[str]:
+    """POS-lite: IN / DT / CC / MD-aux (AUX) / V* / CD / NN / punctuation.
+    Coarse but sufficient for the surface grammar (reference uses CoreNLP
+    MaxEnt tags, BioNLPProcessor.scala:46-53 — deliberate simplification)."""
+    tags = []
+    for w in words:
+        lw = w.lower()
+        if not any(c.isalnum() for c in w):
+            tags.append(".")
+        elif lw in _PREPS:
+            tags.append("IN")
+        elif lw in _DETS:
+            tags.append("DT")
+        elif lw in _CONJ:
+            tags.append("CC")
+        elif lw in _AUX:
+            tags.append("AUX")
+        elif lw in _KNOWN_VERBS or lw.endswith(_VERB_SUFFIXES):
+            if lw.endswith(("ed", "en")):
+                tags.append("VBN")
+            elif lw.endswith("ing"):
+                tags.append("VBG")
+            elif lw.endswith("s"):
+                tags.append("VBZ")
+            else:
+                tags.append("VB")
+        elif w.replace(".", "").replace(",", "").isdigit():
+            tags.append("CD")
+        else:
+            tags.append("NN")
+    return tags
+
+
+def lemmatize(words: list[str]) -> list[str]:
+    """Suffix-rule lemmatizer. Trigger matching is prefix-stem based, so
+    near-miss lemmas are harmless (reference uses CoreNLP's lemmatizer)."""
+    out = []
+    for w in words:
+        lw = w.lower()
+        if lw in _AUX or len(lw) <= 3:
+            out.append(lw)
+            continue
+        if lw.endswith("ies") and len(lw) > 4:
+            out.append(lw[:-3] + "y")
+        elif lw.endswith("sses"):
+            out.append(lw[:-2])
+        elif lw.endswith("es") and lw[-3] in "sxzo":
+            out.append(lw[:-2])
+        elif lw.endswith("s") and not lw.endswith(("ss", "us", "is")):
+            out.append(lw[:-1])
+        elif lw.endswith("ied"):
+            out.append(lw[:-3] + "y")
+        elif lw.endswith("ed") and len(lw) > 4:
+            stem = lw[:-2]
+            if stem.endswith(("at", "iz", "uc", "as", "ot", "ut", "ir",
+                              "ag", "in", "ok", "ar", "or", "ul")):
+                out.append(stem + "e")
+            else:
+                out.append(stem)
+        elif lw.endswith("ing") and len(lw) > 5:
+            stem = lw[:-3]
+            if stem.endswith(("at", "iz", "uc", "as")):
+                out.append(stem + "e")
+            else:
+                out.append(stem)
+        else:
+            out.append(lw)
+    return out
+
+
+def annotate_sentence(sent_text: str) -> dict[str, Any]:
+    words, starts, ends = tokenize(sent_text)
+    if len(words) > MAX_SENT_TOKENS:  # parse guard / skew anchor
+        words, starts, ends = (words[:MAX_SENT_TOKENS],
+                               starts[:MAX_SENT_TOKENS],
+                               ends[:MAX_SENT_TOKENS])
+    return {
+        "sent_text": sent_text,
+        "words": words,
+        "start_offsets": starts,
+        "end_offsets": ends,
+        "tags": pos_tag(words),
+        "lemmas": lemmatize(words),
+    }
+
+
+# ---------------------------------------------------------------------------
+# Mention helpers
+# ---------------------------------------------------------------------------
+
+def mention_id(doc_id: str, sent_idx: int, label: str, start: int, end: int,
+               rule: str, extra: str = "") -> str:
+    key = f"{doc_id}|{sent_idx}|{label}|{start}|{end}|{rule}|{extra}"
+    return hashlib.sha1(key.encode()).hexdigest()[:16]
+
+
+def _mk(doc_id: str, sent_idx: int, kind: str, label: str, start: int,
+        end: int, words: list[str], rule: str, trigger: tuple | None = None,
+        args: list | None = None, mods: list | None = None,
+        is_direct: bool = False, extra: str = "") -> Mention:
+    text = " ".join(words[start:end])
+    return {
+        "doc_id": doc_id, "sent_idx": sent_idx,
+        "mention_id": mention_id(doc_id, sent_idx, label, start, end, rule,
+                                 extra),
+        "kind": kind, "label": label,
+        "labels": list(R.label_closure(label)),
+        "start": start, "end": end, "text": text,
+        "trigger_start": trigger[0] if trigger else None,
+        "trigger_end": trigger[1] if trigger else None,
+        "trigger_text": " ".join(words[trigger[0]:trigger[1]]) if trigger else None,
+        "args": args or [], "mods": mods or [],
+        "is_direct": is_direct, "found_by": rule, "keep": True,
+    }
+
+
+def _arg(role: str, m: Mention) -> dict:
+    return {"role": role, "mention_id": m["mention_id"], "text": m["text"]}
+
+
+def _mod(kind: str, label: str | None = None, evidence: str | None = None,
+         site: str | None = None, negated: bool = False) -> dict:
+    return {"kind": kind, "label": label, "evidence_text": evidence,
+            "site_text": site, "negated": negated}
+
+
+# ---------------------------------------------------------------------------
+# Entity NER: broadcast-dictionary longest match + Site/Mutant token rules
+# ---------------------------------------------------------------------------
+
+_SITE_AA_RE = re.compile(r"^([ARNDCQEGHILKMFPWYV])[-]?(\d+)$")
+_MUTANT_RE = re.compile(r"^([ARNDCQEGHILKMFPWYV])(\d+)([ARNDCQEGHILKMFPWYV])$")
+_AA3_RE = re.compile(r"^(Ala|Arg|Asn|Asp|Cys|Gln|Glu|Gly|His|Ile|Leu|Lys|"
+                     r"Met|Phe|Pro|Ser|Thr|Trp|Tyr|Val)[-]?(\d+)$", re.I)
+
+
+def find_entities(doc_id: str, sent_idx: int, words: list[str],
+                  dictionary: dict[str, tuple[str, ...]],
+                  max_ngram: int = 4) -> list[Mention]:
+    """Greedy longest-match dictionary NER (reference KBLoader rule NER,
+    invoked first in ReachSystem.extractEntitiesFrom, ReachSystem.scala:183)."""
+    lows = [w.lower() for w in words]
+    n = len(words)
+    out: list[Mention] = []
+    i = 0
+    while i < n:
+        hit = None
+        for k in range(min(max_ngram, n - i), 0, -1):
+            key = " ".join(lows[i:i + k])
+            if key in dictionary:
+                hit = (k, dictionary[key])
+                break
+        if hit:
+            k, (label, canon) = hit
+            m = _mk(doc_id, sent_idx, "tbm", label, i, i + k, words,
+                    "rule-ner")
+            m["canonical"] = canon
+            out.append(m)
+            i += k
+        else:
+            i += 1
+    # Site rules (entities.yml site patterns): "serine 827", "Y63", "Ser-827",
+    # bare AA names before a PTM trigger, "<X> domain(s)", "residues"
+    i = 0
+    while i < n:
+        w, lw = words[i], lows[i]
+        if lw in R.AMINO_ACIDS and i + 1 < n and words[i + 1].isdigit():
+            m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 2, words,
+                    "site-aa-num")
+            m["canonical"] = f"{R.AMINO_ACIDS[lw]}{words[i+1]}"
+            out.append(m)
+            i += 2
+            continue
+        if lw in R.AMINO_ACIDS:
+            m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 1, words,
+                    "site-aa-bare")
+            m["canonical"] = R.AMINO_ACIDS[lw]
+            out.append(m)
+            i += 1
+            continue
+        mm = _SITE_AA_RE.match(w)
+        if mm and not _MUTANT_RE.match(w):
+            m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 1, words,
+                    "site-code")
+            m["canonical"] = w
+            out.append(m)
+            i += 1
+            continue
+        mm = _AA3_RE.match(w)
+        if mm:
+            m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 1, words,
+                    "site-aa3")
+            m["canonical"] = w
+            out.append(m)
+            i += 1
+            continue
+        if lw in ("domain", "domains") and i > 0 and words[i - 1][0].isupper() \
+                and not any(e["start"] <= i - 1 < e["end"] for e in out):
+            m = _mk(doc_id, sent_idx, "tbm", "Site", i - 1, i + 1, words,
+                    "site-domain")
+            m["canonical"] = " ".join(words[i - 1:i + 1])
+            out.append(m)
+        i += 1
+    return out
+
+
+def attach_entity_mods(words: list[str], lows: list[str],
+                       entities: list[Mention]) -> None:
+    """PTM participle modifiers ("ubiquitinated Ras") and Mutant tokens
+    ("EGFR T669A mutant") become mods on the entity, not events
+    (reference storePTM / storeMutants, DarpaActions.scala:84-146)."""
+    ent_at = {}
+    for e in entities:
+        for t in range(e["start"], e["end"]):
+            ent_at[t] = e
+    n = len(words)
+    for i, lw in enumerate(lows):
+        for ev_label, (vstem, _) in R.SIMPLE_EVENT_STEMS.items():
+            if lw.startswith(vstem) and lw.endswith("ed"):
+                nxt = i + 1
+                # participle directly before an entity (possibly skipping
+                # nothing) and NOT followed later by "by" within the NP → PTM
+                if nxt in ent_at and not (nxt + 1 < n and lows[nxt + 1] == "by"):
+                    e = ent_at[nxt]
+                    if e["start"] == nxt and e["label"] not in ("Site",):
+                        e["mods"].append(_mod("PTM", ev_label, words[i]))
+            de = "de" + vstem
+            if lw.startswith(de) and lw.endswith("ed"):
+                nxt = i + 1
+                if nxt in ent_at and ent_at[nxt]["start"] == nxt:
+                    ent_at[nxt]["mods"].append(
+                        _mod("PTM", "De" + ev_label.lower(), words[i]))
+    # Mutant tokens attach to nearest entity left (else right)
+    for i, w in enumerate(words):
+        if _MUTANT_RE.match(w):
+            target = None
+            for e in entities:
+                if e["end"] <= i and e["label"] != "Site":
+                    if target is None or e["end"] > target["end"]:
+                        target = e
+            if target is None:
+                for e in entities:
+                    if e["start"] > i and e["label"] != "Site":
+                        target = e
+                        break
+            if target is not None:
+                target["mods"].append(_mod("Mutant", "SubstitutionMutant", w))
+
+
+# ---------------------------------------------------------------------------
+# Event grammar (surface-pattern reimplementation of the templatic grammars)
+# ---------------------------------------------------------------------------
+
+def _sign_of_stem(lw: str) -> int:
+    """+1 / -1 / 0 by prefix against the pos/neg trigger stems
+    (events_master.yml:5-7). Longest stem wins so 'upregul' beats none and
+    'downreg' beats 'regul' (which is unspecified → 0)."""
+    best, sign = 0, 0
+    for s in R.POS_TRIGGER_STEMS:
+        if lw.startswith(s) and len(s) > best:
+            best, sign = len(s), 1
+    for s in R.NEG_TRIGGER_STEMS:
+        if lw.startswith(s) and len(s) > best:
+            best, sign = len(s), -1
+    return sign
+
+
+def _wrapper_sign(lw: str) -> int:
+    if lw in R.POS_NOUN_WRAPPERS:
+        return 1
+    if lw in R.NEG_NOUN_WRAPPERS:
+        return -1
+    return 0
+
+
+class SentenceExtractor:
+    """Runs the full sentence-local cascade: priorities mirror the Odin
+    wiring (entities → mods → simple events → bindings → regs → activations
+    → cleanup; events_master.yml:412-510)."""
+
+    def __init__(self, doc_id: str, sent_idx: int, ann: dict[str, Any],
+                 dictionary: dict[str, tuple[str, ...]]):
+        self.doc_id = doc_id
+        self.sent_idx = sent_idx
+        self.words: list[str] = ann["words"]
+        self.lows = [w.lower() for w in self.words]
+        self.tags: list[str] = ann["tags"]
+        self.lemmas: list[str] = ann["lemmas"]
+        self.n = len(self.words)
+        self.dictionary = dictionary
+        self.entities: list[Mention] = []
+        self.events: list[Mention] = []
+        self.consumed_triggers: set[int] = set()
+
+    # -- helpers ---------------------------------------------------------
+    def ent_ending_at(self, i: int, bio_only: bool = True) -> Mention | None:
+        for e in self.entities:
+            if e["end"] == i + 1 and (not bio_only or e["label"] != "Site"):
+                return e
+        return None
+
+    def ent_starting_at(self, i: int, bio_only: bool = True) -> Mention | None:
+        for e in self.entities:
+            if e["start"] == i and (not bio_only or e["label"] != "Site"):
+                return e
+        return None
+
+    def site_at(self, i: int) -> Mention | None:
+        for e in self.entities:
+            if e["start"] <= i < e["end"] and e["label"] == "Site":
+                return e
+        return None
+
+    def nearest_ent_left(self, i: int, skip: set[str] = frozenset({"Site"}),
+                         max_hops: int = 8) -> Mention | None:
+        j = i - 1
+        hops = 0
+        while j >= 0 and hops < max_hops:
+            e = self.ent_ending_at(j)
+            if e and e["label"] not in skip:
+                return e
+            lw = self.lows[j]
+            if lw in {".", ",", ";", "that", "which", "whether"}:
+                return None
+            j -= 1
+            hops += 1
+        return None
+
+    def conj_ents_right(self, i: int, max_hops: int = 6) -> list[Mention]:
+        """Entity NP list after position i: ENT (, ENT)* (and|or ENT)?
+        Skips determiners/adjective-ish tokens before the first entity."""
+        out: list[Mention] = []
+        j = i
+        hops = 0
+        while j < self.n and hops < max_hops:
+            e = self.ent_starting_at(j)
+            if e:
+                out.append(e)
+                j = e["end"]
+                # continue through conj chain
+                while j < self.n:
+                    if self.lows[j] in {",", "and", "or", "nor"}:
+                        j2 = j + 1
+                        # allow adjectives between conj and entity
+                        while j2 < self.n and self.tags[j2] in {"DT"}:
+                            j2 += 1
+                        e2 = self.ent_starting_at(j2)
+                        if e2:
+                            out.append(e2)
+                            j = e2["end"]
+                            continue
+                    break
+                return out
+            if self.tags[j] in {"DT", "CD"} or self.lows[j] in {
+                    "basal", "putative", "conserved", "free", "total",
+                    "endogenous", "tyrosine", "serine", "threonine",
+                    "two", "three", "four", "five", "several", "multiple"}:
+                j += 1
+                hops += 1
+                continue
+            return out
+        return out
+
+    def conj_ents_left(self, i: int) -> list[Mention]:
+        """Entity chain immediately left of i, walking over conj and
+        site/adjective tokens: "... EGFR and ERBB3 tyrosine <TRIG>"."""
+        out: list[Mention] = []
+        j = i - 1
+        # skip site words / adjectives directly before trigger
+        while j >= 0 and (self.site_at(j) or self.lows[j] in {
+                "basal", "putative", "conserved", "tyrosine", "serine",
+                "threonine", "total"}):
+            j -= 1
+        while j >= 0:
+            e = self.ent_ending_at(j)
+            if e:
+                out.append(e)
+                j = e["start"] - 1
+                if j >= 0 and self.lows[j] in {"and", "or", ","}:
+                    j -= 1
+                    continue
+                break
+            break
+        out.reverse()
+        return out
+
+    def _event(self, label: str, trig: tuple[int, int], theme: Mention,
+               rule: str, site: Mention | None = None,
+               cause_text_extra: str = "") -> Mention:
+        args = [_arg("theme", theme)]
+        if site is not None:
+            args.append(_arg("site", site))
+        ev = _mk(self.doc_id, self.sent_idx, "event", label, trig[0],
+                 trig[1], self.words, rule, trigger=trig, args=args,
+                 extra=theme["mention_id"] + (site["mention_id"] if site else "")
+                 + cause_text_extra)
+        return ev
+
+    def _reg(self, label: str, trig: tuple[int, int], controller: Mention,
+             controlled: Mention, rule: str) -> Mention:
+        args = [_arg("controller", controller), _arg("controlled", controlled)]
+        return _mk(self.doc_id, self.sent_idx, "event", label, trig[0],
+                   trig[1], self.words, rule, trigger=trig, args=args,
+                   extra=controller["mention_id"] + controlled["mention_id"])
+
+    # -- simple events ---------------------------------------------------
+    def match_simple_event_trigger(self, i: int) -> tuple[str, str, bool] | None:
+        """token i → (event_label, form 'verb'|'noun', is_auto).
+        De-prefix guard: 'deubiquitination' must NOT match Ubiquitination
+        (simple-event_template.yml triggerPrefix !word=/^(de|auto)/)."""
+        lw = self.lows[i]
+        for label, (vstem, nstem) in R.SIMPLE_EVENT_STEMS.items():
+            if lw.startswith("auto") and lw[4:].startswith(nstem):
+                return label, "noun", True
+            if lw.startswith("auto") and lw[4:].startswith(vstem):
+                return label, "verb", True
+            if lw.startswith("de") and lw[2:].startswith(nstem):
+                return "De" + label.lower(), "noun", False
+            if lw.startswith("de") and lw[2:].startswith(vstem):
+                return "De" + label.lower(), "verb", False
+            if lw.startswith(nstem):
+                return label, "noun", False
+            if lw.startswith(vstem):
+                return label, "verb", False
+        if lw.startswith(R.TRANSLOCATION_STEMS):
+            return "Translocation", "verb", False
+        if lw.startswith("transcri"):
+            form = "noun" if lw.startswith("transcription") else "verb"
+            return "Transcription", form, False
+        if lw in ("level", "levels", "amount", "amounts", "quantity"):
+            return "Amount", "noun", False
+        if lw.startswith("degrad"):
+            form = "noun" if lw.startswith("degradation") else "verb"
+            return "Degradation" if False else "DecreaseAmount", form, False
+        return None
+
+    def sites_near(self, lo: int, hi: int) -> list[Mention]:
+        """Sites attached via "at SITE" / "on ... SITE" / paren residue list
+        in [lo, hi) (siteSniffer semantics, DarpaActions.scala:294-325)."""
+        sites = []
+        j = lo
+        while j < hi and j < self.n:
+            if self.lows[j] in ("at", "on") or self.words[j] == "(":
+                k = j + 1
+                while k < min(hi, self.n):
+                    s = self.site_at(k)
+                    if s and s["start"] == k:
+                        sites.append(s)
+                        k = s["end"]
+                        if k < self.n and self.lows[k] in (",", "and", "or"):
+                            k += 1
+                            continue
+                        break
+                    if self.tags[k] == "DT" or self.lows[k] in (",", "and"):
+                        k += 1
+                        continue
+                    break
+                j = k
+            j += 1
+        return sites
+
+    def paren_site_list(self, i: int) -> list[Mention]:
+        """Residue list "(Y63, Y68, Y200)" following token i."""
+        if i < self.n and self.words[i] == "(":
+            sites, k = [], i + 1
+            while k < self.n and self.words[k] != ")":
+                s = self.site_at(k)
+                if s and s["start"] == k:
+                    sites.append(s)
+                    k = s["end"]
+                elif self.lows[k] == ",":
+                    k += 1
+                else:
+                    return []
+            return sites
+        return []
+
+    def find_simple_events(self) -> None:
+        i = 0
+        while i < self.n:
+            hit = self.match_simple_event_trigger(i)
+            if not hit:
+                i += 1
+                continue
+            label, form, is_auto = hit
+            lw = self.lows[i]
+            trig = (i, i + 1)
+            if form == "verb":
+                if lw.endswith("ed") or lw.endswith("en"):
+                    self._passive_or_participle(label, trig, is_auto)
+                elif lw.endswith(("s", "e", "te", "ze")) and self.tags[i].startswith("V"):
+                    self._active_verbal(label, trig, is_auto)
+                elif self.tags[i].startswith("V"):
+                    self._active_verbal(label, trig, is_auto)
+            else:
+                self._nominal(label, trig, is_auto)
+            i += 1
+
+    def _split_event_and_reg(self, label: str, trig: tuple[int, int],
+                             theme: Mention, cause: Mention | None,
+                             rule: str, site: Mention | None = None) -> None:
+        """splitSimpleEvents (DarpaActions.scala:334-368): the simple event
+        keeps theme(+site), isDirect=true when a cause existed; the cause
+        becomes controller of a Positive_regulation over the event."""
+        if theme["canonical"] == "ubiquitin" or (
+                cause is not None and cause["canonical"] == "ubiquitin"):
+            return  # mkUbiquitination guard, DarpaActions.scala:153-162
+        ev = self._event(label, trig, theme, rule, site=site,
+                         cause_text_extra=cause["mention_id"] if cause else "")
+        ev["is_direct"] = cause is not None
+        self.events.append(ev)
+        self.consumed_triggers.add(trig[0])
+        if cause is not None and cause["mention_id"] != theme["mention_id"]:
+            reg = self._reg("Positive_regulation", trig, cause, ev,
+                            rule + "-split")
+            self.events.append(reg)
+        elif cause is not None:  # autoevent: controller == theme
+            reg = self._reg("Positive_regulation", trig, cause, ev,
+                            rule + "-auto")
+            self.events.append(reg)
+
+    def _active_verbal(self, label: str, trig: tuple[int, int],
+                       is_auto: bool) -> None:
+        i = trig[0]
+        subj = self.nearest_ent_left(i)
+        if is_auto:
+            if subj is not None:
+                base = label if label != "AutoPhosphorylation" else "Phosphorylation"
+                self._split_event_and_reg(base, trig, subj, subj,
+                                          "auto-verbal")
+            return
+        if label == "Translocation":
+            if subj is not None:
+                dest = None
+                for j in range(i + 1, min(i + 6, self.n)):
+                    if self.lows[j] in ("to", "into"):
+                        for e in self.conj_ents_right(j + 1):
+                            dest = e
+                            break
+                ev = self._event(label, trig, subj, "transloc-verbal")
+                if dest is not None:
+                    ev["args"].append(_arg("destination", dest))
+                self.events.append(ev)
+                self.consumed_triggers.add(i)
+            return
+        themes = self.conj_ents_right(i + 1)
+        if not themes:
+            return
+        sites = self.sites_near(themes[-1]["end"], min(self.n, themes[-1]["end"] + 10))
+        if not sites:
+            sites = self.paren_site_list(themes[-1]["end"] + 1) or \
+                self.paren_site_list(themes[-1]["end"])
+        # "three HuR residues (Y63, Y68, Y200)" — residues then paren list
+        if not sites and themes[-1]["end"] < self.n and \
+                self.lows[themes[-1]["end"]].startswith("residue"):
+            sites = self.paren_site_list(themes[-1]["end"] + 1)
+        for theme in themes:
+            if sites:
+                for s in sites:
+                    self._split_event_and_reg(label, trig, theme, subj,
+                                              "simple-verbal", site=s)
+            else:
+                self._split_event_and_reg(label, trig, theme, subj,
+                                          "simple-verbal")
+
+    def _passive_or_participle(self, label: str, trig: tuple[int, int],
+                               is_auto: bool) -> None:
+        i = trig[0]
+        # aux chain left → passive; or reduced relative with "by" following
+        j = i - 1
+        has_aux = False
+        hops = 0
+        while j >= 0 and hops < 4:
+            if self.tags[j] == "AUX":
+                has_aux = True
+                j -= 1
+                hops += 1
+                continue
+            if self.lows[j] in ("clearly", "able", "to", "not", "never"):
+                j -= 1
+                hops += 1
+                continue
+            break
+        by_ent = None
+        site = None
+        k = i + 1
+        while k < min(self.n, i + 12):
+            if self.lows[k] == "by":
+                cands = self.conj_ents_right(k + 1)
+                if cands:
+                    by_ent = cands[0]
+                break
+            k += 1
+        sites = self.sites_near(i, min(self.n, i + 8))
+        site = sites[0] if sites else None
+        if has_aux or by_ent is not None:
+            theme = self.nearest_ent_left(i)
+            if theme is not None:
+                if site is not None:
+                    self._split_event_and_reg(label, trig, theme, by_ent,
+                                              "simple-passive", site=site)
+                else:
+                    self._split_event_and_reg(label, trig, theme, by_ent,
+                                              "simple-passive")
+            return
+        # participle before entity with a following "by ENT" in the same NP
+        # ("The phosphorylated ASPP2 fragment by MAPK1 ...")
+        nxt_ent = self.ent_starting_at(i + 1)
+        if nxt_ent is not None:
+            for k in range(nxt_ent["end"], min(self.n, nxt_ent["end"] + 3)):
+                if self.lows[k] == "by":
+                    cands = self.conj_ents_right(k + 1)
+                    if cands:
+                        self._split_event_and_reg(label, trig, nxt_ent,
+                                                  cands[0],
+                                                  "simple-reduced-relative")
+                    return
+
+    def _nominal(self, label: str, trig: tuple[int, int],
+                 is_auto: bool) -> None:
+        i = trig[0]
+        themes: list[Mention] = []
+        cause: Mention | None = None
+        site: Mention | None = None
+        rule = "simple-nominal"
+        if label == "Amount":
+            # "increased levels of p53" → IncreaseAmount / DecreaseAmount
+            # (amount template, triggerLemma amount|level|quantity)
+            mod_sign = 0
+            if i > 0:
+                mod_sign = _sign_of_stem(self.lows[i - 1])
+            if i + 1 < self.n and self.lows[i + 1] == "of":
+                cands = self.conj_ents_right(i + 2)
+                if cands:
+                    lbl = ("IncreaseAmount" if mod_sign >= 0
+                           else "DecreaseAmount")
+                    for t in cands:
+                        ev = self._event(lbl, trig, t, "amount-nominal")
+                        self.events.append(ev)
+                        self.consumed_triggers.add(i)
+                        if mod_sign != 0:
+                            self.consumed_triggers.add(i - 1)
+            return
+        # "TRIGGER of ENT (by ENT)?"
+        if i + 1 < self.n and self.lows[i + 1] == "of":
+            themes = self.conj_ents_right(i + 2)
+            if themes:
+                k = themes[-1]["end"]
+                while k < min(self.n, themes[-1]["end"] + 6):
+                    if self.lows[k] == "by":
+                        cands = self.conj_ents_right(k + 1)
+                        if cands:
+                            cause = cands[0]
+                        break
+                    if self.lows[k] in (".", ",", ";") or self.tags[k].startswith("V") \
+                            or self.tags[k] == "AUX":
+                        break
+                    k += 1
+            rule = "simple-nominal-of"
+        # compound: "ENT TRIGGER" — unless "TRIGGER site(s) in/of X" pattern,
+        # where the compound entity is the cause (reg3 pattern)
+        if not themes:
+            nxt = i + 1
+            site_head = (nxt < self.n and
+                         self.lows[nxt] in ("site", "sites") and
+                         nxt + 1 < self.n and self.lows[nxt + 1] in ("in", "of", "on"))
+            left = self.conj_ents_left(i)
+            if site_head:
+                cause = left[-1] if left else None
+                themes = self.conj_ents_right(nxt + 2)
+                rule = "simple-nominal-sites-in"
+            elif left:
+                themes = left
+                rule = "simple-nominal-compound"
+                # site adjectives between entity and trigger ("tyrosine
+                # phosphorylation")
+                for j in range(left[-1]["end"], i):
+                    s = self.site_at(j)
+                    if s:
+                        site = s
+        if is_auto and not themes:
+            left = self.conj_ents_left(i)
+            if left:
+                themes = left
+                cause = left[-1]
+                rule = "auto-nominal"
+        if is_auto and themes and cause is None:
+            cause = themes[-1]
+        if not themes:
+            return
+        sites2 = self.sites_near(trig[0], min(self.n, trig[1] + 8))
+        if sites2 and site is None:
+            site = sites2[0]
+        for theme in themes:
+            self._split_event_and_reg(label, trig, theme, cause, rule,
+                                      site=site)
+
+    # -- bindings ---------------------------------------------------------
+    def find_bindings(self) -> None:
+        i = 0
+        while i < self.n:
+            lw = self.lows[i]
+            # hyphenated "<ENT>-binding activity of <ENT>"
+            if lw.endswith("-binding"):
+                prefix = lw[:-len("-binding")]
+                if prefix in self.dictionary:
+                    label1, canon1 = self.dictionary[prefix]
+                    fake1 = _mk(self.doc_id, self.sent_idx, "tbm", label1,
+                                i, i + 1, self.words, "rule-ner-hyphen")
+                    fake1["canonical"] = canon1
+                    fake1["text"] = self.words[i].split("-")[0]
+                    self.entities.append(fake1)
+                    theme2 = None
+                    for j in range(i + 1, min(self.n, i + 5)):
+                        if self.lows[j] == "of":
+                            cands = self.conj_ents_right(j + 1)
+                            if cands:
+                                theme2 = cands[0]
+                            break
+                    if theme2 is not None:
+                        self._emit_binding((i, i + 1), fake1, theme2,
+                                           "binding-hyphen")
+                i += 1
+                continue
+            is_verb = any(lw.startswith(s) for s in R.BINDING_VERB_STEMS) \
+                and self.tags[i].startswith(("V", "N")) and lw not in R.BINDING_NOUNS
+            is_noun = lw in R.BINDING_NOUNS
+            if is_verb and self.tags[i].startswith("V"):
+                subj = self.nearest_ent_left(i)
+                j = i + 1
+                while j < self.n and self.lows[j] in ("to", "with", "directly"):
+                    j += 1
+                objs = self.conj_ents_right(j)
+                if subj is not None:
+                    for o in objs:
+                        self._emit_binding((i, i + 1), subj, o,
+                                           "binding-verbal")
+            elif is_noun:
+                t1 = t2 = None
+                if i + 1 < self.n and self.lows[i + 1] in ("between", "of"):
+                    cands = self.conj_ents_right(i + 2)
+                    if self.lows[i + 1] == "between" and len(cands) >= 2:
+                        t1, t2 = cands[0], cands[1]
+                    elif self.lows[i + 1] == "of" and cands:
+                        t1 = cands[0]
+                        for j in range(t1["end"], min(self.n, t1["end"] + 4)):
+                            if self.lows[j] in ("to", "with"):
+                                cc = self.conj_ents_right(j + 1)
+                                if cc:
+                                    t2 = cc[0]
+                                break
+                else:
+                    left = self.conj_ents_left(i)
+                    if left:
+                        t1 = left[-1]
+                        for j in range(i + 1, min(self.n, i + 4)):
+                            if self.lows[j] in ("to", "with"):
+                                cc = self.conj_ents_right(j + 1)
+                                if cc:
+                                    t2 = cc[0]
+                                break
+                if t1 is not None and t2 is not None:
+                    self._emit_binding((i, i + 1), t1, t2, "binding-nominal")
+            i += 1
+
+    def _emit_binding(self, trig: tuple[int, int], t1: Mention, t2: Mention,
+                      rule: str) -> None:
+        """Binary binding with the same-grounding / overlap / ubiquitin
+        guards (mkBindingsFromPairs, DarpaActions.scala:250-289)."""
+        if t1["canonical"] == t2["canonical"]:
+            return
+        if "ubiquitin" in (t1["canonical"], t2["canonical"]):
+            return
+        if not (t1["end"] <= t2["start"] or t2["end"] <= t1["start"]):
+            return
+        args = [_arg("theme", t1), _arg("theme", t2)]
+        ev = _mk(self.doc_id, self.sent_idx, "event", "Binding", trig[0],
+                 trig[1], self.words, rule, trigger=trig, args=args,
+                 is_direct=True,
+                 extra=t1["mention_id"] + t2["mention_id"])
+        self.events.append(ev)
+        self.consumed_triggers.add(trig[0])
+
+    # -- regulations / activations ----------------------------------------
+    def _controlled_arg(self, pos: int) -> tuple[Mention | None, int, str]:
+        """What is being controlled starting near token pos: an event whose
+        trigger is at/after pos (within the NP), an activation wrapper
+        ("activation of ENT" → the entity with sign), or an entity.
+        Returns (mention, sign_multiplier, kind)."""
+        j = pos
+        hops = 0
+        while j < self.n and hops < 6:
+            if self.tags[j] in ("DT", "CD") or self.lows[j] in (
+                    "basal", "putative", "conserved", "dose", "levels"):
+                j += 1
+                hops += 1
+                continue
+            # event controlled: an already-found simple event whose trigger
+            # token sits here or whose theme NP starts here
+            for ev in self.events:
+                if ev["kind"] == "event" and ev["label"] not in (
+                        "Positive_regulation", "Negative_regulation") and \
+                        ev["trigger_start"] is not None and \
+                        j <= ev["trigger_start"] <= j + 6:
+                    return ev, 1, "event"
+            lw = self.lows[j]
+            ws = _wrapper_sign(lw)
+            if ws != 0 and j + 1 < self.n and self.lows[j + 1] == "of":
+                cands = self.conj_ents_right(j + 2)
+                if cands:
+                    return cands[0], ws, "entity"
+            e = self.ent_starting_at(j)
+            if e:
+                return e, 1, "entity"
+            return None, 1, "none"
+        return None, 1, "none"
+
+    def _controller_arg(self, pos: int) -> tuple[Mention | None, int]:
+        """Controller NP ending at/before pos: entity, wrapper-noun of
+        entity ("the inhibition of X" → X with sign -1), or event (converted
+        to its theme entity per convertEventToEntity,
+        DarpaActions.scala:581-665)."""
+        j = pos - 1
+        hops = 0
+        while j >= 0 and hops < 8:
+            lw = self.lows[j]
+            if lw in (",", "clearly", "able", "to", "thus", "also",
+                      "strongly", "significantly", "dose", "activity",
+                      "mutant", "protein", "fragment", "not", "fails",
+                      "fail", "failed") or self.tags[j] in ("AUX", "DT"):
+                j -= 1
+                hops += 1
+                continue
+            e = self.ent_ending_at(j)
+            if e:
+                # wrapper noun left of entity NP: "inhibition of X"
+                k = e["start"] - 1
+                if k >= 1 and self.lows[k] == "of":
+                    ws = _wrapper_sign(self.lows[k - 1])
+                    if ws != 0:
+                        return e, ws
+                    # simple-event nominal as controller: "phosphorylation of X"
+                    hit = self.match_simple_event_trigger(k - 1)
+                    if hit and hit[1] == "noun":
+                        return e, 1
+                return e, 1
+            # bare wrapper directly: "RAS activation" handled via compound
+            hit = self.match_simple_event_trigger(j)
+            if hit and hit[1] == "noun":
+                left = self.conj_ents_left(j)
+                if left:
+                    return left[-1], 1
+            j -= 1
+            hops += 1
+        return None, 1
+
+    def find_regulations(self) -> None:
+        i = 0
+        while i < self.n:
+            lw = self.lows[i]
+            if i in self.consumed_triggers:
+                i += 1
+                continue
+            # agent nouns: "X is an activator of Y"
+            if lw in R.POS_AGENT_NOUNS or lw in R.NEG_AGENT_NOUNS:
+                sign = 1 if lw in R.POS_AGENT_NOUNS else -1
+                subj = self.nearest_ent_left(i)
+                if subj is not None and i + 1 < self.n and self.lows[i + 1] == "of":
+                    objs = self.conj_ents_right(i + 2)
+                    for o in objs:
+                        self._emit_reg_or_act((i, i + 1), subj, 1, o, sign,
+                                              "entity", "agent-noun")
+                i += 1
+                continue
+            sign = _sign_of_stem(lw)
+            if sign == 0 or not (self.tags[i].startswith("V")):
+                i += 1
+                continue
+            if lw.endswith(("ed", "en")) and i + 1 < self.n and \
+                    self.lows[i + 1] == "by":
+                # passive: "CTRLD is TRIGGERED by CTRL"
+                controlled, csign, ckind = self._controlled_backward(i)
+                controller, wsign = self._controller_arg_from(i + 2)
+                if controller is not None and controlled is not None:
+                    self._emit_reg_or_act((i, i + 1), controller, wsign,
+                                          controlled, sign * csign, ckind,
+                                          "reg-passive")
+                i += 1
+                continue
+            if lw.endswith(("ed", "en")) and not self._has_aux_before(i):
+                # bare participle modifier ("induced", "increased" as
+                # adjective) — handled by active pattern only when VBZ/VB
+                # "RAS induced increased binding" → treat as active
+                pass
+            controller, wsign = self._controller_arg(i)
+            controlled, csign, ckind = self._controlled_arg(i + 1)
+            if controller is not None and controlled is not None and \
+                    controller["mention_id"] != controlled.get("mention_id"):
+                targets = [controlled]
+                if ckind == "entity":
+                    conj = self.conj_ents_right(controlled["start"])
+                    if len(conj) > 1:
+                        targets = conj
+                for t in targets:
+                    self._emit_reg_or_act((i, i + 1), controller, wsign,
+                                          t, sign * csign, ckind,
+                                          "reg-active")
+            i += 1
+
+    def _has_aux_before(self, i: int) -> bool:
+        j = i - 1
+        hops = 0
+        while j >= 0 and hops < 3:
+            if self.tags[j] == "AUX":
+                return True
+            if self.lows[j] in ("not", "never", "clearly"):
+                j -= 1
+                hops += 1
+                continue
+            return False
+        return False
+
+    def _controlled_backward(self, i: int) -> tuple[Mention | None, int, str]:
+        """Controlled NP left of a passive trigger: prefer an event whose
+        span ends before i, else an entity."""
+        best = None
+        for ev in self.events:
+            if ev["kind"] == "event" and ev["label"] not in (
+                    "Positive_regulation", "Negative_regulation") and \
+                    ev["trigger_start"] is not None and ev["trigger_start"] < i:
+                if best is None or ev["trigger_start"] > best["trigger_start"]:
+                    best = ev
+        if best is not None:
+            return best, 1, "event"
+        e = self.nearest_ent_left(i)
+        return e, 1, "entity"
+
+    def _controller_arg_from(self, pos: int) -> tuple[Mention | None, int]:
+        """Controller NP starting at pos (after 'by'): wrapper or entity."""
+        j = pos
+        hops = 0
+        while j < self.n and hops < 4:
+            if self.tags[j] == "DT":
+                j += 1
+                hops += 1
+                continue
+            ws = _wrapper_sign(self.lows[j])
+            if ws != 0 and j + 1 < self.n and self.lows[j + 1] == "of":
+                cands = self.conj_ents_right(j + 2)
+                if cands:
+                    return cands[0], ws
+            e = self.ent_starting_at(j)
+            if e:
+                return e, 1
+            return None, 1
+        return None, 1
+
+    def _emit_reg_or_act(self, trig: tuple[int, int], controller: Mention,
+                         ctrl_sign: int, controlled: Mention, sign: int,
+                         ckind: str, rule: str) -> None:
+        """Regulation when controlled is an event; Activation when it is an
+        entity (mkRegulation/mkActivation, DarpaActions.scala:197-238).
+        Final polarity = product of trigger sign and wrapper signs
+        (LinguisticPolarityEngine.scala:60-75 flip semantics)."""
+        total = sign * ctrl_sign
+        if total == 0:
+            return
+        if ckind == "event":
+            label = ("Positive_regulation" if total > 0
+                     else "Negative_regulation")
+        else:
+            label = ("Positive_activation" if total > 0
+                     else "Negative_activation")
+            if controller["mention_id"] == controlled["mention_id"]:
+                return
+        reg = self._reg(label, trig, controller, controlled, rule)
+        self.events.append(reg)
+        self.consumed_triggers.add(trig[0])
+
+    # -- negation / hypothesis / cleanup -----------------------------------
+    def detect_negations(self) -> None:
+        """Surface negation cues scoped to the nearest following trigger
+        (NegationHandler.scala:10-112); parity rule applied in the DataFrame
+        layer (F4)."""
+        neg_positions = []
+        for i, lw in enumerate(self.lows):
+            if lw in ("not", "no", "cannot", "never", "unable"):
+                neg_positions.append(i)
+            elif lw in ("fails", "fail", "failed", "failure") and \
+                    i + 1 < self.n and self.lows[i + 1] == "to":
+                neg_positions.append(i)
+        if not neg_positions:
+            return
+        for ev in self.events:
+            ts = ev["trigger_start"]
+            if ts is None:
+                continue
+            for p in neg_positions:
+                if p < ts and ts - p <= 4:
+                    between_trigger = any(
+                        q in self.consumed_triggers for q in range(p + 1, ts))
+                    if not between_trigger:
+                        self._attach_negation(ev, self.words[p])
+                        break
+
+    def _attach_negation(self, ev: Mention, cue: str) -> None:
+        """Negation lands on the outermost event over this trigger: if a
+        regulation wraps ev (same trigger via -split), move it there
+        (splitSimpleEvents negation transfer, DarpaActions.scala:334-368)."""
+        target = ev
+        for other in self.events:
+            if other is ev:
+                continue
+            if other["label"].endswith("regulation") and any(
+                    a["role"] == "controlled" and
+                    a["mention_id"] == ev["mention_id"]
+                    for a in other["args"]):
+                target = other
+                break
+        if ev["label"].endswith(("regulation", "activation")):
+            target = ev
+        target["mods"].append(_mod("Negation", evidence=cue, negated=True))
+
+    def detect_hypotheses(self) -> None:
+        cue_pos = [i for i, lw in enumerate(self.lows)
+                   if lw in R.HYPOTHESIS_CUES]
+        if not cue_pos:
+            return
+        # clause scope: a cue scopes triggers after it (reference uses
+        # dep-degree-2 neighborhood; surface approximation)
+        for ev in self.events:
+            ts = ev["trigger_start"]
+            if ts is None:
+                continue
+            if any(p < ts for p in cue_pos):
+                ev["mods"].append(_mod("Hypothesis",
+                                       evidence=self.words[min(
+                                           p for p in cue_pos if p < ts)]))
+
+    def detect_regulation_types(self) -> None:
+        """KD/KO/DN/OE/CHEM keyword counting (RegulationHandler.scala:19-172):
+        max count wins, tie-break by distance to trigger."""
+        text = " ".join(self.lows)
+        counts = {k: sum(text.count(kw) for kw in kws)
+                  for k, kws in R.REGTYPE_KEYWORDS.items()}
+        best = max(counts.values()) if counts else 0
+        if best == 0:
+            return
+        winners = [k for k, v in counts.items() if v == best]
+        kind = sorted(winners)[0]
+        for ev in self.events:
+            if ev["label"].endswith(("regulation", "activation")):
+                ev["mods"].append(_mod(kind))
+
+    def keep_most_complete(self) -> None:
+        """Sentence-local completeness pruning (MentionFilter.scala:371-390):
+        within (label, theme-set, site) keep max-arg events; drop exact dups;
+        drop regulations whose controlled got pruned."""
+        seen: dict[tuple, Mention] = {}
+        for ev in self.events:
+            if ev["label"].endswith(("regulation", "activation")):
+                key = (ev["label"],
+                       tuple(sorted(a["mention_id"] for a in ev["args"])))
+            else:
+                themes = tuple(sorted(a["mention_id"] for a in ev["args"]
+                                      if a["role"] == "theme"))
+                sites = tuple(sorted(a["text"] for a in ev["args"]
+                                     if a["role"] == "site"))
+                key = (ev["label"], themes, sites)
+            cur = seen.get(key)
+            if cur is None or len(ev["args"]) > len(cur["args"]):
+                seen[key] = ev
+        kept = set(id(m) for m in seen.values())
+        surviving_ids = {m["mention_id"] for m in self.events
+                         if id(m) in kept}
+        out = []
+        for ev in self.events:
+            if id(ev) not in kept:
+                continue
+            if ev["label"].endswith("regulation"):
+                ok = all(a["mention_id"] in surviving_ids or
+                         a["role"] == "controller" for a in ev["args"]
+                         if a["role"] == "controlled")
+                if not ok:
+                    continue
+            out.append(ev)
+        self.events = out
+
+    # -- main -------------------------------------------------------------
+    def run(self) -> list[Mention]:
+        self.entities = find_entities(self.doc_id, self.sent_idx, self.words,
+                                      self.dictionary)
+        attach_entity_mods(self.words, self.lows, self.entities)
+        self.find_simple_events()
+        self.find_bindings()
+        self.find_regulations()
+        self.detect_negations()
+        self.detect_hypotheses()
+        self.detect_regulation_types()
+        self.keep_most_complete()
+        for e in self.entities:
+            e.setdefault("canonical", e["text"].lower())
+        return self.entities + self.events
+
+
+def extract_sentence(doc_id: str, sent_idx: int, sent_text: str,
+                     dictionary: dict[str, tuple[str, ...]]) -> tuple[dict, list[Mention]]:
+    ann = annotate_sentence(sent_text)
+    ex = SentenceExtractor(doc_id, sent_idx, ann, dictionary)
+    mentions = ex.run()
+    return ann, mentions

@@ -1,0 +1,363 @@
+"""Static resources: taxonomy, trigger lexicons, entity dictionaries, mini-KB.
+
+All of these are broadcast-side data (SURVEY.md §1.3-§1.4): the taxonomy is a
+label lattice (reference: biogrammar/taxonomy.yml), trigger lexicons come from
+the event grammar templates (reference: biogrammar/events_master.yml:5-7 and
+the per-event templates), and the KB mirrors the TSV knowledge-base shape of
+grounding/TsvIMKBFactory.scala:34-53. Everything here is derived from the
+reference's *behavior* and public biology naming conventions — no reference
+code is copied.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from functools import lru_cache
+
+# ---------------------------------------------------------------------------
+# Taxonomy (single-inheritance label lattice, reference biogrammar/taxonomy.yml)
+# A mention's `labels` column is the hypernym closure of its `label`;
+# `matches(X)` == array_contains(labels, X)  (SURVEY.md §1.4).
+# ---------------------------------------------------------------------------
+
+_TAXONOMY_PARENT: dict[str, str | None] = {
+    "Alias": None,
+    "ModificationTrigger": None,
+    "Site": None,
+    "Context": None,
+    "Species": "Context",
+    "CellLine": "Context",
+    "Organ": "Context",
+    "CellType": "Context",
+    "Cellular_component": "Context",
+    "TissueType": "Context",
+    "Modification": None,
+    "PTM": "Modification",
+    "Mutant": "Modification",
+    "EventSite": "Modification",
+    "Negation": "Modification",
+    "PossibleController": None,
+    "Event": "PossibleController",
+    "SimpleEvent": "Event",
+    "Binding": "SimpleEvent",
+    "Conversion": "SimpleEvent",
+    "Generic_event": "SimpleEvent",
+    "Translocation": "SimpleEvent",
+    "Amount": "SimpleEvent",
+    "IncreaseAmount": "Amount",
+    "Transcription": "IncreaseAmount",
+    "Secretion": "IncreaseAmount",
+    "DecreaseAmount": "Amount",
+    "AdditionEvent": "SimpleEvent",
+    "RemovalEvent": "SimpleEvent",
+    "ComplexEvent": "Event",
+    "Regulation": "ComplexEvent",
+    "Positive_regulation": "Regulation",
+    "Negative_regulation": "Regulation",
+    "ActivationEvent": "ComplexEvent",
+    "Positive_activation": "ActivationEvent",
+    "Negative_activation": "ActivationEvent",
+    "Entity": "PossibleController",
+    "BioEntity": "Entity",
+    "Disease": "BioEntity",
+    "BioProcess": "BioEntity",
+    "BioChemicalEntity": "BioEntity",
+    "Generic_entity": "BioChemicalEntity",
+    "Simple_chemical": "BioChemicalEntity",
+    "Equivalable": "BioChemicalEntity",
+    "Family": "Equivalable",
+    "MacroMolecule": "Equivalable",
+    "Protein": "MacroMolecule",
+    "Gene_or_gene_product": "MacroMolecule",
+    "Complex": "MacroMolecule",
+    "GENE": "MacroMolecule",
+}
+
+_ADDITION_EVENTS = [
+    "Acetylation", "Farnesylation", "Glycosylation", "Hydrolysis",
+    "Hydroxylation", "Methylation", "Phosphorylation", "Ribosylation",
+    "Sumoylation", "Ubiquitination",
+]
+for _e in _ADDITION_EVENTS:
+    _TAXONOMY_PARENT[_e] = "AdditionEvent"
+    _TAXONOMY_PARENT["De" + _e.lower()] = "RemovalEvent"
+_TAXONOMY_PARENT["AutoPhosphorylation"] = "Phosphorylation"
+
+
+@lru_cache(maxsize=None)
+def label_closure(label: str) -> tuple[str, ...]:
+    """Hypernym closure (label first) — the mention `labels` array."""
+    out = []
+    cur: str | None = label
+    while cur is not None:
+        out.append(cur)
+        cur = _TAXONOMY_PARENT.get(cur)
+    return tuple(out)
+
+
+def matches(labels: list[str] | tuple[str, ...], label: str) -> bool:
+    return label in labels
+
+
+# ---------------------------------------------------------------------------
+# Trigger lexicons (reference events_master.yml:5-7, templates under
+# biogrammar/events/*). Stored as stem lists; matching is prefix-on-lemma.
+# ---------------------------------------------------------------------------
+
+# positive / negative regulation-and-activation trigger stems
+POS_TRIGGER_STEMS = (
+    "acceler accept activat aid allow augment cataly caus contribut direct "
+    "driv elev elicit enabl enhanc increas induc initi interconvert lead led "
+    "mediat modul necess overexpress potenti produc prolong promot rais "
+    "reactivat re-express rescu restor retent signal stimul support synerg "
+    "synthes trigger underli up-regul upregul"
+).split()
+
+NEG_TRIGGER_STEMS = (
+    "attenu abolish abrog antagon arrest block deactiv decreas degrad deplet "
+    "deregul diminish disrupt down-reg downreg dysregul elimin impair imped "
+    "inactiv inhibit knockdown limit loss lower negat nullifi perturb prevent "
+    "reduc reliev repress resist restrict revers sequester shutdown slow "
+    "starv suppress supress"
+).split()
+
+# nouns that denote activation-controller wrappers ("the inhibition of X ...")
+POS_NOUN_WRAPPERS = ("activation", "overexpression", "expression", "addition",
+                     "increase", "induction", "stimulation", "accumulation")
+NEG_NOUN_WRAPPERS = ("inhibition", "suppression", "loss", "knockdown",
+                     "depletion", "silencing", "decrease", "reduction",
+                     "removal", "deletion", "absence", "blockade")
+
+# "ASPP1 is an activator of ASPP2" — agent-noun triggers
+POS_AGENT_NOUNS = ("activator", "inducer", "stimulator", "enhancer")
+NEG_AGENT_NOUNS = ("inhibitor", "suppressor", "repressor", "blocker",
+                   "antagonist")
+
+# simple-event (PTM) verb/noun stems: event label -> (verb stem, noun stem)
+SIMPLE_EVENT_STEMS: dict[str, tuple[str, str]] = {
+    "Phosphorylation": ("phosphorylat", "phosphorylation"),
+    "Ubiquitination": ("ubiquitinat", "ubiquitination"),
+    "Sumoylation": ("sumoylat", "sumoylation"),
+    "Glycosylation": ("glycosylat", "glycosylation"),
+    "Acetylation": ("acetylat", "acetylation"),
+    "Farnesylation": ("farnesylat", "farnesylation"),
+    "Ribosylation": ("ribosylat", "ribosylation"),
+    "Methylation": ("methylat", "methylation"),
+    "Hydroxylation": ("hydroxylat", "hydroxylation"),
+    "Hydrolysis": ("hydrolyz", "hydrolysis"),
+}
+
+BINDING_VERB_STEMS = ("bind", "bound", "interact", "associat", "complex",
+                      "heterodimeriz", "dimeriz", "recruit", "ligat")
+BINDING_NOUNS = ("binding", "interaction", "association", "complex",
+                 "heterodimer", "dimerization", "co-immunoprecipitation")
+
+TRANSLOCATION_STEMS = ("translocat", "relocaliz", "migrat", "export",
+                       "import", "redistribut")
+TRANSCRIPTION_STEMS = ("transcrib", "transcription", "express")
+DEGRADATION_STEMS = ("degrad",)
+
+# negation cues (reference darpa/NegationHandler.scala:10-112)
+NEGATION_SINGLE = ("not", "no", "neither", "nor", "without", "unable",
+                   "fail", "fails", "failed", "failure", "cannot", "never",
+                   "absent", "absence", "lack", "lacks", "lacking")
+NEGATION_BIGRAMS = (("play", "no"), ("is", "not"), ("was", "not"),
+                    ("be", "insufficient"), ("are", "not"), ("does", "not"),
+                    ("did", "not"), ("do", "not"))
+
+# hypothesis cues (reference darpa/HypothesisHandler.scala:16-43)
+HYPOTHESIS_CUES = ("hypothesize", "hypothesized", "hypothesis", "whether",
+                   "may", "might", "possibly", "possible", "suggest",
+                   "suggests", "suggested", "propose", "proposed", "test",
+                   "tested", "investigate", "investigated", "examine",
+                   "examined", "address", "addressed", "ask", "asked",
+                   "speculate", "speculated", "predict", "predicted",
+                   "putative", "perhaps", "likely", "unclear", "unknown")
+
+# regulation-type keywords (reference darpa/RegulationHandler.scala:19-172)
+REGTYPE_KEYWORDS = {
+    "KDtrigger": ("knockdown", "knock-down", "sirna", "shrna", "silencing"),
+    "KOtrigger": ("knockout", "knock-out", "deletion", "-/-"),
+    "DNtrigger": ("dominant-negative", "dominant negative"),
+    "OEtrigger": ("overexpression", "overexpressing", "overexpressed"),
+    "CHEMtrigger": ("inhibitor", "agonist", "antagonist", "treatment",
+                    "treated"),
+}
+
+# amino-acid names for Site detection (public biochemistry nomenclature)
+AMINO_ACIDS = {
+    "alanine": "A", "arginine": "R", "asparagine": "N", "aspartate": "D",
+    "cysteine": "C", "glutamine": "Q", "glutamate": "E", "glycine": "G",
+    "histidine": "H", "isoleucine": "I", "leucine": "L", "lysine": "K",
+    "methionine": "M", "phenylalanine": "F", "proline": "P", "serine": "S",
+    "threonine": "T", "tryptophan": "W", "tyrosine": "Y", "valine": "V",
+}
+AA_SHORT = {"ala": "A", "arg": "R", "asn": "N", "asp": "D", "cys": "C",
+            "gln": "Q", "glu": "E", "gly": "G", "his": "H", "ile": "I",
+            "leu": "L", "lys": "K", "met": "M", "phe": "F", "pro": "P",
+            "ser": "S", "thr": "T", "trp": "W", "tyr": "Y", "val": "V"}
+
+# pronouns handled by the coref pronominalMatch sieve
+# (reference darpa/DarpaLinks.scala:171-260)
+PRONOUNS_SINGULAR = ("it", "its", "this", "that")
+PRONOUNS_PLURAL = ("they", "them", "their", "these", "those", "both")
+
+# generic NP heads for nounPhraseMatch ("the protein", "this enzyme")
+GENERIC_NP_HEADS = ("protein", "proteins", "gene", "genes", "enzyme",
+                    "enzymes", "kinase", "kinases", "molecule", "molecules",
+                    "receptor", "receptors", "factor", "factors", "complex")
+
+# ---------------------------------------------------------------------------
+# Entity dictionary (the rule/lexicon-NER workhorse, SURVEY §2.2 N6) and
+# mini-KB (grounding target, SURVEY §2.6). Names cover every entity in the
+# ported regression fixtures (FIXTURES.md §2) plus common aliases; IDs are
+# deterministic placeholders in uniprot-like style.
+# ---------------------------------------------------------------------------
+
+_GGP_NAMES = [
+    "Ras", "RAS", "K-Ras", "KRAS", "H-Ras", "HRAS", "N-Ras", "NRAS",
+    "MAPK", "MAPK1", "MAPK3", "MAPK14", "ASPP1", "ASPP2", "AKT", "AKT1",
+    "AKT2", "MEK", "MEK1", "MEK2", "ERK", "ERK1", "ERK2", "JAK3", "JAK2",
+    "HuR", "EGFR", "ERBB3", "HER2", "ERBB2", "PI3K", "PI3KC2Beta",
+    "PI3KC2beta", "Raf", "RAF1", "B-Raf", "BRAF", "optineurin", "OPTN",
+    "p53", "TP53", "NF-kappaB", "p65", "RelA", "CREB", "mTOR", "PTEN",
+    "STAT3", "SMAD2", "SMAD3", "SMAD4", "TGFBR2", "GSK3", "GSK3beta",
+    "IGF-1R", "IRS-1", "Sos", "SOS1", "Grb2", "SHC", "cortactin", "CTTN",
+    "Gab1", "PIK3CA", "S6K", "S6K1", "4E-BP1", "eIF4E", "Bcl-2", "Bax",
+    "caspase-3", "PARP", "Rho", "RhoA", "Rac1", "Cdc42", "PKC", "PKA",
+    "CaMKII", "cyclin D1", "CDK4", "CDK6", "Rb", "E2F1", "Myc", "c-Myc",
+    "Jun", "c-Jun", "Fos", "c-Fos", "ATF2", "Elk-1", "beta-catenin",
+    "E-cadherin", "vimentin", "Snail", "Slug", "Twist", "ZEB1", "trypsin",
+    "insulin", "EGF", "TGF-beta", "TNF-alpha", "IL-6", "VEGF", "HIF-1alpha",
+    "p38", "JNK", "JNK1", "IKK", "IkB", "IkBalpha", "XIAP", "Mdm2", "MDM2",
+    "p21", "p27", "FOXO1", "FOXO3", "BAD", "Bim", "Puma", "Noxa", "ASPP",
+    "Pin1", "PP2A", "PP1", "SHP2", "Src", "Fyn", "Lck", "Abl", "BCR-ABL",
+]
+_FAMILY_NAMES = ["Ras family", "MAPK family", "AKT family", "ERK family",
+                 "PI3K family", "STAT family", "caspase family",
+                 "Rho family", "14-3-3"]
+_CHEMICAL_NAMES = ["GTP", "GDP", "ATP", "ADP", "AMP", "cAMP", "NADPH",
+                   "ubiquitin", "rapamycin", "wortmannin", "LY294002",
+                   "U0126", "PD98059", "staurosporine", "calcium", "Ca2+",
+                   "glucose", "phosphate", "32P"]
+_BIOPROCESS_NAMES = ["apoptosis", "autophagy", "proliferation", "angiogenesis",
+                     "transactivation", "cell cycle", "cell death",
+                     "tumorigenesis", "metastasis", "differentiation"]
+_SPECIES_NAMES = ["human", "mouse", "rat", "murine", "bovine", "yeast",
+                  "E. coli", "Drosophila", "zebrafish", "Xenopus"]
+_ORGAN_NAMES = ["liver", "breast", "lung", "brain", "kidney", "pancreas",
+                "colon", "prostate", "skin", "heart"]
+_CELLLINE_NAMES = ["HeLa", "HEK293", "HEK293T", "MCF-7", "MCF7", "A549",
+                   "U2OS", "NIH3T3", "COS-7", "Jurkat", "K562", "PC12"]
+_CELLTYPE_NAMES = ["fibroblast", "fibroblasts", "lymphocyte", "lymphocytes",
+                   "macrophage", "macrophages", "neuron", "neurons",
+                   "hepatocyte", "hepatocytes", "T cell", "T cells",
+                   "B cell", "B cells", "epithelial cells", "keratinocytes"]
+_CELLCOMP_NAMES = ["nucleus", "cytoplasm", "cytosol", "membrane",
+                   "plasma membrane", "mitochondria", "mitochondrion",
+                   "endoplasmic reticulum", "Golgi", "lysosome", "endosome",
+                   "chromatin", "ribosome"]
+
+ENTITY_DICT_LABELS: dict[str, list[str]] = {
+    "Gene_or_gene_product": _GGP_NAMES,
+    "Family": _FAMILY_NAMES,
+    "Simple_chemical": _CHEMICAL_NAMES,
+    "BioProcess": _BIOPROCESS_NAMES,
+    "Species": _SPECIES_NAMES,
+    "Organ": _ORGAN_NAMES,
+    "CellLine": _CELLLINE_NAMES,
+    "CellType": _CELLTYPE_NAMES,
+    "Cellular_component": _CELLCOMP_NAMES,
+}
+
+# canonical-group map: surface aliases that share a grounding id
+# (the TestGrounding.scala:12-47 contract: "p65" == "NF-kappaB p65")
+_CANON_GROUPS: dict[str, list[str]] = {
+    "RAS": ["ras", "k-ras", "kras", "h-ras", "hras", "n-ras", "nras"],
+    "MAPK1": ["mapk1", "erk2"],
+    "ERK1": ["erk1", "mapk3"],
+    "AKT1": ["akt1"],
+    "RELA": ["p65", "rela", "nf-kappab p65"],
+    "ERBB2": ["her2", "erbb2"],
+    "OPTN": ["optineurin", "optn"],
+    "TP53": ["p53", "tp53"],
+    "RAF1": ["raf", "raf1", "c-raf"],
+    "BRAF": ["b-raf", "braf"],
+    "MYC": ["myc", "c-myc"],
+    "JUN": ["jun", "c-jun"],
+    "FOS": ["fos", "c-fos"],
+    "CTTN": ["cortactin", "cttn"],
+    "MTOR": ["mtor"],
+}
+
+_NS_FOR_LABEL = {
+    "Gene_or_gene_product": "uniprot",
+    "Family": "pfam",
+    "Simple_chemical": "pubchem",
+    "BioProcess": "go",
+    "Species": "taxonomy",
+    "Organ": "uberon",
+    "CellLine": "cellosaurus",
+    "CellType": "cl",
+    "Cellular_component": "go",
+}
+_KB_PRIORITY = {ns: i for i, ns in enumerate(
+    ["uniprot", "pfam", "pubchem", "go", "taxonomy", "uberon",
+     "cellosaurus", "cl"], start=1)}
+
+
+def _stable_id(ns: str, key: str) -> str:
+    h = hashlib.sha1(f"{ns}:{key}".encode()).hexdigest()[:6].upper()
+    return {"uniprot": "P", "pfam": "PF", "pubchem": "CID", "go": "GO:",
+            "taxonomy": "TX", "uberon": "UBERON:", "cellosaurus": "CVCL_",
+            "cl": "CL:"}.get(ns, "X") + h
+
+
+def canonical_key(text: str) -> str:
+    """Canonical dictionary key: lower, strip ' -/. quotes (reference
+    grounding/ReachKBKeyTransforms.scala:20-40 canonicalization)."""
+    t = text.lower().strip()
+    for ch in "'\"/.":
+        t = t.replace(ch, "")
+    return t.replace("-", "-")  # hyphens kept: they distinguish K-Ras/KRAS keys
+
+
+def kb_rows() -> list[tuple[str, str, str, str, str, int, bool, bool]]:
+    """(label, key, ns, id, species, kb_priority, is_protein_kb, is_family_kb)
+    — the broadcast KB union table (SURVEY §1.3)."""
+    canon_of: dict[str, str] = {}
+    for gid, variants in _CANON_GROUPS.items():
+        for v in variants:
+            canon_of[v] = gid
+    rows = []
+    seen = set()
+    special_species = {"human": "TX9606", "mouse": "TX10090", "rat": "TX10116"}
+    for label, names in ENTITY_DICT_LABELS.items():
+        ns = _NS_FOR_LABEL[label]
+        for name in names:
+            key = canonical_key(name)
+            group = canon_of.get(key, key.upper().replace(" ", "_"))
+            if label == "Species" and name in special_species:
+                kid = special_species[name]
+            else:
+                kid = _stable_id(ns, group)
+            species = "human" if ns == "uniprot" else ""
+            row = (label, key, ns, kid, species, _KB_PRIORITY[ns],
+                   ns == "uniprot", ns == "pfam")
+            if (label, key) not in seen:
+                seen.add((label, key))
+                rows.append(row)
+    return rows
+
+
+def entity_dictionary() -> dict[str, tuple[str, ...]]:
+    """key (lowercased, possibly multi-word) -> (label, canonical key).
+
+    The broadcast longest-match dictionary for rule NER (reference
+    processors/.../ner/KBLoader.scala:51-67). Keys are token-joined lowercase.
+    """
+    d: dict[str, tuple[str, ...]] = {}
+    for label, names in ENTITY_DICT_LABELS.items():
+        for name in names:
+            d[name.lower()] = (label, canonical_key(name))
+    return d

@@ -1,0 +1,51 @@
+"""SparkSession construction with the configs this engine assumes.
+
+Scale posture (100 TB / 1000-executor target, tested on local[N]):
+  - AQE on: runtime coalescing + skew-join splitting.
+  - Arrow on: every Python-side operator is an Arrow-batched pandas UDF
+    (mandate: no per-row Python — BASELINE.json input_hint).
+  - shuffle.partitions sized to cores locally; on a real cluster this is
+    set to ~2-3x total cores by the submitter (spark-submit --conf).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "reach-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    `cores=None` -> local[*]; pass an int to pin parallelism (the
+    two-cluster-size scaling evidence runs local[8] vs local[32]).
+    """
+    if cores is None:
+        cores_env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cores_env}]" if cores_env else "local[*]"
+        n = int(cores_env) if cores_env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        n = cores
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
