@@ -1,0 +1,111 @@
+"""Entity canonicalization: connected components over alias/xref edges.
+
+Reference analog: alias grounding share after coref — alias pairs form
+components whose best grounding wins (coref/Coref.scala:381-446; SURVEY
+§2.6 G7 maps it to GraphFrames-style CC / label propagation).
+
+Spark shape: iterative min-label propagation on DataFrames. Each round is
+one shuffle (groupBy node); lineage is cut with localCheckpoint so the plan
+doesn't grow (SURVEY §4 note (2)). Convergence is bounded by the graph
+diameter, which for alias graphs is tiny; a max-iteration cap guards
+pathological inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def alias_edges(grounded_entities: DataFrame,
+                links: DataFrame | None = None) -> DataFrame:
+    """Edge list (src, dst) as strings. Sources of edges:
+      - grounding xref: mention canonical-key node <-> ns:id node
+      - coref links: mention's key node <-> antecedent's key node
+    """
+    key_node = F.concat(F.lit("key:"),
+                        F.coalesce("canonical", F.lower("text")))
+    id_node = F.concat(F.lit("id:"), "g_ns", F.lit(":"), "g_id")
+    e1 = (grounded_entities
+          .where(F.col("kind") == "tbm")
+          .where(F.col("label") != "Site")
+          .select(key_node.alias("src"), id_node.alias("dst"))
+          .distinct())
+    if links is None:
+        return e1
+    m = (grounded_entities
+         .select("mention_id", key_node.alias("node")))
+    e2 = (links
+          .join(m, "mention_id")
+          .withColumnRenamed("node", "src")
+          .join(m.withColumnRenamed("mention_id", "antecedent_id")
+                 .withColumnRenamed("node", "dst"), "antecedent_id")
+          .select("src", "dst")
+          .where(F.col("src") != F.col("dst"))
+          .distinct())
+    return e1.unionByName(e2)
+
+
+def connected_components(edges: DataFrame, max_iter: int = 15) -> DataFrame:
+    """(src, dst) undirected → (node, component) with component = min node
+    label in the component. Iterative label propagation; each iteration
+    localCheckpoints to cut lineage."""
+    sym = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        # component candidates: own label + min neighbor label
+        nbr = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .select(sym["src"].alias("node"), "component")
+        )
+        new_labels = (
+            labels.unionByName(nbr)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def canonical_entities(grounded_entities: DataFrame,
+                       links: DataFrame | None = None) -> DataFrame:
+    """Canonical entity table: (component, canonical_id, names, n_mentions).
+    canonical_id = best grounding id in the component (non-uaz preferred,
+    then lexicographic min — the 'best grounding per component' rule)."""
+    edges = alias_edges(grounded_entities, links)
+    cc = connected_components(edges)
+    id_nodes = (
+        cc.where(F.col("node").startswith("id:"))
+        .withColumn("is_uaz", F.col("node").startswith("id:uaz"))
+    )
+    best = (
+        id_nodes.groupBy("component")
+        .agg(F.min(F.when(~F.col("is_uaz"), F.col("node"))).alias("best_id"),
+             F.min("node").alias("any_id"))
+        .select("component",
+                F.expr("substring(coalesce(best_id, any_id), 4)")
+                 .alias("canonical_id"))
+    )
+    names = (
+        cc.where(F.col("node").startswith("key:"))
+        .groupBy("component")
+        .agg(F.array_sort(F.collect_set(F.expr("substring(node, 5)")))
+             .alias("names"),
+             F.count("*").alias("n_keys"))
+    )
+    return best.join(names, "component", "left")

@@ -74,6 +74,8 @@ MENTIONS = T.StructType([
     T.StructField("is_direct", T.BooleanType(), False),
     T.StructField("found_by", T.StringType(), False),
     T.StructField("keep", T.BooleanType(), False),
+    # dictionary canonical key for entity mentions (grounding join key)
+    T.StructField("canonical", T.StringType(), True),
 ])
 
 TRIPLES = T.StructType([

@@ -1,0 +1,157 @@
+"""Spark-layer tests: span-sequence invariant, grounding contracts,
+determinism, checkpoint/resume (FIXTURES.md §1 invariant + BASELINE.md
+resumability target)."""
+
+import shutil
+
+import pytest
+
+from pyspark.sql import Row, functions as F
+
+from reach_spark.pipeline import extract_dataframe, run_batch
+from reach_spark.synth import make_documents
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return make_documents(spark, n_docs=24, skew_every=8,
+                          skew_repeat=15).cache()
+
+
+@pytest.fixture(scope="module")
+def results(spark, docs):
+    return extract_dataframe(spark, docs)
+
+
+def test_span_sequence_invariant(spark, docs):
+    """Output record's span sequence equals the input's on
+    (kind, text, media_ref, order); media spans pass through untouched."""
+    before = docs.select(
+        "doc_id",
+        F.sha2(F.to_json(F.array_sort(
+            "spans",
+            lambda a, b: F.when(a["offset"] < b["offset"], -1)
+                          .when(a["offset"] > b["offset"], 1)
+                          .otherwise(0))), 256).alias("h"))
+    # the pipeline never mutates documents; media spans are carried to the
+    # media table and text spans to sentences — reassemble and compare count
+    from reach_spark.annotate import media_spans, text_spans
+    n_media = media_spans(docs).count()
+    n_text = text_spans(docs).count()
+    n_all = docs.select(F.explode("spans")).count()
+    assert n_media + n_text == n_all
+    # determinism of the input itself (same seed → same hash set)
+    docs2 = make_documents(spark, n_docs=24, skew_every=8, skew_repeat=15)
+    after = docs2.select(
+        "doc_id",
+        F.sha2(F.to_json(F.array_sort(
+            "spans",
+            lambda a, b: F.when(a["offset"] < b["offset"], -1)
+                          .when(a["offset"] > b["offset"], 1)
+                          .otherwise(0))), 256).alias("h"))
+    assert before.exceptAll(after).count() == 0
+
+
+def test_grounding_contract_gr3(spark):
+    """'MEK phosphorylates Ras.' → both TBMs grounded non-uaz, one
+    Phosphorylation + one Positive_regulation → one reg triple
+    (TestGrounding.scala:38-47, the minimum end-to-end slice)."""
+    one = spark.createDataFrame([Row(doc_id="g3", spans=[
+        Row(kind="text", text="MEK phosphorylates Ras.", media_ref="",
+            offset=0)])])
+    res = extract_dataframe(spark, one, with_coref=False)
+    ents = {r["text"]: r for r in res["entities"].collect()}
+    assert ents["MEK"]["g_ns"] == "uniprot"
+    assert ents["Ras"]["g_ns"] == "uniprot"
+    trip = res["triples"].collect()
+    regs = [t for t in trip if t["pred"] == "Positive_regulation→Phosphorylation"]
+    assert len(regs) == 1
+    assert regs[0]["subj"].startswith("MEK::uniprot:")
+    assert regs[0]["obj"].startswith("Ras::uniprot:")
+    assert regs[0]["obj"].endswith(".phos")
+    assert regs[0]["negated"] is False
+
+
+def test_grounding_contract_gr1(spark):
+    """'p65 and NF-kappaB p65 are the same entity.' → the two p65 mentions
+    share one grounding id (TestGrounding.scala:12-29)."""
+    one = spark.createDataFrame([Row(doc_id="g1", spans=[
+        Row(kind="text", text="p65 and NF-kappaB p65 are the same entity.",
+            media_ref="", offset=0)])])
+    res = extract_dataframe(spark, one, with_coref=False)
+    p65 = [r for r in res["entities"].collect() if r["text"] == "p65"]
+    assert len(p65) == 2
+    assert p65[0]["g_id"] == p65[1]["g_id"]
+    assert p65[0]["g_ns"] != "uaz"
+
+
+def test_negated_triple_reg10(spark):
+    """'ASPP1 fails to upregulate the phosphorylation of ASPP2.' →
+    reg triple with negated=true (FIXTURES.md §3.6 golden)."""
+    one = spark.createDataFrame([Row(doc_id="r10", spans=[
+        Row(kind="text",
+            text="ASPP1 fails to upregulate the phosphorylation of ASPP2.",
+            media_ref="", offset=0)])])
+    res = extract_dataframe(spark, one, with_coref=False)
+    regs = [t for t in res["triples"].collect()
+            if t["pred"].startswith("Positive_regulation")]
+    assert len(regs) == 1 and regs[0]["negated"] is True
+
+
+def test_canonicalization_components(spark, results):
+    canon = results["canonical_entities"].collect()
+    assert len(canon) > 0
+    # every component resolves to exactly one canonical id
+    assert len({c["component"] for c in canon}) == len(canon)
+
+
+def test_determinism_two_runs(spark, docs):
+    """Two full runs on the same input → identical triple sets
+    (deterministic IDs everywhere, SURVEY §7)."""
+    a = extract_dataframe(spark, docs, with_coref=False)["triples"]
+    b = extract_dataframe(spark, docs, with_coref=False)["triples"]
+    cols = ["doc_id", "sent_idx", "event_id", "subj", "pred", "obj",
+            "negated"]
+    assert a.select(cols).exceptAll(b.select(cols)).count() == 0
+    assert b.select(cols).exceptAll(a.select(cols)).count() == 0
+
+
+def test_checkpoint_resume(spark, tmp_path_factory):
+    """Kill-and-resume: batch 1 (half the docs) then full input → second run
+    processes only the remainder; triples equal a one-shot run."""
+    out1 = str(tmp_path_factory.mktemp("resume"))
+    full = make_documents(spark, n_docs=12, skew_every=0).cache()
+    half = full.where(F.col("doc_id") < "doc42_000000006")
+    c1 = run_batch(spark, half, out1)
+    assert c1["docs"] == 6
+    c2 = run_batch(spark, full, out1)
+    assert c2["docs"] == 6  # only the remainder (restart anti-join)
+    resumed = spark.read.parquet(out1 + "/triples")
+
+    out2 = str(tmp_path_factory.mktemp("oneshot"))
+    run_batch(spark, full, out2)
+    oneshot = spark.read.parquet(out2 + "/triples")
+    cols = ["doc_id", "sent_idx", "event_id", "subj", "pred", "obj"]
+    assert resumed.select(cols).exceptAll(oneshot.select(cols)).count() == 0
+    assert oneshot.select(cols).exceptAll(resumed.select(cols)).count() == 0
+    # metrics rows exist with partition lineage
+    metrics = spark.read.parquet(out1 + "/metrics")
+    assert {"partition_id", "rows", "stage"} <= set(metrics.columns)
+    shutil.rmtree(out1, ignore_errors=True)
+    shutil.rmtree(out2, ignore_errors=True)
+
+
+def test_context_window(spark):
+    """Species context flows ±3 sentences (Policy4, Policies.scala:63-98)."""
+    sents = ["MEK phosphorylates Ras.",
+             "This was observed in human cells.",
+             "AKT1 is acetylated at lysine 163."]
+    one = spark.createDataFrame([Row(doc_id="ctx", spans=[
+        Row(kind="text", text=t, media_ref="", offset=i)
+        for i, t in enumerate(sents)])])
+    res = extract_dataframe(spark, one, with_coref=False)
+    ctx = {r["sent_idx"]: r["context_species"]
+           for r in res["context"].collect()}
+    assert any("taxonomy" in s for v in ctx.values() for s in (v or []))
+    # sentence 0 inherits species from sentence 1 (within +3 window)
+    assert ctx[0] and any("taxonomy" in s for s in ctx[0])
