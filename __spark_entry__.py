@@ -1,38 +1,104 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() covers the SURVEY.md §2 operator inventory three ways:
+  - kg_*: the KG-construction pipeline operators projected onto
+    SQL-checkable inputs (span extraction S1, chunking N2, dictionary NER
+    N6, grounding rank-1 G3, context window C2, connected components G7)
+  - training-data ops: dedup (exact/MinHash/LSH/Jaccard/SimHash), language
+    ID, quality scoring, token counting, fingerprinting, ANN similarity,
+    multimodal metadata plumbing
+  - relational checklist: TPC-H-style agg/join/window/anti-join/as-of/set
+    ops (SURVEY §2.11)
+The full extraction pipeline (not SQL-expressible) is `kg_triples_flagship`
+(rows-only check) and is additionally gated by the pytest fixture corpus
+(P/R ≥ 0.95, tests/test_extract_core.py).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+
+from reach_spark import kg_queries, multimodal, relational, similarity, textops
+
+
+def _interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derive the interleaved text+media documents table (BASELINE.json
+    input_hint shape) deterministically from the testdata documents table:
+    each doc gets its text chunked into spans, one fixture sentence keyed by
+    doc_id (so extraction has real bio text to chew on), and a media span."""
+    from reach_spark.fixtures import fixture_sentences
+    sents = fixture_sentences()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fixture_arr = F.array(*[F.lit(s) for s in sents])
+    return docs.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.array(
+            F.struct(F.lit("text").alias("kind"),
+                     F.element_at(fixture_arr,
+                                  (F.col("doc_id") % len(sents) + 1)
+                                  .cast("int")).alias("text"),
+                     F.lit("").alias("media_ref"),
+                     F.lit(0).cast("int").alias("offset")),
+            F.struct(F.lit("media").alias("kind"), F.lit("").alias("text"),
+                     F.concat(F.lit("img://"), F.col("doc_id").cast("string"))
+                      .alias("media_ref"),
+                     F.lit(1).cast("int").alias("offset")),
+            F.struct(F.lit("text").alias("kind"),
+                     F.element_at(fixture_arr,
+                                  ((F.col("doc_id") * 7 + 3) % len(sents) + 1)
+                                  .cast("int")).alias("text"),
+                     F.lit("").alias("media_ref"),
+                     F.lit(2).cast("int").alias("offset")),
+        ).alias("spans"))
+
+
+def kg_triples_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full KG-construction pipeline (annotate → NER → grammar
+    cascade → grounding → context → triples) over the interleaved table."""
+    from reach_spark.pipeline import extract_dataframe
+    docs = _interleaved_documents(spark, sf_dir)
+    res = extract_dataframe(spark, docs, with_coref=False)
+    return res["triples"].select(
+        "doc_id", "sent_idx", "subj", "pred", "obj", "negated", "seen")
+
+
+def kg_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalization: grounded entities → connected-components canonical
+    table (G7) over the interleaved docs."""
+    from reach_spark.pipeline import extract_dataframe
+    docs = _interleaved_documents(spark, sf_dir)
+    res = extract_dataframe(spark, docs, with_coref=False)
+    return res["canonical_entities"].select("component", "canonical_id",
+                                            "names")
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    return kg_triples_flagship(spark, "/root/testdata/sf0.001")
+
+
+_REGISTRIES = (kg_queries.QUERIES, textops.QUERIES, similarity.QUERIES,
+               multimodal.QUERIES, relational.QUERIES)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for reg in _REGISTRIES:
+        for name, (fn, _oracle) in reg.items():
+            out[name] = fn
+    out["kg_triples_flagship"] = kg_triples_flagship
+    out["kg_canonical_entities"] = kg_canonical_entities
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    out: dict[str, str] = {}
+    for reg in _REGISTRIES:
+        for name, (_fn, oracle) in reg.items():
+            if oracle is not None:
+                out[name] = oracle
+    # kg_triples_flagship / kg_canonical_entities: the rule-cascade pipeline
+    # is not ANSI-SQL-expressible → rows-only check (documented divergence)
+    return out

@@ -1,0 +1,190 @@
+"""Relational operator demonstrations over the TPC-H-ish testdata tables —
+the SURVEY §2.11 checklist (filters/projections, broadcast + anti joins,
+hash aggregation, windows, top-k, set ops, as-of composition) each with an
+exact DuckDB oracle. These are also the operators the KG pipeline leans on
+(grounding = broadcast join + rank-1; restart = anti-join; context = range
+window; completeness = group argmax), exercised here on 600k-row inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+QUERIES: dict[str, tuple] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+# TPC-H Q1-style pricing summary: hash aggregation with partial (map-side)
+# combine; Catalyst pushes the shipdate filter into the parquet scan.
+@_register("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 2) AS sum_qty,
+  round(sum(l_extendedprice), 2) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+  count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+""")
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.where(F.col("l_shipdate") <= "1998-09-01")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+                 F.round(F.sum(F.col("l_extendedprice") *
+                               (1 - F.col("l_discount"))), 2)
+                 .alias("sum_disc_price"),
+                 F.count("*").alias("count_order")))
+
+
+# 3-table join + top-k: the small dims are broadcast (explicit hint);
+# revenue top-10 via window over the aggregate.
+@_register("q3_topk_revenue", """
+WITH rev AS (
+  SELECT o.o_orderkey, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+         AS revenue
+  FROM customer c
+  JOIN orders o ON c.c_custkey = o.o_custkey
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderstatus = 'O'
+  GROUP BY o.o_orderkey)
+SELECT o_orderkey, revenue FROM rev
+ORDER BY revenue DESC, o_orderkey LIMIT 10
+""")
+def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = (li.join(F.broadcast(o.where(F.col("o_orderstatus") == "O")),
+                   li["l_orderkey"] == o["o_orderkey"])
+           .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+           .groupBy("o_orderkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice") *
+                              (1 - F.col("l_discount"))), 2).alias("revenue")))
+    return rev.orderBy(F.desc("revenue"), "o_orderkey").limit(10)
+
+
+# group argmax (the keepMostCompleteMentions F1 pattern): per order, the
+# line with max quantity, ties by line number.
+@_register("argmax_per_group", """
+SELECT l_orderkey, l_linenumber, l_quantity FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (PARTITION BY l_orderkey
+                            ORDER BY l_quantity DESC, l_linenumber) AS rk
+  FROM lineitem) WHERE rk = 1
+""")
+def argmax_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    w = Window.partitionBy("l_orderkey").orderBy(F.desc("l_quantity"),
+                                                 "l_linenumber")
+    return (li.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("l_orderkey", "l_linenumber", "l_quantity"))
+
+
+# anti-join restart filter (the S3 checkpoint-resume pattern): docs whose
+# id is NOT in the 'done' set (here: even ids done).
+@_register("restart_anti_join", """
+SELECT d.doc_id FROM documents d
+ANTI JOIN (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) done
+ON d.doc_id = done.doc_id
+""")
+def restart_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    done = d.where(F.col("doc_id") % 2 == 0).select("doc_id")
+    return d.join(done, "doc_id", "left_anti").select("doc_id")
+
+
+# ordered analytic window (running count per user over the event stream —
+# the context-window pattern on a time axis).
+@_register("window_running_count", """
+SELECT event_id, user_id,
+       count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seen_so_far,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+FROM events
+""")
+def window_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id", "user_id",
+        F.count("*").over(w.rowsBetween(Window.unboundedPreceding, 0))
+         .alias("seen_so_far"),
+        F.row_number().over(w).alias("rn"))
+
+
+# as-of join composition: for each event, the user's latest order at or
+# before the event timestamp (join + window rank-1 — the coref
+# closest-prior-antecedent shape on a time axis).
+@_register("asof_latest_order", """
+SELECT event_id, user_id, o_orderkey FROM (
+  SELECT e.event_id, e.user_id, o.o_orderkey,
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC)
+         AS rk
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+WHERE rk = 1
+""")
+def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    j = e.join(o, (o["o_custkey"] == e["user_id"]) &
+                  (o["o_orderdate"] <= e["ts"]))
+    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"),
+                                               F.desc("o_orderkey"))
+    return (j.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("event_id", "user_id", "o_orderkey"))
+
+
+# set ops: high-value customers present in 'O' orders but not 'F' orders.
+@_register("set_except_customers", """
+SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+""")
+def set_except_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    a = (o.where(F.col("o_orderstatus") == "O")
+         .select(F.col("o_custkey").alias("custkey")).distinct())
+    b = (o.where(F.col("o_orderstatus") == "F")
+         .select(F.col("o_custkey").alias("custkey")).distinct())
+    return a.exceptAll(b).distinct()
+
+
+# connected components (the G7 canonicalization operator) over a bipartite
+# customer↔nation graph, oracle = recursive-CTE min-label propagation.
+@_register("connected_components_bipartite", """
+WITH RECURSIVE edges AS (
+  SELECT 'c:' || lpad(c_custkey::VARCHAR, 12, '0') AS src,
+         'n:' || lpad(c_nationkey::VARCHAR, 12, '0') AS dst
+  FROM customer
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), prop AS (
+  SELECT src AS node, least(src, min(dst)) AS comp
+  FROM sym GROUP BY src
+  UNION
+  SELECT s.src AS node, p.comp
+  FROM sym s JOIN prop p ON s.dst = p.node
+)
+SELECT node, min(comp) AS component FROM prop GROUP BY node
+""")
+def connected_components_bipartite(spark: SparkSession,
+                                   sf_dir: str) -> DataFrame:
+    from .canonicalize import connected_components
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    edges = c.select(
+        F.concat(F.lit("c:"), F.lpad(F.col("c_custkey").cast("string"),
+                                     12, "0")).alias("src"),
+        F.concat(F.lit("n:"), F.lpad(F.col("c_nationkey").cast("string"),
+                                     12, "0")).alias("dst"))
+    return connected_components(edges).select("node", "component")

@@ -1,0 +1,133 @@
+"""Similarity search over the `embeddings` table (vec_id, embedding
+float[64], label): brute-force cosine top-k baseline + an LSH-bucketed
+(sign-projection) scale path.
+
+Spark shape: cosine is zip_with/aggregate over double arrays — pure JVM
+expressions, no Python. Ranks are made engine-deterministic by rounding the
+similarity to 6 dp and tie-breaking on neighbor id. The LSH variant buckets
+by the sign pattern of the first 8 dims: the crossjoin collapses to a
+bucket-equi-join (the 100 TB path; add more planes for finer buckets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+QUERIES: dict[str, tuple] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+_COS_SPARK = """
+round(
+  aggregate(zip_with(qa, na, (x, y) -> x * y), 0d, (a, v) -> a + v)
+  / (sqrt(aggregate(qa, 0d, (a, v) -> a + v * v))
+     * sqrt(aggregate(na, 0d, (a, v) -> a + v * v))), 6)
+"""
+
+_N_QUERIES = 10
+_TOP_K = 5
+
+
+@_register("ann_topk_bruteforce", f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qa FROM embeddings
+  WHERE vec_id < {_N_QUERIES}
+), n AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS na FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         round(list_cosine_similarity(qa, na), 6) AS sim
+  FROM q CROSS JOIN n WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= {_TOP_K}
+""")
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = (emb.where(F.col("vec_id") < _N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("embedding").cast("array<double>").alias("qa")))
+    n = emb.select(F.col("vec_id").alias("neighbor_id"),
+                   F.col("embedding").cast("array<double>").alias("na"))
+    scored = (F.broadcast(q).crossJoin(n)
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("sim", F.expr(_COS_SPARK))
+              .select("query_id", "neighbor_id", "sim"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "rank", "neighbor_id", "sim"))
+
+
+_N_PLANES = 8
+
+_BUCKET_DUCK = " || ".join(
+    f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+    for i in range(_N_PLANES))
+_BUCKET_SPARK = "concat(" + ", ".join(
+    f"(CASE WHEN element_at(embedding, {i + 1}) >= cast(0 as float) "
+    f"THEN '1' ELSE '0' END)" for i in range(_N_PLANES)) + ")"
+
+
+@_register("ann_lsh_bucketed", f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_DUCK} AS bucket
+  FROM embeddings
+), pairs AS (
+  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(a.e, c.e), 6) AS sim
+  FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id
+  WHERE a.vec_id < {_N_QUERIES}
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= {_TOP_K}
+""")
+def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e"),
+                   F.expr(_BUCKET_SPARK).alias("bucket"))
+    a = (b.where(F.col("vec_id") < _N_QUERIES)
+         .select(F.col("vec_id").alias("query_id"),
+                 F.col("e").alias("qa"), "bucket"))
+    c = b.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("e").alias("na"), "bucket")
+    pairs = (a.join(c, "bucket")
+             .where(F.col("query_id") != F.col("neighbor_id"))
+             .withColumn("sim", F.expr(_COS_SPARK)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "rank", "neighbor_id", "sim"))
+
+
+@_register("embedding_stats", """
+SELECT label,
+       count(*) AS n,
+       round(avg(list_cosine_similarity(embedding::DOUBLE[],
+                                        embedding::DOUBLE[])), 3) AS self_sim
+FROM embeddings GROUP BY label
+""")
+def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (emb
+            .withColumn("e", F.col("embedding").cast("array<double>"))
+            .withColumn("self_sim", F.round(F.expr(
+                "aggregate(zip_with(e, e, (x,y)->x*y), 0d, (a,v)->a+v)"
+                " / (sqrt(aggregate(e, 0d, (a,v)->a+v*v))"
+                " * sqrt(aggregate(e, 0d, (a,v)->a+v*v)))"), 3))
+            .groupBy("label")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("self_sim"), 3).alias("self_sim")))

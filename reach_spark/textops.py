@@ -1,0 +1,361 @@
+"""Large-scale training-data text operators over the `documents` table:
+deduplication (exact, MinHash+LSH, n-gram Jaccard, SimHash), language ID,
+quality scoring, token counting, document fingerprinting.
+
+Every operator is pure built-in pyspark.sql.functions (JVM, whole-stage
+codegen) — no Python UDFs in any hot path. Cross-engine-deterministic
+hashing uses md5 hex prefixes compared as strings (identical in Spark and
+DuckDB), so each operator has an exact DuckDB oracle.
+
+Scale notes per operator are in the docstrings: the shuffles are on
+bounded-cardinality keys (shingles, bands, buckets), the classic inverted-
+index pattern that holds at 100 TB with salting on hot shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+# registry: name -> (query_fn, oracle_sql or None)
+QUERIES: dict[str, tuple] = {}
+
+
+def _register(name: str, oracle: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# --------------------------------------------------------------------------
+# exact dedup: hash-groupBy on content. At scale: group on sha2(text) not
+# text itself (shuffle key size), min(doc_id) is the canonical survivor.
+# --------------------------------------------------------------------------
+@_register("dedup_exact", """
+SELECT doc_id,
+       count(*) OVER (PARTITION BY md5(text)) AS group_size,
+       (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep
+FROM documents
+""")
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy(F.md5("text"))
+    return (_docs(spark, sf_dir)
+            .select("doc_id",
+                    F.count("*").over(w).alias("group_size"),
+                    (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep")))
+
+
+# --------------------------------------------------------------------------
+# shingles: word 3-grams. Spark: sequence+transform (JVM); DuckDB: unnest
+# with ordinality self-aligned via list slicing.
+# --------------------------------------------------------------------------
+_SHINGLE_SPARK = """
+CASE WHEN size(split(text, ' ')) >= 3 THEN
+transform(
+  sequence(1, size(split(text, ' ')) - 2),
+  i -> concat_ws(' ', element_at(split(text, ' '), i),
+                       element_at(split(text, ' '), i + 1),
+                       element_at(split(text, ' '), i + 2)))
+ELSE array() END
+"""
+
+_SHINGLE_DUCK = """
+list_transform(
+  range(1, greatest(len(regexp_split_to_array(text, ' ')) - 1, 1)),
+  i -> regexp_split_to_array(text, ' ')[i] || ' ' ||
+       regexp_split_to_array(text, ' ')[i+1] || ' ' ||
+       regexp_split_to_array(text, ' ')[i+2])
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash signatures: 8 permutations simulated by seeded md5; the minimum
+# hex string per permutation is the signature component (string-min is
+# engine-portable). LSH: 4 bands of 2 rows → band key join finds candidate
+# pairs with O(n·bands) shuffle instead of O(n²).
+# --------------------------------------------------------------------------
+_N_PERM = 8
+_BAND_ROWS = 2
+
+
+@_register("dedup_minhash_sig", f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLE_DUCK}) AS shingle FROM documents
+)
+SELECT doc_id,
+  {', '.join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(_N_PERM))}
+FROM sh GROUP BY doc_id
+""")
+def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (_docs(spark, sf_dir)
+          .select("doc_id",
+                  F.explode(F.expr(_SHINGLE_SPARK)).alias("shingle")))
+    aggs = [F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle"))))
+            .alias(f"mh{i}") for i in range(_N_PERM)]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+@_register("dedup_minhash_pairs", f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLE_DUCK}) AS shingle FROM documents
+), sig AS (
+  SELECT doc_id,
+    {', '.join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(_N_PERM))}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {' UNION ALL '.join(
+    f"SELECT doc_id, {b} AS band, mh{2*b} || mh{2*b+1} AS bkey FROM sig"
+    for b in range(_N_PERM // _BAND_ROWS))}
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id < b.doc_id
+""")
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup_minhash_sig(spark, sf_dir)
+    bands = None
+    for b in range(_N_PERM // _BAND_ROWS):
+        part = sig.select(
+            "doc_id", F.lit(b).alias("band"),
+            F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("bkey"))
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band")) &
+                      (F.col("a.bkey") == F.col("b.bkey")) &
+                      (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+
+
+# --------------------------------------------------------------------------
+# n-gram Jaccard near-dup: inverted index on shingles → pair intersection
+# counts → |A∩B| / (|A|+|B|-|A∩B|). Threshold in basis points (integer) so
+# the comparison is float-free across engines.
+# --------------------------------------------------------------------------
+@_register("dedup_jaccard_pairs", f"""
+WITH sh AS (
+  SELECT DISTINCT doc_id, unnest({_SHINGLE_DUCK}) AS shingle FROM documents
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT doc_a, doc_b,
+       (10000 * i) // (sa.n + sb.n - i) AS jaccard_bp
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE 10000 * i >= 8000 * (sa.n + sb.n - i)
+""")
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (_docs(spark, sf_dir)
+          .select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("shingle"))
+          .distinct())
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &
+                       (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("i")))
+    return (inter
+            .join(sizes.select(F.col("doc_id").alias("doc_a"),
+                               F.col("n").alias("na")), "doc_a")
+            .join(sizes.select(F.col("doc_id").alias("doc_b"),
+                               F.col("n").alias("nb")), "doc_b")
+            .where(10000 * F.col("i") >= 8000 * (F.col("na") + F.col("nb")
+                                                 - F.col("i")))
+            .select("doc_a", "doc_b",
+                    F.floor(10000 * F.col("i") / (F.col("na") + F.col("nb")
+                                                  - F.col("i")))
+                    .cast("bigint").alias("jaccard_bp")))
+
+
+# --------------------------------------------------------------------------
+# SimHash (64→16-bit portable variant): per-token md5-derived 16-bit
+# pattern, bitwise majority vote via per-bit sums. Engine-portable because
+# each bit is extracted from a md5 hex nibble by string ops + integer CASE.
+# --------------------------------------------------------------------------
+_HEXMAP_SPARK = "(instr('0123456789abcdef', {c}) - 1)"
+_HEXMAP_DUCK = "(strpos('0123456789abcdef', {c}) - 1)"
+
+
+def _simhash_sql(hexmap: str, substr: str) -> str:
+    # bit j of nibble n = (n >> (j%4)) & 1 where n = hex digit j//4
+    bit_terms = []
+    for j in range(16):
+        nib = f"{hexmap.format(c=f'{substr}(h, {j // 4 + 1}, 1)')}"
+        bit_terms.append(
+            f"sum(CASE WHEN ({nib} // {2 ** (j % 4)}) % 2 = 1 "
+            f"THEN 1 ELSE -1 END) AS b{j}")
+    return ", ".join(bit_terms)
+
+
+@_register("dedup_simhash", f"""
+WITH toks AS (
+  SELECT doc_id, md5(unnest(regexp_split_to_array(text, ' '))) AS h
+  FROM documents
+), bits AS (
+  SELECT doc_id, {_simhash_sql(_HEXMAP_DUCK, 'substr')}
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+  {' + '.join(f"(CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(16))}
+  AS simhash16
+FROM bits
+""")
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (_docs(spark, sf_dir)
+            .select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+            .select("doc_id", F.md5("tok").alias("h")))
+    aggs = []
+    for j in range(16):
+        nib = F.expr(_HEXMAP_SPARK.format(c=f"substring(h, {j // 4 + 1}, 1)"))
+        bit = (nib.cast("int") / (2 ** (j % 4))).cast("int") % 2
+        aggs.append(F.sum(F.when(bit == 1, 1).otherwise(-1)).alias(f"b{j}"))
+    bits = toks.groupBy("doc_id").agg(*aggs)
+    acc = None
+    for j in range(16):
+        term = F.when(F.col(f"b{j}") > 0, 2 ** j).otherwise(0)
+        acc = term if acc is None else acc + term
+    return bits.select("doc_id", acc.cast("bigint").alias("simhash16"))
+
+
+# --------------------------------------------------------------------------
+# language ID: stopword-hit heuristic over inline per-language lists.
+# --------------------------------------------------------------------------
+_STOP = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "was"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein"],
+    "es": ["el", "la", "los", "las", "es", "y", "un", "una"],
+}
+
+
+def _lang_hits_sql(dialect: str) -> str:
+    out = []
+    for lang, words in _STOP.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        if dialect == "duck":
+            out.append(f"len(list_filter(regexp_split_to_array(text, ' '),"
+                       f" w -> w IN ({lst}))) AS hits_{lang}")
+        else:
+            out.append(f"size(filter(split(text, ' '),"
+                       f" w -> w IN ({lst}))) AS hits_{lang}")
+    return ", ".join(out)
+
+
+@_register("lang_id", f"""
+WITH h AS (SELECT doc_id, {_lang_hits_sql('duck')} FROM documents)
+SELECT doc_id,
+  CASE WHEN hits_en >= hits_de AND hits_en >= hits_es AND hits_en > 0 THEN 'en'
+       WHEN hits_de >= hits_es AND hits_de > 0 THEN 'de'
+       WHEN hits_es > 0 THEN 'es'
+       ELSE 'und' END AS pred_lang,
+  hits_en, hits_de, hits_es
+FROM h
+""")
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exprs = []
+    for lang, words in _STOP.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        exprs.append(f"size(filter(split(text, ' '), w -> w IN ({lst}))) "
+                     f"AS hits_{lang}")
+    d = _docs(spark, sf_dir).selectExpr("doc_id", *exprs)
+    pred = (F.when((F.col("hits_en") >= F.col("hits_de")) &
+                   (F.col("hits_en") >= F.col("hits_es")) &
+                   (F.col("hits_en") > 0), "en")
+            .when((F.col("hits_de") >= F.col("hits_es")) &
+                  (F.col("hits_de") > 0), "de")
+            .when(F.col("hits_es") > 0, "es")
+            .otherwise("und"))
+    return d.select("doc_id", pred.alias("pred_lang"),
+                    "hits_en", "hits_de", "hits_es")
+
+
+# --------------------------------------------------------------------------
+# quality scoring: integer component counts + integer-math tier (float-free
+# so the oracle hash matches bit-for-bit).
+# --------------------------------------------------------------------------
+@_register("quality_score", """
+WITH c AS (
+  SELECT doc_id,
+    len(regexp_split_to_array(text, ' ')) AS n_tokens,
+    length(text) AS n_chars_m,
+    len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+    len(list_filter(regexp_split_to_array(text, ' '),
+        w -> w IN ('the','a','of','and','to','in','is','was'))) AS n_stop
+  FROM documents)
+SELECT doc_id, n_tokens, n_chars_m, n_punct, n_stop,
+  CASE WHEN n_tokens >= 20 AND 100 * n_stop >= 2 * n_tokens
+            AND 100 * n_punct <= 20 * n_tokens THEN 'high'
+       WHEN n_tokens >= 5 THEN 'medium' ELSE 'low' END AS tier
+FROM c
+""")
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    stop = ", ".join(f"'{w}'" for w in _STOP["en"])
+    c = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS n_tokens",
+        "length(text) AS n_chars_m",
+        r"regexp_count(text, '[\\p{Punct}]') AS n_punct",
+        f"size(filter(split(text, ' '), w -> w IN ({stop}))) AS n_stop")
+    tier = (F.when((F.col("n_tokens") >= 20) &
+                   (100 * F.col("n_stop") >= 2 * F.col("n_tokens")) &
+                   (100 * F.col("n_punct") <= 20 * F.col("n_tokens")), "high")
+            .when(F.col("n_tokens") >= 5, "medium").otherwise("low"))
+    return c.select("doc_id", "n_tokens", "n_chars_m",
+                    F.col("n_punct").cast("bigint").alias("n_punct"),
+                    "n_stop", tier.alias("tier"))
+
+
+# --------------------------------------------------------------------------
+# token counting: whitespace + BPE-ish regex token classes.
+# --------------------------------------------------------------------------
+@_register("token_count", """
+SELECT doc_id,
+  len(regexp_split_to_array(text, ' ')) AS ws_tokens,
+  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS bpe_ish_tokens,
+  length(text) AS chars
+FROM documents
+""")
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS ws_tokens",
+        "regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') AS bpe_ish_tokens",
+        "length(text) AS chars",
+    ).select("doc_id", "ws_tokens",
+             F.col("bpe_ish_tokens").cast("bigint").alias("bpe_ish_tokens"),
+             "chars")
+
+
+# --------------------------------------------------------------------------
+# document fingerprint: min/max md5 over 4-gram shingles (winnowing-lite,
+# rolling-hash analog) — a stable content fingerprint for incremental dedup.
+# --------------------------------------------------------------------------
+@_register("doc_fingerprint", f"""
+WITH sh AS (
+  SELECT doc_id, unnest({_SHINGLE_DUCK}) AS shingle FROM documents
+)
+SELECT doc_id,
+       substr(min(md5(shingle)), 1, 16) AS fp_min,
+       substr(max(md5(shingle)), 1, 16) AS fp_max,
+       count(DISTINCT shingle) AS n_shingles
+FROM sh GROUP BY doc_id
+""")
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (_docs(spark, sf_dir)
+          .select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("shingle")))
+    return sh.groupBy("doc_id").agg(
+        F.substring(F.min(F.md5("shingle")), 1, 16).alias("fp_min"),
+        F.substring(F.max(F.md5("shingle")), 1, 16).alias("fp_max"),
+        F.countDistinct("shingle").alias("n_shingles"))
