@@ -17,43 +17,39 @@ CONTEXT_LABELS = ["Species", "CellLine", "Organ", "CellType", "TissueType",
                   "Cellular_component"]
 
 
-def sentence_order(mentions: DataFrame) -> DataFrame:
-    """Dense per-doc sentence rank so rangeBetween counts sentences, not raw
-    sent_idx gaps (sent_idx encodes span_pos*1000+i)."""
-    w = Window.partitionBy("doc_id").orderBy("sent_idx")
-    sent_ids = mentions.select("doc_id", "sent_idx").distinct()
-    return sent_ids.withColumn("sent_ord", F.dense_rank().over(w))
-
-
 def assign_context(mentions: DataFrame) -> DataFrame:
     """mentions → (doc_id, sent_idx, context_species, context_all).
 
     context_all is a sorted array of 'Type=ns:id' strings from the ±3
     sentence window; context_species keeps just species for the triple
     columns (Arizona context columns, AssemblyExporter.scala:307-341).
+
+    Shape: ONE shuffle by doc_id feeds both windows — per-sentence context
+    arrays are pre-aggregated in the same pass (map-side combine), then
+    dense_rank + rangeBetween(-3,+3) windows share the partitioning. No
+    distinct / dropDuplicates stages.
     """
-    orders = sentence_order(mentions)
-    ctx = (
+    is_ctx = F.col("kind") == F.lit("tbm")
+    ckey = F.when(is_ctx & F.col("label").isin(CONTEXT_LABELS),
+                  F.concat_ws("=", "label",
+                              F.concat_ws(":", "g_ns", "g_id")))
+    skey = F.when(is_ctx & (F.col("label") == "Species"),
+                  F.concat_ws(":", "g_ns", "g_id"))
+    per_sent = (
         mentions
-        .where(F.col("kind") == "tbm")
-        .where(F.col("label").isin(CONTEXT_LABELS))
-        .select("doc_id", "sent_idx",
-                F.concat_ws("=", "label",
-                            F.concat_ws(":", "g_ns", "g_id")).alias("ckey"),
-                F.when(F.col("label") == "Species",
-                       F.concat_ws(":", "g_ns", "g_id")).alias("skey"))
-        .distinct()
+        .groupBy("doc_id", "sent_idx")
+        .agg(F.collect_set(ckey).alias("ckeys"),
+             F.collect_set(skey).alias("skeys"))
     )
-    # every sentence participates in the frame, even without own context
-    base = orders.join(ctx, ["doc_id", "sent_idx"], "left")
+    wo = Window.partitionBy("doc_id").orderBy("sent_idx")
     w = (Window.partitionBy("doc_id").orderBy("sent_ord")
          .rangeBetween(-3, 3))
-    per_sent = (
-        base
-        .withColumn("context_all", F.array_sort(F.collect_set("ckey").over(w)))
-        .withColumn("context_species",
-                    F.array_sort(F.collect_set("skey").over(w)))
+    return (
+        per_sent
+        .withColumn("sent_ord", F.dense_rank().over(wo))
+        .withColumn("context_all", F.array_sort(F.array_distinct(
+            F.flatten(F.collect_list("ckeys").over(w)))))
+        .withColumn("context_species", F.array_sort(F.array_distinct(
+            F.flatten(F.collect_list("skeys").over(w)))))
         .select("doc_id", "sent_idx", "context_all", "context_species")
-        .dropDuplicates(["doc_id", "sent_idx"])
     )
-    return per_sent

@@ -222,11 +222,24 @@ def _mk(doc_id: str, sent_idx: int, kind: str, label: str, start: int,
         "trigger_text": " ".join(words[trigger[0]:trigger[1]]) if trigger else None,
         "args": args or [], "mods": mods or [],
         "is_direct": is_direct, "found_by": rule, "keep": True,
+        "is_controlled": False,
     }
 
 
 def _arg(role: str, m: Mention) -> dict:
-    return {"role": role, "mention_id": m["mention_id"], "text": m["text"]}
+    """Arg struct with denormalized canonical/target_label (see schemas.ARG).
+    For an event referenced as an argument (a regulation's controlled or an
+    event controller), the display text/canonical come from its first theme
+    (convertEventToEntity depth-1, DarpaActions.scala:581-665)."""
+    if m["kind"] == "event":
+        theme = next((a for a in m["args"] if a["role"] == "theme"), None)
+        return {"role": role, "mention_id": m["mention_id"],
+                "text": theme["text"] if theme else m["text"],
+                "canonical": theme["canonical"] if theme else None,
+                "target_label": m["label"]}
+    return {"role": role, "mention_id": m["mention_id"], "text": m["text"],
+            "canonical": m.get("canonical", m["text"].lower()),
+            "target_label": m["label"]}
 
 
 def _mod(kind: str, label: str | None = None, evidence: str | None = None,
@@ -510,6 +523,8 @@ class SentenceExtractor:
     def _reg(self, label: str, trig: tuple[int, int], controller: Mention,
              controlled: Mention, rule: str) -> Mention:
         args = [_arg("controller", controller), _arg("controlled", controlled)]
+        if controlled["kind"] == "event":
+            controlled["is_controlled"] = True
         return _mk(self.doc_id, self.sent_idx, "event", label, trig[0],
                    trig[1], self.words, rule, trigger=trig, args=args,
                    extra=controller["mention_id"] + controlled["mention_id"])

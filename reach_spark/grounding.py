@@ -15,7 +15,7 @@ hash join, no shuffle of the big side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .resources import kb_rows
 
@@ -46,26 +46,30 @@ def _candidate_keys() -> list[tuple[str, F.Column]]:
     ]
 
 
-def ground_entities(entities: DataFrame, kb: DataFrame) -> DataFrame:
-    """entities (mention rows, kind='tbm') → + (ns, id, species) columns.
+def ground_map(entities: DataFrame, kb: DataFrame) -> DataFrame:
+    """(canonical, label, text) DISTINCT → (canonical, g_ns, g_id,
+    g_species).
 
-    Returns every input row exactly once; unresolved mentions get the
-    failsafe namespace 'uaz' with a deterministic content-hash id.
+    Grounding is a pure function of the canonical key + label, so the map
+    is bounded by the distinct surface vocabulary (≪ mention count — the
+    dictionary + sites + failsafe terms), never by corpus size. This is
+    what makes the join-back a cheap broadcast at any scale.
     """
+    base = (entities
+            .select(F.coalesce("canonical", F.lower("text"))
+                    .alias("canonical"),
+                    "label", F.lower("text").alias("text"))
+            .distinct())
     keys = F.array(*[
         F.struct(F.lit(i).alias("t_rank"), expr.alias("key"))
         for i, (_, expr) in enumerate(_candidate_keys())
     ])
-    cand = (
-        entities
-        .select("mention_id", "label", "text", "canonical",
-                F.explode(keys).alias("k"))
-        .select("mention_id", "label", "text",
-                F.col("k.t_rank").alias("t_rank"),
-                F.col("k.key").alias("key"))
-        .where(F.col("key") != "")
-        .dropDuplicates(["mention_id", "key", "t_rank"])
-    )
+    cand = (base
+            .select("canonical", "label", F.explode(keys).alias("k"))
+            .select("canonical", "label",
+                    F.col("k.t_rank").alias("t_rank"),
+                    F.col("k.key").alias("key"))
+            .where(F.col("key") != ""))
     joined = cand.join(F.broadcast(kb), "key", "inner")
     # routing: exact label match first, then protein KBs, then family KBs
     # (ReachEntityLookup label→KB sequences)
@@ -80,21 +84,40 @@ def ground_entities(entities: DataFrame, kb: DataFrame) -> DataFrame:
         .when(F.col("species") == "", 1)
         .otherwise(2)
     )
-    w = Window.partitionBy("mention_id").orderBy(
-        "t_rank", label_rank, "kb_priority", species_rank, "id")
+    # first hit = min over the composite rank — one hash aggregation with
+    # map-side partial combine (vs row_number window: shuffle + full sort)
     best = (
-        joined.withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") == 1)
-        .select("mention_id", F.col("ns").alias("g_ns"),
-                F.col("id").alias("g_id"),
-                F.col("species").alias("g_species"))
+        joined
+        .groupBy("canonical", "label")
+        .agg(F.min(F.struct(
+            F.col("t_rank"), label_rank.alias("label_rank"),
+            F.col("kb_priority"), species_rank.alias("species_rank"),
+            F.col("id"), F.col("ns"), F.col("species"))).alias("b"))
+        .select("canonical", "label", F.col("b.ns").alias("g_ns"),
+                F.col("b.id").alias("g_id"),
+                F.col("b.species").alias("g_species"))
     )
-    out = entities.join(best, "mention_id", "left")
-    # failsafe (AzFailsafeKBML): deterministic uaz id from canonical text
-    uaz = F.concat(F.lit("UAZ"), F.upper(F.substring(F.sha1(
-        F.coalesce(F.col("canonical"), F.lower(F.col("text")))), 1, 8)))
-    return (
-        out.withColumn("g_ns", F.coalesce(F.col("g_ns"), F.lit("uaz")))
-        .withColumn("g_id", F.coalesce(F.col("g_id"), uaz))
-        .withColumn("g_species", F.coalesce(F.col("g_species"), F.lit("")))
-    )
+    # failsafe (AzFailsafeKBML): deterministic uaz id from the canonical key
+    uaz = F.concat(F.lit("UAZ"),
+                   F.upper(F.substring(F.sha1(F.col("canonical")), 1, 8)))
+    return (base.select("canonical", "label").distinct()
+            .join(best, ["canonical", "label"], "left")
+            .withColumn("g_ns", F.coalesce(F.col("g_ns"), F.lit("uaz")))
+            .withColumn("g_id", F.coalesce(F.col("g_id"), uaz))
+            .withColumn("g_species",
+                        F.coalesce(F.col("g_species"), F.lit(""))))
+
+
+def ground_entities(entities: DataFrame, kb: DataFrame,
+                    gmap: DataFrame | None = None) -> DataFrame:
+    """entities (mention rows, kind='tbm') → + (g_ns, g_id, g_species).
+
+    One broadcast hash join of the big mention table against the tiny
+    grounding map — the big side never shuffles.
+    """
+    if gmap is None:
+        gmap = ground_map(entities, kb)
+    return (entities
+            .withColumn("canonical",
+                        F.coalesce("canonical", F.lower("text")))
+            .join(F.broadcast(gmap), ["canonical", "label"], "left"))

@@ -24,30 +24,42 @@ from .annotate import annotate_sentences, media_spans
 from .canonicalize import canonical_entities
 from .context_ops import assign_context
 from .coref import coref_links
-from .grounding import ground_entities, kb_dataframe
+from .grounding import ground_entities, ground_map, kb_dataframe
 from .mentions import extract_mentions
 from .triples import build_triples
 
 
 def extract_dataframe(spark: SparkSession, documents: DataFrame,
-                      with_coref: bool = True) -> dict[str, DataFrame]:
+                      with_coref: bool = True,
+                      persist: bool = True) -> dict[str, DataFrame]:
     """The programmatic API (reference ReachSystem.extractFrom,
-    ReachSystem.scala:167-175): documents → dict of result DataFrames."""
+    ReachSystem.scala:167-175): documents → dict of result DataFrames.
+
+    `persist=True` materializes the mentions table once (MEMORY_AND_DISK):
+    grounding, coref, context and triples all branch from it, and without a
+    persist each branch would re-run the annotate+extract UDF chain. At
+    production scale this is the intermediate Iceberg `mentions` table
+    (SURVEY §2.1 S4 resume point)."""
     sentences = annotate_sentences(documents)
     mentions = extract_mentions(sentences)
+    if persist:
+        mentions = mentions.persist()
 
     ents = mentions.where(F.col("kind") == "tbm")
     kb = kb_dataframe(spark)
-    grounded_ents = ground_entities(ents, kb)
+    gmap = ground_map(ents, kb).persist()
+    grounded_ents = ground_entities(ents, kb, gmap=gmap)
     grounded = grounded_ents.unionByName(
         mentions.where(F.col("kind") != "tbm")
         .withColumn("g_ns", F.lit(None).cast("string"))
         .withColumn("g_id", F.lit(None).cast("string"))
         .withColumn("g_species", F.lit(None).cast("string")))
+    if persist:
+        grounded = grounded.persist()
 
     links = coref_links(grounded) if with_coref else None
     context = assign_context(grounded)
-    triples = build_triples(grounded, context)
+    triples = build_triples(grounded, context, gmap=gmap)
     canon = canonical_entities(grounded_ents, links)
     return {
         "sentences": sentences,
@@ -82,7 +94,11 @@ def run_batch(spark: SparkSession, documents: DataFrame, out_dir: str,
         done = spark.read.parquet(ckpt_path).select("doc_id")
         todo = documents.join(done, "doc_id", "left_anti")  # restart filter
 
-    if todo.limit(1).count() == 0:
+    # pin the work set NOW — the checkpoint append below would otherwise
+    # change what the lazy anti-join evaluates to
+    todo = todo.persist()
+    n_docs = todo.count()
+    if n_docs == 0:
         return {"docs": 0}
 
     results = extract_dataframe(spark, todo)
@@ -105,5 +121,6 @@ def run_batch(spark: SparkSession, documents: DataFrame, out_dir: str,
 
     # checkpoint finished docs LAST (all-or-nothing per batch)
     todo.select("doc_id").write.mode("append").parquet(ckpt_path)
-    counts["docs"] = todo.count()
+    counts["docs"] = n_docs
+    todo.unpersist()
     return counts

@@ -44,6 +44,13 @@ ARG = T.StructType([
     T.StructField("role", T.StringType(), False),
     T.StructField("mention_id", T.StringType(), False),
     T.StructField("text", T.StringType(), False),
+    # denormalized at extraction time (sentence-local, zero cost there) so
+    # the triple builder never equi-joins the full mentions table to
+    # itself: `canonical` keys the tiny grounding map; `target_label` is
+    # the referenced mention's event/entity label (for the pred arrow and
+    # PTM suffix). mention_id stays for lineage/queryability.
+    T.StructField("canonical", T.StringType(), True),
+    T.StructField("target_label", T.StringType(), True),
 ])
 
 MOD = T.StructType([
@@ -76,6 +83,9 @@ MENTIONS = T.StructType([
     T.StructField("keep", T.BooleanType(), False),
     # dictionary canonical key for entity mentions (grounding join key)
     T.StructField("canonical", T.StringType(), True),
+    # sentence-local truth: this event is the controlled arg of some
+    # regulation (lets the triple builder skip a corpus-wide anti-join)
+    T.StructField("is_controlled", T.BooleanType(), False),
 ])
 
 TRIPLES = T.StructType([

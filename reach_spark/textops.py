@@ -117,12 +117,18 @@ WHERE a.doc_id < b.doc_id
 """)
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup_minhash_sig(spark, sf_dir)
-    bands = None
-    for b in range(_N_PERM // _BAND_ROWS):
-        part = sig.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}")).alias("bkey"))
-        bands = part if bands is None else bands.unionByName(part)
+    # one pass: bands as an inline array explode (no union of N re-scans of
+    # the signature aggregation), persisted because the LSH self-join reads
+    # both sides
+    band_arr = F.array(*[
+        F.struct(F.lit(b).alias("band"),
+                 F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))
+                  .alias("bkey"))
+        for b in range(_N_PERM // _BAND_ROWS)])
+    bands = (sig.select("doc_id", F.explode(band_arr).alias("bb"))
+             .select("doc_id", F.col("bb.band").alias("band"),
+                     F.col("bb.bkey").alias("bkey"))
+             .persist())
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band")) &

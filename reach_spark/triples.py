@@ -6,12 +6,14 @@ activations suffixed '.a', PTM outputs suffixed by event type, SEEN counts
 after assembly dedup (ArizonaOutputter.scala:14-62,
 AssemblyExporter.scala:114-180). keepIf seen>0 (ArizonaOutputter.scala:40-45).
 
-Spark shape: one explode over args + equi-joins on mention_id (the
-id-adjacency encoding of the reference's object graph, SURVEY §1.2) + a
-groupBy on the equivalence key for SEEN (the AssemblyManager equivalence-hash
-dedup T2, AssemblyManager.scala:65+). Negation parity (F4,
-NegationHandler.scala:115-137) is a pure column expression over the mods
-array — no UDF.
+Spark shape: args carry denormalized (text, canonical, target_label) — see
+schemas.ARG — so formatting a triple needs NO self-join of the mentions
+table: one broadcast join against the tiny grounding map (bounded by the
+surface vocabulary, not corpus size) resolves every ns:id, and everything
+else is column expressions. The only shuffles are the SEEN equivalence
+aggregation (the AssemblyManager T2 dedup) and the context join. Negation
+parity (F4, NegationHandler.scala:115-137) is a pure column expression over
+the mods array — no UDF.
 """
 
 from __future__ import annotations
@@ -44,9 +46,21 @@ def _hyp_col() -> F.Column:
                            lambda m: m["kind"] == F.lit("Hypothesis"))) > 0
 
 
-def build_triples(mentions: DataFrame, context: DataFrame | None = None
-                  ) -> DataFrame:
-    """grounded mentions → triples DataFrame (TRIPLES schema + context).
+def _suffix_for(label_col: F.Column) -> F.Column:
+    expr = F.lit("")
+    for k, v in PTM_SUFFIX.items():
+        expr = F.when(label_col == k, v).otherwise(expr)
+    return expr
+
+
+def _arg1(role: str) -> F.Column:
+    return F.element_at(
+        F.filter("args", lambda a: a["role"] == F.lit(role)), 1)
+
+
+def build_triples(mentions: DataFrame, context: DataFrame | None = None,
+                  gmap: DataFrame | None = None) -> DataFrame:
+    """grounded mentions (+ optional tiny grounding map) → triples rows.
 
     subj = CONTROLLER (null for un-regulated simple events),
     pred = 'Reg_label→Event_label' for regulations over events,
@@ -55,149 +69,127 @@ def build_triples(mentions: DataFrame, context: DataFrame | None = None
     obj  = OUTPUT ('text::ns:id' + '.suffix' for PTM outputs, '.a' for
            activation outputs).
     """
-    ent_fmt = (
-        mentions.where(F.col("kind") == "tbm")
-        .select(F.col("mention_id").alias("ref_id"),
-                F.concat_ws("::", "text",
-                            F.concat_ws(":", "g_ns", "g_id")).alias("fmt"))
-    )
     events = mentions.where(F.col("kind") == "event")
-    suffix_expr = F.coalesce(
-        *[F.when(F.col("label") == k, F.lit(v)) for k, v in PTM_SUFFIX.items()],
-        F.lit(""))
 
-    # --- simple events: one row per theme -------------------------------
-    simple = events.where(~F.col("label").rlike("regulation|activation"))
-    themes = (
-        simple.select(
-            "doc_id", "sent_idx", "mention_id", "label", "trigger_text",
-            "found_by", "is_direct", "mods",
-            suffix_expr.alias("sfx"),
-            F.explode(F.filter("args", lambda a: a["role"] == F.lit("theme")))
-             .alias("arg"))
-        .join(ent_fmt, F.col("arg.mention_id") == F.col("ref_id"), "left")
-        .withColumn("theme_fmt", F.coalesce("fmt", F.col("arg.text")))
-        .drop("ref_id", "fmt")
-    )
-    # OUTPUT of a modification event = theme + '.' + suffix
-    simple_out = themes.withColumn(
-        "obj", F.when(F.col("sfx") != "",
-                      F.concat_ws(".", "theme_fmt", "sfx"))
-                .otherwise(F.col("theme_fmt")))
-
-    # event-id → output fmt (used when a regulation controls the event and
-    # when an event is itself a controller; convertEventToEntity depth-1,
-    # DarpaActions.scala:581-665)
-    event_out = simple_out.select(
-        F.col("mention_id").alias("ref_id"),
-        F.col("obj").alias("fmt"),
-        F.col("theme_fmt").alias("theme_only"))
-
-    # --- regulations & activations ---------------------------------------
+    # --- regulations / activations: one row each -------------------------
     regs = events.where(F.col("label").rlike("regulation|activation"))
-    rr = (
+    reg_rows = (
         regs.select(
             "doc_id", "sent_idx", "mention_id", "label", "trigger_text",
             "found_by", "mods",
-            F.element_at(F.filter("args",
-                                  lambda a: a["role"] == F.lit("controller")),
-                         1).alias("ctrl"),
-            F.element_at(F.filter("args",
-                                  lambda a: a["role"] == F.lit("controlled")),
-                         1).alias("ctld"))
-        .withColumn("ctrl_id", F.col("ctrl.mention_id"))
-        .withColumn("ctld_id", F.col("ctld.mention_id"))
-    )
-    # controller: entity fmt, else event theme (depth-1 conversion)
-    ctrl_map = ent_fmt.unionByName(
-        event_out.select("ref_id", F.col("theme_only").alias("fmt")))
-    rr = (
-        rr.join(ctrl_map.withColumnRenamed("ref_id", "ctrl_id")
-                        .withColumnRenamed("fmt", "subj_fmt"),
-                "ctrl_id", "left")
-        .join(event_out.select(F.col("ref_id").alias("ctld_id"),
-                               F.col("fmt").alias("ctld_out"),
-                               F.col("theme_only").alias("ctld_theme")),
-              "ctld_id", "left")
-        .join(ent_fmt.select(F.col("ref_id").alias("ctld_id"),
-                             F.col("fmt").alias("ctld_ent")),
-              "ctld_id", "left")
-    )
-    regs_ev = rr.where(F.col("ctld_out").isNotNull())
-    # controlled-event label for the pred arrow
-    ctld_label = events.select(F.col("mention_id").alias("ctld_id"),
-                               F.col("label").alias("ctld_label"))
-    reg_rows = (
-        regs_ev.join(ctld_label, "ctld_id", "left")
+            _arg1("controller").alias("ctrl"),
+            _arg1("controlled").alias("ctld"))
         .select(
             "doc_id", "sent_idx",
             F.col("mention_id").alias("event_id"),
-            F.col("subj_fmt").alias("subj"),
-            F.concat_ws("→", "label", "ctld_label").alias("pred"),
-            F.col("ctld_out").alias("obj"),
+            F.col("ctrl.text").alias("subj_text"),
+            F.col("ctrl.canonical").alias("subj_canon"),
+            F.col("ctld.text").alias("obj_text"),
+            F.col("ctld.canonical").alias("obj_canon"),
+            F.when(F.col("ctld.target_label").rlike(
+                "^(Positive|Negative)_(regulation|activation)$") |
+                F.col("ctld.target_label").isin(list(PTM_SUFFIX)) |
+                F.col("ctld.target_label").isin(
+                    "Binding", "Translocation", "Transcription",
+                    "IncreaseAmount", "DecreaseAmount"),
+                F.concat_ws("→", "label", "ctld.target_label"))
+             .otherwise(F.col("label")).alias("pred"),
+            # PTM suffix from the controlled event type; '.a' when the
+            # controlled is a plain entity (activation output)
+            F.when(_suffix_for(F.col("ctld.target_label")) != "",
+                   F.concat(F.lit("."),
+                            _suffix_for(F.col("ctld.target_label"))))
+             .when(F.col("label").rlike("activation"), F.lit(".a"))
+             .otherwise(F.lit("")).alias("obj_sfx"),
             _negated_col().alias("negated"),
             _hyp_col().alias("hypothesis"),
             F.lit(False).alias("is_direct"),
             F.col("trigger_text").alias("trigger"),
-            "found_by")
-    )
-    act_rows = (
-        rr.where(F.col("ctld_out").isNull() & F.col("ctld_ent").isNotNull())
-        .select(
-            "doc_id", "sent_idx",
-            F.col("mention_id").alias("event_id"),
-            F.col("subj_fmt").alias("subj"),
-            F.col("label").alias("pred"),
-            F.concat(F.col("ctld_ent"), F.lit(".a")).alias("obj"),
-            _negated_col().alias("negated"),
-            _hyp_col().alias("hypothesis"),
-            F.lit(False).alias("is_direct"),
-            F.col("trigger_text").alias("trigger"),
-            "found_by")
-    )
+            "found_by"))
 
-    # --- un-regulated simple events (subj = null) ------------------------
-    controlled_ids = regs.select(
-        F.explode(F.filter("args", lambda a: a["role"] == F.lit("controlled")))
-         .alias("a")).select(F.col("a.mention_id").alias("mention_id")).distinct()
-    free_simple = simple_out.join(controlled_ids, "mention_id", "left_anti")
-    # Binding: subj = theme1, obj = theme2 (pairs are already binary)
-    bind = free_simple.where(F.col("label") == "Binding")
-    w2 = Window.partitionBy("mention_id").orderBy("theme_fmt")
-    bind_pairs = (
-        bind.withColumn("tn", F.row_number().over(w2))
-        .groupBy("doc_id", "sent_idx", "mention_id", "label", "trigger_text",
-                 "found_by", "is_direct", "mods")
-        .agg(F.min(F.when(F.col("tn") == 1, F.col("theme_fmt"))).alias("t1"),
-             F.min(F.when(F.col("tn") == 2, F.col("theme_fmt"))).alias("t2"))
-        .where(F.col("t2").isNotNull())
-        .select("doc_id", "sent_idx",
-                F.col("mention_id").alias("event_id"),
-                F.col("t1").alias("subj"),
-                F.col("label").alias("pred"),
-                F.col("t2").alias("obj"),
-                _negated_col().alias("negated"),
-                _hyp_col().alias("hypothesis"),
-                "is_direct",
-                F.col("trigger_text").alias("trigger"),
-                "found_by")
-    )
-    other_rows = (
-        free_simple.where(F.col("label") != "Binding")
-        .select("doc_id", "sent_idx",
-                F.col("mention_id").alias("event_id"),
-                F.lit(None).cast("string").alias("subj"),
-                F.col("label").alias("pred"),
-                "obj",
-                _negated_col().alias("negated"),
-                _hyp_col().alias("hypothesis"),
-                "is_direct",
-                F.col("trigger_text").alias("trigger"),
-                "found_by")
-    )
+    # --- un-regulated simple events --------------------------------------
+    # is_controlled was stamped sentence-locally at extraction time, so no
+    # corpus-wide anti-join is needed here — a pure filter
+    simple = (events.where(~F.col("label").rlike("regulation|activation"))
+              .where(~F.col("is_controlled")))
 
-    out = reg_rows.unionByName(act_rows).unionByName(bind_pairs) \
-                  .unionByName(other_rows)
+    bind = simple.where(F.col("label") == "Binding")
+    bind_rows = bind.select(
+        "doc_id", "sent_idx",
+        F.col("mention_id").alias("event_id"),
+        F.element_at(F.array_sort(F.filter(
+            "args", lambda a: a["role"] == F.lit("theme"))), 1)
+         .alias("t1"),
+        F.element_at(F.array_sort(F.filter(
+            "args", lambda a: a["role"] == F.lit("theme"))), 2)
+         .alias("t2"),
+        "label", "mods", "trigger_text", "found_by", "is_direct",
+    ).where(F.col("t2").isNotNull()).select(
+        "doc_id", "sent_idx", "event_id",
+        F.col("t1.text").alias("subj_text"),
+        F.col("t1.canonical").alias("subj_canon"),
+        F.col("t2.text").alias("obj_text"),
+        F.col("t2.canonical").alias("obj_canon"),
+        F.col("label").alias("pred"),
+        F.lit("").alias("obj_sfx"),
+        _negated_col().alias("negated"),
+        _hyp_col().alias("hypothesis"),
+        "is_direct",
+        F.col("trigger_text").alias("trigger"),
+        "found_by")
+
+    other = simple.where(F.col("label") != "Binding")
+    other_rows = (other
+                  .select("doc_id", "sent_idx", "mention_id", "label",
+                          "mods", "trigger_text", "found_by", "is_direct",
+                          F.explode(F.filter(
+                              "args",
+                              lambda a: a["role"] == F.lit("theme")))
+                          .alias("th"))
+                  .select(
+                      "doc_id", "sent_idx",
+                      F.col("mention_id").alias("event_id"),
+                      F.lit(None).cast("string").alias("subj_text"),
+                      F.lit(None).cast("string").alias("subj_canon"),
+                      F.col("th.text").alias("obj_text"),
+                      F.col("th.canonical").alias("obj_canon"),
+                      F.col("label").alias("pred"),
+                      F.when(_suffix_for(F.col("label")) != "",
+                             F.concat(F.lit("."),
+                                      _suffix_for(F.col("label"))))
+                       .otherwise(F.lit("")).alias("obj_sfx"),
+                      _negated_col().alias("negated"),
+                      _hyp_col().alias("hypothesis"),
+                      "is_direct",
+                      F.col("trigger_text").alias("trigger"),
+                      "found_by"))
+
+    rows = reg_rows.unionByName(bind_rows).unionByName(other_rows)
+
+    # --- grounding resolution: two broadcast joins against the tiny map --
+    if gmap is not None:
+        g = F.broadcast(gmap.select(F.col("canonical").alias("c"),
+                                    F.concat_ws(":", "g_ns", "g_id")
+                                    .alias("gid")).distinct())
+        rows = (rows
+                .join(g.withColumnRenamed("c", "subj_canon")
+                       .withColumnRenamed("gid", "subj_gid"),
+                      "subj_canon", "left")
+                .join(g.withColumnRenamed("c", "obj_canon")
+                       .withColumnRenamed("gid", "obj_gid"),
+                      "obj_canon", "left"))
+    else:
+        rows = (rows.withColumn("subj_gid", F.lit(None).cast("string"))
+                    .withColumn("obj_gid", F.lit(None).cast("string")))
+
+    out = rows.select(
+        "doc_id", "sent_idx", "event_id",
+        F.when(F.col("subj_text").isNotNull(),
+               F.concat_ws("::", "subj_text", "subj_gid")).alias("subj"),
+        "pred",
+        F.concat(F.concat_ws("::", "obj_text", "obj_gid"),
+                 F.col("obj_sfx")).alias("obj"),
+        "negated", "hypothesis", "is_direct", "trigger", "found_by")
 
     # SEEN = corpus-wide evidence count on the equivalence key (T2 EER dedup
     # groupBy + the Arizona seen>0 filter T4)
