@@ -63,42 +63,71 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     from reach_spark.session import get_spark
 
+    if "--scaling-level" in sys.argv:
+        # one parallelism level, fresh JVM (invoked as a subprocess by
+        # --scaling so levels can't pollute each other's heap/code cache)
+        cores = int(sys.argv[sys.argv.index("--scaling-level") + 1])
+        n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "100000"))
+        partitions = int(os.environ.get("SPARK_GRAFT_SCALE_PARTS", "64"))
+        repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
+        from reach_spark.pipeline import extract_dataframe
+        from reach_spark.synth import make_documents
+        spark = get_spark(app_name=f"bench-{cores}", cores=cores,
+                          shuffle_partitions=partitions)
+        docs = make_documents(spark, n_docs=n_docs, skew_every=50,
+                              skew_repeat=120,
+                              partitions=partitions).persist()
+        docs.count()
+        # warmup compiles every plan in the measured query (codegen is a
+        # serial driver cost; it must not be attributed to either level)
+        extract_dataframe(spark, docs.limit(2000), with_coref=False,
+                          persist=False)["triples"].count()
+        walls = []
+        n_triples = 0
+        for _ in range(repeats):
+            t0 = time.time()
+            res = extract_dataframe(spark, docs, with_coref=False,
+                                    persist=False)
+            n_triples = res["triples"].count()
+            walls.append(round(time.time() - t0, 2))
+        best = min(walls)
+        print(json.dumps({"cores": cores, "walls": walls,
+                          "wall_s": best,
+                          "docs_per_sec": round(n_docs / best, 2),
+                          "n_triples": n_triples}))
+        return
+
     if "--scaling" in sys.argv:
         # Two-cluster-size evidence (BASELINE.md protocol): the SAME
         # compute-bound job — full KG pipeline over a fixed synthetic
-        # interleaved corpus large enough that per-job fixed costs are
-        # amortized — at N and 4N cores, fixed partition-count policy
-        # (4x target cores so both levels see identical physical plans).
-        n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "20000"))
-        partitions = cpus * 4
+        # interleaved corpus — at N and 4N cores, fixed input, fixed
+        # partition-count policy, each level in a fresh JVM. Default
+        # levels 2 vs 8: this box's all-core clock/bandwidth ceiling
+        # (see BASELINE.md burn-test) caps 8→32 at ~0.6-0.7 regardless
+        # of software; 2→8 sits inside the linear region. Both pairs are
+        # reported.
+        import subprocess
+        levels = [int(x) for x in os.environ.get(
+            "SPARK_GRAFT_SCALE_LEVELS", f"2,8,{cpus}").split(",")]
         out = {}
-        for cores in (max(cpus // 4, 2), cpus):
-            from reach_spark.pipeline import extract_dataframe
-            from reach_spark.synth import make_documents
-            spark = get_spark(app_name=f"bench-{cores}", cores=cores,
-                              shuffle_partitions=partitions)
-            docs = make_documents(spark, n_docs=n_docs, skew_every=50,
-                                  skew_repeat=120,
-                                  partitions=partitions).persist()
-            docs.count()
-            # warmup: small slice to load code caches
-            extract_dataframe(
-                spark, docs.limit(200), with_coref=False,
-                persist=False)["triples"].count()
-            t0 = time.time()
-            res = extract_dataframe(spark, docs, with_coref=False)
-            n_triples = res["triples"].count()
-            wall = time.time() - t0
-            out[cores] = {"wall_s": round(wall, 2),
-                          "docs_per_sec": round(n_docs / wall, 2),
-                          "n_triples": n_triples}
-            spark.stop()
-        lo, hi = sorted(out)
-        kg_eff = (out[hi]["docs_per_sec"] /
-                  (out[lo]["docs_per_sec"] * (hi / lo)))
-        result = {"cores": out, "cores_lo": lo, "cores_hi": hi,
-                  "n_docs": n_docs, "shuffle_partitions": partitions,
-                  "kg_scaling_efficiency": round(kg_eff, 3)}
+        for cores in sorted(set(levels)):
+            r = subprocess.run(
+                [sys.executable, __file__, "--scaling-level", str(cores)],
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            line = r.stdout.strip().splitlines()[-1]
+            out[cores] = json.loads(line)
+        lvls = sorted(out)
+        pairs = {}
+        for lo, hi in zip(lvls, lvls[1:]):
+            eff = (out[hi]["docs_per_sec"] /
+                   (out[lo]["docs_per_sec"] * (hi / lo)))
+            pairs[f"{lo}->{hi}"] = round(eff, 3)
+        result = {"levels": out, "scaling_efficiency": pairs,
+                  "n_docs": int(os.environ.get("SPARK_GRAFT_SCALE_DOCS",
+                                               "100000")),
+                  "shuffle_partitions": int(os.environ.get(
+                      "SPARK_GRAFT_SCALE_PARTS", "64"))}
         with open("BENCH_SCALING.json", "w") as f:
             json.dump(result, f, indent=2)
         print(json.dumps(result))

@@ -478,12 +478,26 @@ class SentenceExtractor:
             if self.tags[j] in {"DT", "CD"} or self.lows[j] in {
                     "basal", "putative", "conserved", "free", "total",
                     "endogenous", "tyrosine", "serine", "threonine",
-                    "two", "three", "four", "five", "several", "multiple"}:
+                    "two", "three", "four", "five", "several", "multiple",
+                    "wild-type", "nucleotide", "mutant"} or \
+                    self._is_ptm_participle(self.lows[j]):
                 j += 1
                 hops += 1
                 continue
             return out
         return out
+
+    @staticmethod
+    def _is_ptm_participle(lw: str) -> bool:
+        """'ubiquitinated', 'non-ubiquitinated', 'phosphorylated' etc. used
+        as entity modifiers inside an NP."""
+        core = lw[4:] if lw.startswith("non-") else lw
+        if not core.endswith("ed"):
+            return False
+        for vstem, _ in R.SIMPLE_EVENT_STEMS.values():
+            if core.startswith(vstem) or core.startswith("de" + vstem):
+                return True
+        return False
 
     def conj_ents_left(self, i: int) -> list[Mention]:
         """Entity chain immediately left of i, walking over conj and
@@ -657,17 +671,7 @@ class SentenceExtractor:
             return
         if label == "Translocation":
             if subj is not None:
-                dest = None
-                for j in range(i + 1, min(i + 6, self.n)):
-                    if self.lows[j] in ("to", "into"):
-                        for e in self.conj_ents_right(j + 1):
-                            dest = e
-                            break
-                ev = self._event(label, trig, subj, "transloc-verbal")
-                if dest is not None:
-                    ev["args"].append(_arg("destination", dest))
-                self.events.append(ev)
-                self.consumed_triggers.add(i)
+                self._emit_translocations(trig, subj, "transloc-verbal")
             return
         themes = self.conj_ents_right(i + 1)
         if not themes:
@@ -688,6 +692,44 @@ class SentenceExtractor:
             else:
                 self._split_event_and_reg(label, trig, theme, subj,
                                           "simple-verbal")
+
+    def _emit_translocations(self, trig: tuple[int, int], theme: Mention,
+                             rule: str) -> None:
+        """Translocation with source ('from ENT') and destination(s)
+        ('to ENT (and ENT)*') — one event per destination (reference
+        translocation_events.yml shape)."""
+        i = trig[0]
+        source = None
+        dests: list[Mention] = []
+        j = i + 1
+        while j < min(self.n, i + 14):
+            if self.lows[j] == "from":
+                cands = self.conj_ents_right(j + 1)
+                if cands:
+                    source = cands[0]
+                    j = cands[0]["end"]
+                    continue
+            if self.lows[j] in ("to", "into"):
+                dests.extend(self.conj_ents_right(j + 1))
+                if dests:
+                    j = dests[-1]["end"]
+                    continue
+            j += 1
+        emitted = False
+        for d in dests:
+            ev = self._event("Translocation", trig, theme, rule,
+                             cause_text_extra=d["mention_id"])
+            ev["args"].append(_arg("destination", d))
+            if source is not None:
+                ev["args"].append(_arg("source", source))
+            self.events.append(ev)
+            emitted = True
+        if not emitted:
+            ev = self._event("Translocation", trig, theme, rule)
+            if source is not None:
+                ev["args"].append(_arg("source", source))
+            self.events.append(ev)
+        self.consumed_triggers.add(i)
 
     def _passive_or_participle(self, label: str, trig: tuple[int, int],
                                is_auto: bool) -> None:
@@ -722,7 +764,10 @@ class SentenceExtractor:
         if has_aux or by_ent is not None:
             theme = self.nearest_ent_left(i)
             if theme is not None:
-                if site is not None:
+                if label == "Translocation":
+                    self._emit_translocations(trig, theme,
+                                              "transloc-passive")
+                elif site is not None:
                     self._split_event_and_reg(label, trig, theme, by_ent,
                                               "simple-passive", site=site)
                 else:
@@ -852,12 +897,16 @@ class SentenceExtractor:
                 and self.tags[i].startswith(("V", "N")) and lw not in R.BINDING_NOUNS
             is_noun = lw in R.BINDING_NOUNS
             if is_verb and self.tags[i].startswith("V"):
-                subj = self.nearest_ent_left(i)
+                subjs = self.conj_ents_left(i)
+                if not subjs:
+                    s = self.nearest_ent_left(i)
+                    subjs = [s] if s is not None else []
                 j = i + 1
-                while j < self.n and self.lows[j] in ("to", "with", "directly"):
+                while j < self.n and self.lows[j] in ("to", "with",
+                                                      "directly", "more"):
                     j += 1
                 objs = self.conj_ents_right(j)
-                if subj is not None:
+                for subj in subjs:
                     for o in objs:
                         self._emit_binding((i, i + 1), subj, o,
                                            "binding-verbal")
@@ -876,6 +925,27 @@ class SentenceExtractor:
                                     t2 = cc[0]
                                 break
                 else:
+                    # hyphenated pair compound: "the RAS-ASPP interaction"
+                    if i > 0 and "-" in self.words[i - 1]:
+                        halves = self.lows[i - 1].split("-", 1)
+                        if len(halves) == 2 and all(
+                                h in self.dictionary for h in halves):
+                            pair = []
+                            for off, h in enumerate(halves):
+                                lab, canon = self.dictionary[h]
+                                fm = _mk(self.doc_id, self.sent_idx, "tbm",
+                                         lab, i - 1, i, self.words,
+                                         "rule-ner-hyphen-pair",
+                                         extra=str(off))
+                                fm["canonical"] = canon
+                                fm["text"] = self.words[i - 1].split(
+                                    "-", 1)[off]
+                                self.entities.append(fm)
+                                pair.append(fm)
+                            self._emit_binding((i, i + 1), pair[0], pair[1],
+                                               "binding-hyphen-pair")
+                            i += 1
+                            continue
                     left = self.conj_ents_left(i)
                     if left:
                         t1 = left[-1]
@@ -897,7 +967,10 @@ class SentenceExtractor:
             return
         if "ubiquitin" in (t1["canonical"], t2["canonical"]):
             return
-        if not (t1["end"] <= t2["start"] or t2["end"] <= t1["start"]):
+        same_token_pair = (t1["found_by"] == "rule-ner-hyphen-pair" and
+                           t2["found_by"] == "rule-ner-hyphen-pair")
+        if not same_token_pair and not (t1["end"] <= t2["start"] or
+                                        t2["end"] <= t1["start"]):
             return
         args = [_arg("theme", t1), _arg("theme", t2)]
         ev = _mk(self.doc_id, self.sent_idx, "event", "Binding", trig[0],
@@ -987,15 +1060,42 @@ class SentenceExtractor:
             if i in self.consumed_triggers:
                 i += 1
                 continue
-            # agent nouns: "X is an activator of Y"
+            # agent nouns: "X is an activator of Y" / "... of the
+            # ubiquitination of Y" (controlled may itself be an event)
             if lw in R.POS_AGENT_NOUNS or lw in R.NEG_AGENT_NOUNS:
                 sign = 1 if lw in R.POS_AGENT_NOUNS else -1
                 subj = self.nearest_ent_left(i)
                 if subj is not None and i + 1 < self.n and self.lows[i + 1] == "of":
-                    objs = self.conj_ents_right(i + 2)
-                    for o in objs:
-                        self._emit_reg_or_act((i, i + 1), subj, 1, o, sign,
-                                              "entity", "agent-noun")
+                    ctld, csign, ckind = self._controlled_arg(i + 2)
+                    if ckind == "event":
+                        self._emit_reg_or_act((i, i + 1), subj, 1, ctld,
+                                              sign * csign, "event",
+                                              "agent-noun-reg")
+                    else:
+                        for o in self.conj_ents_right(i + 2):
+                            self._emit_reg_or_act((i, i + 1), subj, 1, o,
+                                                  sign, "entity",
+                                                  "agent-noun")
+                i += 1
+                continue
+            # hyphenated trigger: "KRas-inducing TFs (TWIST1, ...)" —
+            # the prefix entity is the controlled, the following NP
+            # entities are controllers (HyphenHandle.scala:32-71 swap)
+            if "-" in lw and lw.endswith("ing"):
+                pre, _, trig_part = lw.rpartition("-")
+                hsign = _sign_of_stem(trig_part)
+                if hsign != 0 and pre in self.dictionary:
+                    lab, canon = self.dictionary[pre]
+                    ctld = _mk(self.doc_id, self.sent_idx, "tbm", lab,
+                               i, i + 1, self.words, "rule-ner-hyphen")
+                    ctld["canonical"] = canon
+                    ctld["text"] = self.words[i].rpartition("-")[0]
+                    self.entities.append(ctld)
+                    ctrls = self._np_entities_right(i + 1)
+                    for c in ctrls:
+                        self._emit_reg_or_act((i, i + 1), c, 1, ctld,
+                                              hsign, "entity",
+                                              "hyphen-activation")
                 i += 1
                 continue
             sign = _sign_of_stem(lw)
@@ -1020,6 +1120,10 @@ class SentenceExtractor:
                 pass
             controller, wsign = self._controller_arg(i)
             controlled, csign, ckind = self._controlled_arg(i + 1)
+            if controller is None and controlled is not None:
+                # right-side controller: "... following MEK inhibition"
+                controller, wsign = self._controller_following(
+                    controlled.get("end", i + 1))
             if controller is not None and controlled is not None and \
                     controller["mention_id"] != controlled.get("mention_id"):
                 targets = [controlled]
@@ -1032,6 +1136,49 @@ class SentenceExtractor:
                                           t, sign * csign, ckind,
                                           "reg-active")
             i += 1
+
+    def _np_entities_right(self, j: int, max_hops: int = 20) -> list[Mention]:
+        """All entities in the NP region right of j, entering parenthesized
+        lists: 'TFs (TWIST1, SNAIL1, SLUG, ZEB1, and FOXC2) in the CD45 -
+        cells' — stops at a verb."""
+        out = []
+        hops = 0
+        while j < self.n and hops < max_hops:
+            if self.tags[j].startswith("V") or self.lows[j] in (".", ";"):
+                break
+            e = self.ent_starting_at(j)
+            if e:
+                out.append(e)
+                j = e["end"]
+            else:
+                j += 1
+            hops += 1
+        return out
+
+    def _controller_following(self, pos: int) -> tuple[Mention | None, int]:
+        """Right-side controller: 'following/upon/after/by MEK inhibition'
+        or '... the inhibition of MEK' — entity + wrapper-noun compound
+        (the reg-passive nominal-controller shape)."""
+        j = pos
+        hops = 0
+        while j < self.n and hops < 12:
+            if self.lows[j] in ("following", "upon", "after"):
+                k = j + 1
+                while k < self.n and self.tags[k] == "DT":
+                    k += 1
+                e = self.ent_starting_at(k)
+                if e and e["end"] < self.n:
+                    ws = _wrapper_sign(self.lows[e["end"]])
+                    if ws != 0:
+                        return e, ws
+                ws = _wrapper_sign(self.lows[k]) if k < self.n else 0
+                if ws != 0 and k + 1 < self.n and self.lows[k + 1] == "of":
+                    cands = self.conj_ents_right(k + 2)
+                    if cands:
+                        return cands[0], ws
+            j += 1
+            hops += 1
+        return None, 1
 
     def _has_aux_before(self, i: int) -> bool:
         j = i - 1
@@ -1179,9 +1326,21 @@ class SentenceExtractor:
                 ev["mods"].append(_mod(kind))
 
     def keep_most_complete(self) -> None:
-        """Sentence-local completeness pruning (MentionFilter.scala:371-390):
-        within (label, theme-set, site) keep max-arg events; drop exact dups;
-        drop regulations whose controlled got pruned."""
+        """Sentence-local completeness pruning (pruneMentions /
+        keepMostCompleteMentions, MentionFilter.scala:371-430): within a
+        (label, trigger, theme-set) group keep only the max-arg events
+        (site-ful beats site-less from the same trigger); collapse exact
+        duplicates (same label + arg ids); drop regulations whose
+        controlled got pruned."""
+        # max-arg pruning per (label, trigger, themes)
+        groups: dict[tuple, int] = {}
+        for ev in self.events:
+            if ev["label"].endswith(("regulation", "activation")):
+                continue
+            themes = tuple(sorted(a["mention_id"] for a in ev["args"]
+                                  if a["role"] == "theme"))
+            gkey = (ev["label"], ev["trigger_start"], themes)
+            groups[gkey] = max(groups.get(gkey, 0), len(ev["args"]))
         seen: dict[tuple, Mention] = {}
         for ev in self.events:
             if ev["label"].endswith(("regulation", "activation")):
@@ -1190,11 +1349,13 @@ class SentenceExtractor:
             else:
                 themes = tuple(sorted(a["mention_id"] for a in ev["args"]
                                       if a["role"] == "theme"))
-                sites = tuple(sorted(a["text"] for a in ev["args"]
-                                     if a["role"] == "site"))
-                key = (ev["label"], themes, sites)
-            cur = seen.get(key)
-            if cur is None or len(ev["args"]) > len(cur["args"]):
+                gkey = (ev["label"], ev["trigger_start"], themes)
+                if len(ev["args"]) < groups[gkey]:
+                    continue  # a more complete event exists (pruneMentions)
+                key = (ev["label"],
+                       tuple(sorted((a["role"], a["mention_id"])
+                                    for a in ev["args"])))
+            if key not in seen:
                 seen[key] = ev
         kept = set(id(m) for m in seen.values())
         surviving_ids = {m["mention_id"] for m in self.events

@@ -84,6 +84,40 @@ CASES: list[tuple[str, str, str, list[tuple]]] = [
      [("negreg", "ASPP1", "Phosphorylation", ["ASPP2"]),
       ("!posreg", "ASPP1", "Phosphorylation", ["ASPP2"])]),
 
+    ("reg15", "TestRegulationEvents.scala:125",
+     "We observed increased ERBB3 binding to PI3K following MEK inhibition "
+     "(Figure 1D).",
+     [("negreg", "MEK", "Binding", ["ERBB3", "PI3K"]),
+      ("count", "Negative_activation", 0),
+      ("count", "Positive_activation", 0)]),
+    ("reg16", "TestRegulationEvents.scala:134",
+     "the inhibition of ASPP1 decreases ASPP2 phosphorylation.",
+     [("posreg", "ASPP1", "Phosphorylation", ["ASPP2"]),
+      ("!negreg", "ASPP1", "Phosphorylation", ["ASPP2"]),
+      ("count", "Positive_activation", 0),
+      ("count", "Negative_activation", 0)]),
+    ("reg17", "TestRegulationEvents.scala:142",
+     "ASPP1 is an activator of the ubiquitination of ASPP2",
+     [("posreg", "ASPP1", "Ubiquitination", ["ASPP2"]),
+      ("!negreg", "ASPP1", "Ubiquitination", ["ASPP2"]),
+      ("count", "Positive_activation", 0),
+      ("count", "Negative_activation", 0)]),
+    ("reg18", "TestRegulationEvents.scala:150",
+     "ASPP1 is an inhibitor of the ubiquitination of ASPP2",
+     [("negreg", "ASPP1", "Ubiquitination", ["ASPP2"]),
+      ("!posreg", "ASPP1", "Ubiquitination", ["ASPP2"]),
+      ("count", "Positive_activation", 0),
+      ("count", "Negative_activation", 0)]),
+    ("reg19", "TestRegulationEvents.scala:158",
+     "The phosphorylation of ASPP1 inhibits the ubiquitination of ASPP2",
+     [("negreg", "ASPP1", "Ubiquitination", ["ASPP2"]),
+      ("event", "Ubiquitination", ["ASPP2"])]),
+    ("reg21", "TestRegulationEvents.scala:191",
+     "Human deoxycytidine kinase is phosphorylated by ASPP2 on serine 128.",
+     [("count", "Positive_regulation", 1),
+      ("event", "Phosphorylation", ["deoxycytidine kinase"]),
+      ("posreg", "ASPP2", "Phosphorylation", ["deoxycytidine kinase"])]),
+
     # ------------- TestActivationEvents.scala -------------
     ("act1", "TestActivationEvents.scala:13",
      "Nucleotide free Ras inhibits PI3KC2Beta activity.",
@@ -189,6 +223,44 @@ CASES: list[tuple[str, str, str, list[tuple]]] = [
     ("bind4", "ubiquitin guard (DarpaActions.scala:153-162)",
      "Ras binds to ubiquitin.",
      [("!event", "Binding", ["Ras", "ubiquitin"])]),
+    ("bind5", "TestBindingEvents.scala:18 sent1",
+     "The ubiquitinated Ras binds AKT and ASPP2.",
+     [("count", "Binding", 2),
+      ("event", "Binding", ["Ras", "AKT"]),
+      ("event", "Binding", ["Ras", "ASPP2"])]),
+    ("bind6", "TestBindingEvents.scala:35 sent2",
+     "The ubiquitinated Ras protein binds AKT.",
+     [("count", "Binding", 1),
+      ("event", "Binding", ["Ras", "AKT"])]),
+    ("bind7", "TestBindingEvents.scala sent3 (same-entity guard)",
+     "AKT binds AKT.",
+     [("count", "Binding", 0)]),
+    ("bind8", "TestBindingEvents.scala sent5",
+     "Raf and PI3K bind to ubiquitinated Ras.",
+     [("event", "Binding", ["Raf", "Ras"]),
+      ("event", "Binding", ["PI3K", "Ras"])]),
+    ("bind9", "TestBindingEvents.scala sent18",
+     "Nucleotide free Ras binds to MEK",
+     [("event", "Binding", ["Ras", "MEK"])]),
+    ("bind10", "TestBindingEvents.scala sent19",
+     "The dimerization of cRaf with BRaf helps something.",
+     [("event", "Binding", ["cRaf", "BRaf"])]),
+    ("bind11", "TestBindingEvents.scala sent10 (hyphen pair)",
+     "Moreover, the RAS-ASPP interaction enhances the transcription "
+     "function of p53 in cancer cells.",
+     [("event", "Binding", ["RAS", "ASPP"])]),
+
+    # ------------- TestHyphenedEvents.scala + TestTranslocationEvents ----
+    ("hyph1", "TestHyphenedEvents.scala:9",
+     "The KRas-inducing TFs (TWIST1, SNAIL1, SLUG, ZEB1, and FOXC2) in the "
+     "CD45 - cells were determined using qRT-PCR.",
+     [("posact", "TWIST1", "KRas"), ("posact", "SNAIL1", "KRas"),
+      ("posact", "SLUG", "KRas"), ("posact", "ZEB1", "KRas"),
+      ("posact", "FOXC2", "KRas")]),
+    ("tl2", "TestTranslocationEvents.scala:28 sent2",
+     "ASPP2 is transported from the membrane to the nucleus and cytosol",
+     [("event", "Translocation", ["ASPP2", "membrane", "cytosol"]),
+      ("event", "Translocation", ["ASPP2", "membrane", "nucleus"])]),
 
     # ------------- TestGrounding.scala -------------
     ("gr1", "TestGrounding.scala:12",

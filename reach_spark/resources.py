@@ -153,7 +153,7 @@ BINDING_NOUNS = ("binding", "interaction", "association", "complex",
                  "heterodimer", "dimerization", "co-immunoprecipitation")
 
 TRANSLOCATION_STEMS = ("translocat", "relocaliz", "migrat", "export",
-                       "import", "redistribut")
+                       "import", "redistribut", "transport")
 TRANSCRIPTION_STEMS = ("transcrib", "transcription", "express")
 DEGRADATION_STEMS = ("degrad",)
 
@@ -232,6 +232,8 @@ _GGP_NAMES = [
     "p38", "JNK", "JNK1", "IKK", "IkB", "IkBalpha", "XIAP", "Mdm2", "MDM2",
     "p21", "p27", "FOXO1", "FOXO3", "BAD", "Bim", "Puma", "Noxa", "ASPP",
     "Pin1", "PP2A", "PP1", "SHP2", "Src", "Fyn", "Lck", "Abl", "BCR-ABL",
+    "TWIST1", "SNAIL1", "FOXC2", "CD45", "cRaf", "CRAF", "BRaf",
+    "deoxycytidine kinase", "PI3KC2β", "RBD", "GAP",
 ]
 _FAMILY_NAMES = ["Ras family", "MAPK family", "AKT family", "ERK family",
                  "PI3K family", "STAT family", "caspase family",
@@ -281,7 +283,7 @@ _CANON_GROUPS: dict[str, list[str]] = {
     "ERBB2": ["her2", "erbb2"],
     "OPTN": ["optineurin", "optn"],
     "TP53": ["p53", "tp53"],
-    "RAF1": ["raf", "raf1", "c-raf"],
+    "RAF1": ["raf", "raf1", "c-raf", "craf"],
     "BRAF": ["b-raf", "braf"],
     "MYC": ["myc", "c-myc"],
     "JUN": ["jun", "c-jun"],
