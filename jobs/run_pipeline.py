@@ -1,0 +1,48 @@
+"""spark-submit entry point for the KG-construction batch job.
+
+Usage (cluster):
+  spark-submit --py-files reach_spark.zip jobs/run_pipeline.py \
+      --input /warehouse/documents --output /warehouse/kg \
+      [--streaming] [--partitions 4096]
+
+Packaging: `python jobs/package.py` builds reach_spark.zip. On a real
+cluster the input/output would be Iceberg tables
+(spark.table / writeTo(...).partitionedBy('pred')); the parquet paths here
+keep the sandbox dependency-free with the identical layout.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    from reach_spark.session import get_spark
+    spark = get_spark(app_name="reach-spark-pipeline",
+                      shuffle_partitions=args.partitions)
+
+    if args.streaming:
+        from reach_spark.streaming import stream_pipeline
+        q = stream_pipeline(spark, args.input, args.output,
+                            f"{args.output}/_stream_checkpoint")
+        q.awaitTermination()
+    else:
+        from reach_spark.pipeline import run_batch
+        docs = spark.read.parquet(args.input)
+        if args.partitions:
+            docs = docs.repartition(args.partitions, "doc_id")
+        counts = run_batch(spark, docs, args.output,
+                           resume=not args.no_resume)
+        print(counts)
+
+
+if __name__ == "__main__":
+    main()

@@ -101,7 +101,7 @@ def ground_map(entities: DataFrame, kb: DataFrame) -> DataFrame:
     uaz = F.concat(F.lit("UAZ"),
                    F.upper(F.substring(F.sha1(F.col("canonical")), 1, 8)))
     return (base.select("canonical", "label").distinct()
-            .join(best, ["canonical", "label"], "left")
+            .join(F.broadcast(best), ["canonical", "label"], "left")
             .withColumn("g_ns", F.coalesce(F.col("g_ns"), F.lit("uaz")))
             .withColumn("g_id", F.coalesce(F.col("g_id"), uaz))
             .withColumn("g_species",

@@ -1,0 +1,46 @@
+"""Incremental/streaming ingestion of the documents table.
+
+The reference is batch-only (ReachCLI; SURVEY §2.11 'streaming absent'),
+with restart-log resume. We keep that batch contract and ADD a Structured
+Streaming wrapper for continuous ingestion: new parquet files landing in
+the documents directory are picked up as micro-batches, run through the
+identical extraction pipeline via foreachBatch, and appended to the triple
+table. Exactly-once is inherited from the streaming checkpoint +
+deterministic mention/event ids (duplicate reprocessing rewrites identical
+rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .schemas import DOCUMENTS
+
+
+def stream_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
+                    checkpoint_dir: str, available_now: bool = True):
+    """readStream over the documents directory → foreachBatch extraction →
+    append triples. Returns the StreamingQuery (caller awaits)."""
+    from .pipeline import extract_dataframe
+
+    src = (spark.readStream
+           .schema(DOCUMENTS)
+           .parquet(input_dir))
+
+    def process_batch(batch_df, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        res = extract_dataframe(spark, batch_df, with_coref=False)
+        (res["triples"]
+         .write.mode("append").partitionBy("pred")
+         .parquet(f"{out_dir}/triples"))
+        (res["entities"]
+         .write.mode("append")
+         .parquet(f"{out_dir}/entities"))
+
+    writer = (src.writeStream
+              .foreachBatch(process_batch)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

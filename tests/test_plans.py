@@ -1,0 +1,97 @@
+"""Physical-plan quality gates: the optimizations the 100 TB design relies
+on must be visible in `.explain` — predicate pushdown into the parquet
+scan, column pruning, broadcast hash joins for dims, whole-stage codegen
+spans. A plan regression (e.g. a broadcast silently becoming a sort-merge
+of the big side) fails here before it costs a cluster-day.
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = (li.where(F.col("l_shipdate") <= "1997-01-01")
+         .select("l_orderkey", "l_quantity"))
+    plan = _plan(q)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].splitlines()[0]
+
+
+def test_column_pruning(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    q = li.select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    read_schema = plan.split("ReadSchema")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema  # unused column not read
+
+
+def test_grounding_uses_broadcast_join(spark):
+    """The KB and grounding-map joins must be BroadcastHashJoin — the big
+    mention side must never shuffle (SURVEY §2.6 G3)."""
+    from reach_spark.grounding import ground_entities, kb_dataframe
+    from reach_spark.schemas import MENTIONS
+    ents = spark.createDataFrame([], MENTIONS).withColumn(
+        "g_dummy", F.lit(1)).drop("g_dummy")
+    out = ground_entities(ents, kb_dataframe(spark))
+    plan = _plan(out)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_whole_stage_codegen_in_relational(spark):
+    from reach_spark.relational import q1_pricing_summary
+    df = q1_pricing_summary(spark, SF_DIR)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "codegen")
+    assert "WholeStageCodegen" in plan
+    assert "Found" in plan  # 'Found N WholeStageCodegen subtrees'
+
+
+def test_q3_broadcasts_dims(spark):
+    from reach_spark.relational import q3_topk_revenue
+    plan = _plan(q3_topk_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+
+
+@pytest.mark.parametrize("qname", ["dedup_minhash_sig", "token_count",
+                                   "lang_id", "quality_score"])
+def test_textops_no_python_udf(spark, qname):
+    """Dedup/text-analysis hot paths are built-in expressions only — no
+    row-at-a-time Python, no pandas UDF (BASELINE.json input_hint
+    mandate)."""
+    from reach_spark import textops
+    fn, _ = textops.QUERIES[qname]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+
+
+def test_streaming_availablenow(spark, tmp_path):
+    """Structured Streaming wrapper: one availableNow micro-batch over the
+    documents dir produces the same triples as the batch pipeline."""
+    from reach_spark.streaming import stream_pipeline
+    from reach_spark.synth import make_documents
+    docs_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    make_documents(spark, n_docs=6, skew_every=0).write.parquet(docs_dir)
+    q = stream_pipeline(spark, docs_dir, out_dir, ck_dir)
+    q.awaitTermination(120)
+    triples = spark.read.parquet(out_dir + "/triples")
+    assert triples.count() > 0
+    from reach_spark.pipeline import extract_dataframe
+    batch = extract_dataframe(
+        spark, spark.read.parquet(docs_dir), with_coref=False)["triples"]
+    cols = ["doc_id", "sent_idx", "event_id", "subj", "pred", "obj"]
+    assert triples.select(cols).exceptAll(batch.select(cols)).count() == 0
