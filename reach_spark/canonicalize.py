@@ -30,6 +30,20 @@ def alias_edges(grounded_entities: DataFrame,
           .where(F.col("label") != "Site")
           .select(key_node.alias("src"), id_node.alias("dst"))
           .distinct())
+    # parenthetical alias relations ("Ras (H-Ras)") — G6 alias canonization
+    alias_rel = (grounded_entities
+                 .where(F.col("kind") == "relation")
+                 .where(F.col("label") == "Alias")
+                 .select(
+                     F.concat(F.lit("key:"),
+                              F.element_at("args", 1)["canonical"])
+                     .alias("src"),
+                     F.concat(F.lit("key:"),
+                              F.element_at("args", 2)["canonical"])
+                     .alias("dst"))
+                 .where(F.col("src") != F.col("dst"))
+                 .distinct())
+    e1 = e1.unionByName(alias_rel)
     if links is None:
         return e1
     m = (grounded_entities

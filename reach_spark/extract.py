@@ -252,8 +252,8 @@ def _mod(kind: str, label: str | None = None, evidence: str | None = None,
 # Entity NER: broadcast-dictionary longest match + Site/Mutant token rules
 # ---------------------------------------------------------------------------
 
-_SITE_AA_RE = re.compile(r"^([ARNDCQEGHILKMFPWYV])[-]?(\d+)$")
-_MUTANT_RE = re.compile(r"^([ARNDCQEGHILKMFPWYV])(\d+)([ARNDCQEGHILKMFPWYV])$")
+_SITE_AA_RE = re.compile(r"^([ACDEFGHIKLMNPQRSTVWY])[-]?(\d+)$")
+_MUTANT_RE = re.compile(r"^([ACDEFGHIKLMNPQRSTVWY])(\d+)([ACDEFGHIKLMNPQRSTVWY])$")
 _AA3_RE = re.compile(r"^(Ala|Arg|Asn|Asp|Cys|Gln|Glu|Gly|His|Ile|Leu|Lys|"
                      r"Met|Phe|Pro|Ser|Thr|Trp|Tyr|Val)[-]?(\d+)$", re.I)
 
@@ -1373,11 +1373,50 @@ class SentenceExtractor:
             out.append(ev)
         self.events = out
 
+    def find_aliases(self) -> list[Mention]:
+        """Parenthetical alias pairs: 'Ras (H-Ras)' → Alias relation
+        (reference coref/Alias.scala:12-75, alias_template.yml). The pair
+        feeds the canonicalization connected-components pass."""
+        out = []
+        for e in self.entities:
+            j = e["end"]
+            if j < self.n and self.words[j] == "(":
+                inner = self.ent_starting_at(j + 1)
+                if inner is not None and inner["end"] < self.n and \
+                        self.words[inner["end"]] == ")" and \
+                        inner["label"] == e["label"]:
+                    rel = _mk(self.doc_id, self.sent_idx, "relation",
+                              "Alias", e["start"], inner["end"] + 1,
+                              self.words, "alias-parens",
+                              args=[_arg("theme", e), _arg("theme", inner)])
+                    out.append(rel)
+        return out
+
+    def split_mutants(self) -> None:
+        """Mutation splitting (F8, ReachSystem.scala:257-275): an entity
+        carrying k>1 Mutant mods becomes k copies, one per mutation."""
+        extra = []
+        for e in self.entities:
+            muts = [m for m in e["mods"] if m["kind"] == "Mutant"]
+            if len(muts) > 1:
+                others = [m for m in e["mods"] if m["kind"] != "Mutant"]
+                e["mods"] = others + [muts[0]]
+                for k, mut in enumerate(muts[1:], start=1):
+                    cp = dict(e)
+                    cp["mods"] = others + [mut]
+                    cp["mention_id"] = mention_id(
+                        self.doc_id, self.sent_idx, e["label"], e["start"],
+                        e["end"], e["found_by"], extra=f"mut{k}")
+                    extra.append(cp)
+        self.entities.extend(extra)
+
     # -- main -------------------------------------------------------------
     def run(self) -> list[Mention]:
         self.entities = find_entities(self.doc_id, self.sent_idx, self.words,
                                       self.dictionary)
         attach_entity_mods(self.words, self.lows, self.entities)
+        self.split_mutants()
+        aliases = self.find_aliases()
         self.find_simple_events()
         self.find_bindings()
         self.find_regulations()
@@ -1387,7 +1426,7 @@ class SentenceExtractor:
         self.keep_most_complete()
         for e in self.entities:
             e.setdefault("canonical", e["text"].lower())
-        return self.entities + self.events
+        return self.entities + aliases + self.events
 
 
 def extract_sentence(doc_id: str, sent_idx: int, sent_text: str,

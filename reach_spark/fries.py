@@ -1,0 +1,62 @@
+"""FRIES-style JSON frame sink (reference export/.../fries/FriesOutput.scala
+:72-257, spec doc/fries-data-representation-spec.txt): entity-mention and
+event-mention frame collections as JSON lines.
+
+Spark shape: pure column restructuring (struct/to_json) + df.write.json —
+no driver-side assembly, each partition writes its own frames. Optional:
+triples are the parity artifact (S7); this covers the S5 sink row of the
+operator inventory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def entity_frames(grounded_mentions: DataFrame) -> DataFrame:
+    ents = grounded_mentions.where(F.col("kind") == "tbm")
+    return ents.select(
+        F.concat(F.lit("mention-"), "mention_id").alias("frame_id"),
+        F.lit("entity-mention").alias("frame_type"),
+        F.col("doc_id").alias("document"),
+        F.col("sent_idx").alias("sentence"),
+        F.col("text"),
+        F.col("label").alias("type"),
+        F.concat_ws(":", "g_ns", "g_id").alias("xref"),
+        F.col("start").alias("start_pos"),
+        F.col("end").alias("end_pos"),
+        F.to_json("mods").alias("modifications"),
+        F.col("found_by"),
+    )
+
+
+def event_frames(grounded_mentions: DataFrame) -> DataFrame:
+    evs = grounded_mentions.where(F.col("kind") == "event")
+    return evs.select(
+        F.concat(F.lit("event-"), "mention_id").alias("frame_id"),
+        F.lit("event-mention").alias("frame_type"),
+        F.col("doc_id").alias("document"),
+        F.col("sent_idx").alias("sentence"),
+        F.col("label").alias("type"),
+        F.col("labels").alias("type_hierarchy"),
+        F.col("trigger_text").alias("trigger"),
+        F.transform("args", lambda a: F.struct(
+            a["role"].alias("role"),
+            F.concat(F.lit("mention-"), a["mention_id"]).alias("arg"),
+            a["text"].alias("text"))).alias("arguments"),
+        (F.size(F.filter("mods",
+                         lambda m: m["kind"] == F.lit("Negation"))) % 2 == 1)
+        .alias("is_negated"),
+        (F.size(F.filter("mods",
+                         lambda m: m["kind"] == F.lit("Hypothesis"))) > 0)
+        .alias("is_hypothesis"),
+        F.col("is_direct"),
+        F.col("found_by"),
+    )
+
+
+def write_fries(grounded_mentions: DataFrame, out_dir: str) -> None:
+    entity_frames(grounded_mentions).write.mode("overwrite") \
+        .json(f"{out_dir}/fries_entities")
+    event_frames(grounded_mentions).write.mode("overwrite") \
+        .json(f"{out_dir}/fries_events")

@@ -60,7 +60,7 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
     links = coref_links(grounded) if with_coref else None
     context = assign_context(grounded)
     triples = build_triples(grounded, context, gmap=gmap)
-    canon = canonical_entities(grounded_ents, links)
+    canon = canonical_entities(grounded, links)
     return {
         "sentences": sentences,
         "mentions": grounded,
