@@ -108,6 +108,26 @@ def has_hypothesis(label: str, mentions: list[dict]) -> bool:
                for m in mentions)
 
 
+def has_ptm(ent_text: str, ptm_label: str, site: str | None,
+            mentions: list[dict]) -> bool:
+    """TestModifications-style: an entity mention carrying a PTM mod with
+    this label (and site text containment when given)."""
+    for m in mentions:
+        if m.get("kind") != "tbm":
+            continue
+        if ent_text not in m["text"] and m["text"] not in ent_text:
+            continue
+        for mod in m.get("mods", []):
+            if mod["kind"] != "PTM" or mod["label"] != ptm_label:
+                continue
+            if site is None:
+                return True
+            st = mod.get("site_text") or ""
+            if site in st or st in site and st:
+                return True
+    return False
+
+
 def check_expectation(exp: tuple, mentions: list[dict],
                       groundings: dict[str, str] | None = None) -> bool:
     """Evaluate one fixture expectation tuple (see fixtures.py header)."""
@@ -144,6 +164,9 @@ def check_expectation(exp: tuple, mentions: list[dict],
         return has_negated(exp[1], mentions)
     if op == "hypothesis":
         return has_hypothesis(exp[1], mentions)
+    if op == "ptm":
+        return has_ptm(exp[1], exp[2], exp[3] if len(exp) > 3 else None,
+                       mentions)
     if op == "grounded_same":
         if groundings is None:
             return False

@@ -281,6 +281,17 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
             m["canonical"] = canon
             out.append(m)
             i += k
+        elif "-" in words[i] and lows[i].split("-", 1)[0] in dictionary \
+                and not lows[i].split("-", 1)[1].endswith(("ed", "ing")):
+            # hyphen compound whose head is a known entity: "Ras-GDP",
+            # "RAS-GTP" — one entity over the whole token, canonical =
+            # the full lowered form (entities.yml hyphen rules)
+            label, _ = dictionary[lows[i].split("-", 1)[0]]
+            m = _mk(doc_id, sent_idx, "tbm", label, i, i + 1, words,
+                    "rule-ner-hyphen-compound")
+            m["canonical"] = lows[i]
+            out.append(m)
+            i += 1
         else:
             i += 1
     # Site rules (entities.yml site patterns): "serine 827", "Y63", "Ser-827",
@@ -288,6 +299,27 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
     i = 0
     while i < n:
         w, lw = words[i], lows[i]
+        if (lw in R.AA_SHORT or lw in R.AMINO_ACIDS) and i + 1 < n and \
+                lows[i + 1].startswith("residue"):
+            # "Lys residues 104 and 147" → one Site per residue number
+            aa = R.AA_SHORT.get(lw) or R.AMINO_ACIDS[lw]
+            k = i + 2
+            found = False
+            while k < n:
+                if words[k].isdigit():
+                    m = _mk(doc_id, sent_idx, "tbm", "Site", k, k + 1,
+                            words, "site-residue-list")
+                    m["canonical"] = f"{aa}{words[k]}"
+                    out.append(m)
+                    found = True
+                    k += 1
+                elif lows[k] in (",", "and", "or"):
+                    k += 1
+                else:
+                    break
+            if found:
+                i = k
+                continue
         if lw in R.AMINO_ACIDS and i + 1 < n and words[i + 1].isdigit():
             m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 2, words,
                     "site-aa-num")
@@ -328,32 +360,67 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
     return out
 
 
+def _site_after(words: list[str], lows: list[str], entities: list[Mention],
+                pos: int) -> str | None:
+    """Site text from 'at SITE' starting near `pos` (skipping
+    protein/proteins interceders) — for PTM-mod site capture."""
+    n = len(words)
+    j = pos
+    hops = 0
+    while j < n and hops < 3:
+        if lows[j] in ("protein", "proteins", "fragment"):
+            j += 1
+            hops += 1
+            continue
+        if lows[j] == "at":
+            for e in entities:
+                if e["label"] == "Site" and e["start"] >= j + 1 and \
+                        e["start"] <= j + 2:
+                    return e["text"]
+            return None
+        return None
+    return None
+
+
 def attach_entity_mods(words: list[str], lows: list[str],
-                       entities: list[Mention]) -> None:
-    """PTM participle modifiers ("ubiquitinated Ras") and Mutant tokens
-    ("EGFR T669A mutant") become mods on the entity, not events
-    (reference storePTM / storeMutants, DarpaActions.scala:84-146)."""
+                       entities: list[Mention]) -> set[int]:
+    """PTM participle modifiers ("ubiquitinated Ras", "Ras that is
+    ubiquitinated at serine 286") and Mutant tokens ("EGFR T669A mutant")
+    become mods on the entity, not events (reference storePTM /
+    storeMutants, DarpaActions.scala:84-146; modifications.yml). Returns
+    trigger positions consumed as modifiers (the event pass skips them)."""
     ent_at = {}
     for e in entities:
         for t in range(e["start"], e["end"]):
             ent_at[t] = e
     n = len(words)
+    consumed: set[int] = set()
     for i, lw in enumerate(lows):
         for ev_label, (vstem, _) in R.SIMPLE_EVENT_STEMS.items():
+            lbl = None
             if lw.startswith(vstem) and lw.endswith("ed"):
-                nxt = i + 1
-                # participle directly before an entity (possibly skipping
-                # nothing) and NOT followed later by "by" within the NP → PTM
-                if nxt in ent_at and not (nxt + 1 < n and lows[nxt + 1] == "by"):
-                    e = ent_at[nxt]
-                    if e["start"] == nxt and e["label"] not in ("Site",):
-                        e["mods"].append(_mod("PTM", ev_label, words[i]))
-            de = "de" + vstem
-            if lw.startswith(de) and lw.endswith("ed"):
-                nxt = i + 1
-                if nxt in ent_at and ent_at[nxt]["start"] == nxt:
-                    ent_at[nxt]["mods"].append(
-                        _mod("PTM", "De" + ev_label.lower(), words[i]))
+                lbl = ev_label
+            elif lw.startswith("de" + vstem) and lw.endswith("ed"):
+                lbl = "De" + ev_label.lower()
+            if lbl is None:
+                continue
+            nxt = i + 1
+            # participle directly before an entity and NOT followed later
+            # by "by" within the NP → PTM modifier
+            if nxt in ent_at and not (nxt + 1 < n and lows[nxt + 1] == "by"):
+                e = ent_at[nxt]
+                if e["start"] == nxt and e["label"] not in ("Site",):
+                    site = _site_after(words, lows, entities, e["end"])
+                    e["mods"].append(_mod("PTM", lbl, words[i], site=site))
+            # "ENT that is|was VBN (at SITE)" — relative-clause modifier,
+            # not an event (modifications.yml); consume the trigger
+            if i >= 3 and lows[i - 1] in ("is", "was", "been") and \
+                    lows[i - 2] in ("that", "which") and i - 3 in ent_at:
+                e = ent_at[i - 3]
+                if e["end"] == i - 2 and e["label"] not in ("Site",):
+                    site = _site_after(words, lows, entities, i + 1)
+                    e["mods"].append(_mod("PTM", lbl, words[i], site=site))
+                    consumed.add(i)
     # Mutant tokens attach to nearest entity left (else right)
     for i, w in enumerate(words):
         if _MUTANT_RE.match(w):
@@ -369,6 +436,7 @@ def attach_entity_mods(words: list[str], lows: list[str],
                         break
             if target is not None:
                 target["mods"].append(_mod("Mutant", "SubstitutionMutant", w))
+    return consumed
 
 
 # ---------------------------------------------------------------------------
@@ -436,7 +504,10 @@ class SentenceExtractor:
         return None
 
     def nearest_ent_left(self, i: int, skip: set[str] = frozenset({"Site"}),
-                         max_hops: int = 8) -> Mention | None:
+                         max_hops: int = 10) -> Mention | None:
+        """Closest bio entity leftward. Relative-clause markers and commas
+        are transparent ('via Pde2, which specifically hydrolyzes X' — the
+        subject sits across ', which'); sentence-final punctuation stops."""
         j = i - 1
         hops = 0
         while j >= 0 and hops < max_hops:
@@ -444,7 +515,7 @@ class SentenceExtractor:
             if e and e["label"] not in skip:
                 return e
             lw = self.lows[j]
-            if lw in {".", ",", ";", "that", "which", "whether"}:
+            if lw in {".", ";", ":"}:
                 return None
             j -= 1
             hops += 1
@@ -549,18 +620,28 @@ class SentenceExtractor:
         De-prefix guard: 'deubiquitination' must NOT match Ubiquitination
         (simple-event_template.yml triggerPrefix !word=/^(de|auto)/)."""
         lw = self.lows[i]
+        # mono-/di-/poly- prefixes keep the base event type
+        # ("monoubiquitination" is still a Ubiquitination)
+        core = lw
+        for pre in ("mono", "poly", "di-", "di"):
+            if lw.startswith(pre) and len(lw) > len(pre) + 4:
+                stripped = lw[len(pre):]
+                if any(stripped.startswith(s) for pair in
+                       R.SIMPLE_EVENT_STEMS.values() for s in pair):
+                    core = stripped
+                    break
         for label, (vstem, nstem) in R.SIMPLE_EVENT_STEMS.items():
-            if lw.startswith("auto") and lw[4:].startswith(nstem):
+            if core.startswith("auto") and core[4:].startswith(nstem):
                 return label, "noun", True
-            if lw.startswith("auto") and lw[4:].startswith(vstem):
+            if core.startswith("auto") and core[4:].startswith(vstem):
                 return label, "verb", True
-            if lw.startswith("de") and lw[2:].startswith(nstem):
+            if core.startswith("de") and core[2:].startswith(nstem):
                 return "De" + label.lower(), "noun", False
-            if lw.startswith("de") and lw[2:].startswith(vstem):
+            if core.startswith("de") and core[2:].startswith(vstem):
                 return "De" + label.lower(), "verb", False
-            if lw.startswith(nstem):
+            if core.startswith(nstem):
                 return label, "noun", False
-            if lw.startswith(vstem):
+            if core.startswith(vstem):
                 return label, "verb", False
         if lw.startswith(R.TRANSLOCATION_STEMS):
             return "Translocation", "verb", False
@@ -591,7 +672,10 @@ class SentenceExtractor:
                             k += 1
                             continue
                         break
-                    if self.tags[k] == "DT" or self.lows[k] in (",", "and"):
+                    lwk = self.lows[k]
+                    if self.tags[k] == "DT" or lwk in (",", "and", "or") or \
+                            lwk.startswith("residue") or \
+                            lwk in R.AA_SHORT or lwk in R.AMINO_ACIDS:
                         k += 1
                         continue
                     break
@@ -618,6 +702,9 @@ class SentenceExtractor:
     def find_simple_events(self) -> None:
         i = 0
         while i < self.n:
+            if i in self.consumed_triggers:  # PTM-modifier trigger (A5)
+                i += 1
+                continue
             hit = self.match_simple_event_trigger(i)
             if not hit:
                 i += 1
@@ -812,7 +899,8 @@ class SentenceExtractor:
                         if mod_sign != 0:
                             self.consumed_triggers.add(i - 1)
             return
-        # "TRIGGER of ENT (by ENT)?"
+        # "TRIGGER of ENT (by ENT)?" — compound entity directly before the
+        # trigger is the cause ("Ras phosphorylation of ASPP2")
         if i + 1 < self.n and self.lows[i + 1] == "of":
             themes = self.conj_ents_right(i + 2)
             if themes:
@@ -827,7 +915,37 @@ class SentenceExtractor:
                             or self.tags[k] == "AUX":
                         break
                     k += 1
+                if cause is None:
+                    left = self.conj_ents_left(i)
+                    if left:
+                        cause = left[-1]
             rule = "simple-nominal-of"
+        # "of TRIGGER on ENT" ("the effects of monoubiquitination on Ras")
+        if not themes and i >= 1 and self.lows[i - 1] == "of" and \
+                i + 1 < self.n and self.lows[i + 1] == "on":
+            themes = self.conj_ents_right(i + 2)
+            rule = "simple-nominal-of-on"
+        # "TRIGGER at <sites> of/for ENT"
+        # ("ubiquitination at Lys residues 104 and 147 of K-Ras")
+        if not themes and i + 1 < self.n and self.lows[i + 1] in ("at", "on"):
+            sites_here = self.sites_near(i, min(self.n, i + 14))
+            if sites_here:
+                j = max(s["end"] for s in sites_here)
+                lim = min(self.n, j + 4)
+                while j < lim:
+                    if self.lows[j] in ("of", "for"):
+                        themes = self.conj_ents_right(j + 1)
+                        break
+                    if self.lows[j] in (".", ";") or self.tags[j].startswith("V"):
+                        break
+                    j += 1
+                if themes:
+                    for theme in themes:
+                        for s in sites_here:
+                            self._split_event_and_reg(
+                                label, trig, theme, None,
+                                "simple-nominal-at-sites", site=s)
+                    return
         # compound: "ENT TRIGGER" — unless "TRIGGER site(s) in/of X" pattern,
         # where the compound entity is the cause (reg3 pattern)
         if not themes:
@@ -849,6 +967,11 @@ class SentenceExtractor:
                     s = self.site_at(j)
                     if s:
                         site = s
+                # by-cause after the trigger ("ASPP2 phosphorylation by Ras")
+                if i + 1 < self.n and self.lows[i + 1] == "by":
+                    cands = self.conj_ents_right(i + 2)
+                    if cands:
+                        cause = cands[0]
         if is_auto and not themes:
             left = self.conj_ents_left(i)
             if left:
@@ -1414,7 +1537,8 @@ class SentenceExtractor:
     def run(self) -> list[Mention]:
         self.entities = find_entities(self.doc_id, self.sent_idx, self.words,
                                       self.dictionary)
-        attach_entity_mods(self.words, self.lows, self.entities)
+        self.consumed_triggers |= attach_entity_mods(
+            self.words, self.lows, self.entities)
         self.split_mutants()
         aliases = self.find_aliases()
         self.find_simple_events()

@@ -233,7 +233,7 @@ _GGP_NAMES = [
     "p21", "p27", "FOXO1", "FOXO3", "BAD", "Bim", "Puma", "Noxa", "ASPP",
     "Pin1", "PP2A", "PP1", "SHP2", "Src", "Fyn", "Lck", "Abl", "BCR-ABL",
     "TWIST1", "SNAIL1", "FOXC2", "CD45", "cRaf", "CRAF", "BRaf",
-    "deoxycytidine kinase", "PI3KC2β", "RBD", "GAP",
+    "deoxycytidine kinase", "PI3KC2β", "Pde2", "SAPK",
 ]
 _FAMILY_NAMES = ["Ras family", "MAPK family", "AKT family", "ERK family",
                  "PI3K family", "STAT family", "caspase family",
