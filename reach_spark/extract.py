@@ -292,6 +292,15 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
             m["canonical"] = lows[i]
             out.append(m)
             i += 1
+        elif "-" in words[i] and lows[i].rsplit("-", 1)[-1] in dictionary \
+                and not lows[i].rsplit("-", 1)[0].endswith(("ed", "ing")):
+            # mutant/prefix compound whose tail is known: "G12V-Ras"
+            label, _ = dictionary[lows[i].rsplit("-", 1)[-1]]
+            m = _mk(doc_id, sent_idx, "tbm", label, i, i + 1, words,
+                    "rule-ner-hyphen-tail")
+            m["canonical"] = lows[i]
+            out.append(m)
+            i += 1
         else:
             i += 1
     # Site rules (entities.yml site patterns): "serine 827", "Y63", "Ser-827",
@@ -550,7 +559,8 @@ class SentenceExtractor:
                     "basal", "putative", "conserved", "free", "total",
                     "endogenous", "tyrosine", "serine", "threonine",
                     "two", "three", "four", "five", "several", "multiple",
-                    "wild-type", "nucleotide", "mutant"} or \
+                    "wild-type", "nucleotide", "mutant", "active",
+                    "linear"} or \
                     self._is_ptm_participle(self.lows[j]):
                 j += 1
                 hops += 1
@@ -575,10 +585,13 @@ class SentenceExtractor:
         site/adjective tokens: "... EGFR and ERBB3 tyrosine <TRIG>"."""
         out: list[Mention] = []
         j = i - 1
-        # skip site words / adjectives directly before trigger
-        while j >= 0 and (self.site_at(j) or self.lows[j] in {
+        # skip site words / adjectives / NP heads / auxiliaries directly
+        # before trigger ("PTEN protein expression", "ASPP1 and ASPP2 are
+        # bound by ...")
+        while j >= 0 and (self.site_at(j) or self.tags[j] == "AUX" or
+                          self.lows[j] in {
                 "basal", "putative", "conserved", "tyrosine", "serine",
-                "threonine", "total"}):
+                "threonine", "total", "protein", "gene", "mrna"}):
             j -= 1
         while j >= 0:
             e = self.ent_ending_at(j)
@@ -644,11 +657,19 @@ class SentenceExtractor:
             if core.startswith(vstem):
                 return label, "verb", False
         if lw.startswith(R.TRANSLOCATION_STEMS):
-            return "Translocation", "verb", False
+            form = "noun" if lw.endswith(("tion", "ment")) else "verb"
+            return "Translocation", form, False
         if lw.startswith("transcri"):
             form = "noun" if lw.startswith("transcription") else "verb"
             return "Transcription", form, False
-        if lw in ("level", "levels", "amount", "amounts", "quantity"):
+        # expression/overexpression → Transcription (transcription_events.yml
+        # expression triggers)
+        core_x = lw[2:] if lw.startswith("re-") else lw
+        if core_x.startswith(("express", "overexpress", "reexpress")):
+            form = "noun" if "sion" in core_x else "verb"
+            return "Transcription", form, False
+        if lw in ("level", "levels", "amount", "amounts", "quantity",
+                  "loss"):
             return "Amount", "noun", False
         if lw.startswith("degrad"):
             form = "noun" if lw.startswith("degradation") else "verb"
@@ -715,10 +736,14 @@ class SentenceExtractor:
             if form == "verb":
                 if lw.endswith("ed") or lw.endswith("en"):
                     self._passive_or_participle(label, trig, is_auto)
-                elif lw.endswith(("s", "e", "te", "ze")) and self.tags[i].startswith("V"):
+                elif self.tags[i].startswith("V") or (
+                        label == "Translocation" and i > 0 and
+                        self.lows[i - 1] == "to"):
+                    # POS-lite misses infinitives ("to release p53 to the
+                    # cytosol"); the from/to argument shape disambiguates
                     self._active_verbal(label, trig, is_auto)
-                elif self.tags[i].startswith("V"):
-                    self._active_verbal(label, trig, is_auto)
+            elif label == "Translocation":
+                self._nominal_translocation(trig)
             else:
                 self._nominal(label, trig, is_auto)
             i += 1
@@ -732,6 +757,8 @@ class SentenceExtractor:
         if theme["canonical"] == "ubiquitin" or (
                 cause is not None and cause["canonical"] == "ubiquitin"):
             return  # mkUbiquitination guard, DarpaActions.scala:153-162
+        if theme["label"] in R.CONTEXT_ENTITY_LABELS:
+            return  # PTM themes are BioChemicalEntities (taxonomy.yml)
         ev = self._event(label, trig, theme, rule, site=site,
                          cause_text_extra=cause["mention_id"] if cause else "")
         ev["is_direct"] = cause is not None
@@ -757,7 +784,24 @@ class SentenceExtractor:
                                           "auto-verbal")
             return
         if label == "Translocation":
-            if subj is not None:
+            # object present → subject is the cause ("ASPP2 ... translocates
+            # Pde2 from X to Y") unless the subject is a cellular component
+            # ("the plasma membrane ... release p53 to the cytosol" → source)
+            objs = [o for o in self.conj_ents_right(i + 1)
+                    if o["label"] not in R.CONTEXT_ENTITY_LABELS]
+            if objs:
+                theme = objs[0]
+                source, dests, cause = self._scan_from_to_by(theme["end"])
+                if subj is not None and \
+                        subj["label"] in R.CONTEXT_ENTITY_LABELS:
+                    source = source or subj
+                elif subj is not None and cause is None:
+                    cause = subj
+                self._emit_translocations(trig, theme, "transloc-verbal-obj",
+                                          source=source, dests=dests,
+                                          cause=cause)
+            elif subj is not None and \
+                    subj["label"] not in R.CONTEXT_ENTITY_LABELS:
                 self._emit_translocations(trig, subj, "transloc-verbal")
             return
         themes = self.conj_ents_right(i + 1)
@@ -780,29 +824,53 @@ class SentenceExtractor:
                 self._split_event_and_reg(label, trig, theme, subj,
                                           "simple-verbal")
 
-    def _emit_translocations(self, trig: tuple[int, int], theme: Mention,
-                             rule: str) -> None:
-        """Translocation with source ('from ENT') and destination(s)
-        ('to ENT (and ENT)*') — one event per destination (reference
-        translocation_events.yml shape)."""
-        i = trig[0]
+    def _scan_from_to_by(self, start: int, limit: int = 16) -> tuple[
+            Mention | None, list[Mention], Mention | None]:
+        """Scan right of `start` for 'from SRC', 'to/into DST (and DST)*'
+        and 'by CAUSE' (translocation_events.yml argument shapes)."""
         source = None
         dests: list[Mention] = []
-        j = i + 1
-        while j < min(self.n, i + 14):
-            if self.lows[j] == "from":
+        cause = None
+        j = start
+        stop = min(self.n, start + limit)
+        while j < stop:
+            lw = self.lows[j]
+            if lw == "from" and source is None:
                 cands = self.conj_ents_right(j + 1)
                 if cands:
                     source = cands[0]
                     j = cands[0]["end"]
                     continue
-            if self.lows[j] in ("to", "into"):
-                dests.extend(self.conj_ents_right(j + 1))
-                if dests:
+            if lw in ("to", "into") and not dests:
+                cands = self.conj_ents_right(j + 1)
+                if cands:
+                    dests.extend(cands)
                     j = dests[-1]["end"]
                     continue
+            if lw == "by" and cause is None:
+                cands = self.conj_ents_right(j + 1)
+                if cands and cands[0]["label"] not in R.CONTEXT_ENTITY_LABELS:
+                    cause = cands[0]
+                    j = cands[0]["end"]
+                    continue
+            if lw in (".", ";"):
+                break
             j += 1
-        emitted = False
+        return source, dests, cause
+
+    def _emit_translocations(self, trig: tuple[int, int], theme: Mention,
+                             rule: str, source: Mention | None = None,
+                             dests: list[Mention] | None = None,
+                             cause: Mention | None = None) -> None:
+        """Translocation with source ('from ENT') and destination(s)
+        ('to ENT (and ENT)*') — one event per destination (reference
+        translocation_events.yml shape). A cause splits into a
+        Positive_regulation wrapper (splitSimpleEvents, A16)."""
+        i = trig[0]
+        if source is None and dests is None and cause is None:
+            source, dests, cause = self._scan_from_to_by(i + 1)
+        dests = dests or []
+        emitted: list[Mention] = []
         for d in dests:
             ev = self._event("Translocation", trig, theme, rule,
                              cause_text_extra=d["mention_id"])
@@ -810,13 +878,43 @@ class SentenceExtractor:
             if source is not None:
                 ev["args"].append(_arg("source", source))
             self.events.append(ev)
-            emitted = True
+            emitted.append(ev)
         if not emitted:
             ev = self._event("Translocation", trig, theme, rule)
             if source is not None:
                 ev["args"].append(_arg("source", source))
             self.events.append(ev)
+            emitted.append(ev)
+        if cause is not None and cause["mention_id"] != theme["mention_id"]:
+            for ev in emitted:
+                ev["is_direct"] = True
+                self.events.append(self._reg("Positive_regulation", trig,
+                                             cause, ev, rule + "-split"))
         self.consumed_triggers.add(i)
+
+    def _nominal_translocation(self, trig: tuple[int, int]) -> None:
+        """Nominal translocation: 'KRAS translocation to the cytosol and
+        nucleus', 'Recruitment of p53 from the cytosol to the plasma
+        membrane'."""
+        i = trig[0]
+        theme = None
+        scan_from = i + 1
+        if i + 1 < self.n and self.lows[i + 1] == "of":
+            cands = self.conj_ents_right(i + 2)
+            if cands and cands[0]["label"] not in R.CONTEXT_ENTITY_LABELS:
+                theme = cands[0]
+                scan_from = theme["end"]
+        if theme is None:
+            left = self.conj_ents_left(i)
+            if left and left[-1]["label"] not in R.CONTEXT_ENTITY_LABELS:
+                theme = left[-1]
+        if theme is None:
+            return
+        source, dests, cause = self._scan_from_to_by(scan_from)
+        if not source and not dests:
+            return
+        self._emit_translocations(trig, theme, "transloc-nominal",
+                                  source=source, dests=dests, cause=cause)
 
     def _passive_or_participle(self, label: str, trig: tuple[int, int],
                                is_auto: bool) -> None:
@@ -831,7 +929,8 @@ class SentenceExtractor:
                 j -= 1
                 hops += 1
                 continue
-            if self.lows[j] in ("clearly", "able", "to", "not", "never"):
+            if self.lows[j] in ("able", "to", "not", "never") or \
+                    self.lows[j].endswith("ly"):  # adverbs are transparent
                 j -= 1
                 hops += 1
                 continue
@@ -849,7 +948,13 @@ class SentenceExtractor:
         sites = self.sites_near(i, min(self.n, i + 8))
         site = sites[0] if sites else None
         if has_aux or by_ent is not None:
-            theme = self.nearest_ent_left(i)
+            # PTM/translocation themes are BioChemicalEntities, never
+            # context entities (taxonomy.yml theme constraints) — walk
+            # through cellular components etc. ("... to the nucleus, is
+            # subsequently phosphorylated" → theme is the earlier GGP)
+            theme = self.nearest_ent_left(
+                i, skip=frozenset({"Site"}) | R.CONTEXT_ENTITY_LABELS,
+                max_hops=16)
             if theme is not None:
                 if label == "Translocation":
                     self._emit_translocations(trig, theme,
@@ -860,6 +965,14 @@ class SentenceExtractor:
                 else:
                     self._split_event_and_reg(label, trig, theme, by_ent,
                                               "simple-passive")
+            return
+        # bare participle postmodifier: "the levels of MCL-1 and BIM
+        # expressed in ..." → one Transcription per NP-chain entity
+        if label == "Transcription":
+            for t in self.conj_ents_left(i):
+                if t["label"] not in R.CONTEXT_ENTITY_LABELS:
+                    self._split_event_and_reg(label, trig, t, None,
+                                              "transcr-participle")
             return
         # participle before entity with a following "by ENT" in the same NP
         # ("The phosphorylated ASPP2 fragment by MAPK1 ...")
@@ -882,21 +995,23 @@ class SentenceExtractor:
         site: Mention | None = None
         rule = "simple-nominal"
         if label == "Amount":
-            # "increased levels of p53" → IncreaseAmount / DecreaseAmount
-            # (amount template, triggerLemma amount|level|quantity)
-            mod_sign = 0
-            if i > 0:
+            # "increased levels of p53" → IncreaseAmount / DecreaseAmount;
+            # bare "the level of X" → Amount; "loss of X" → DecreaseAmount
+            # (amount template, triggerLemma amount|level|quantity|loss)
+            mod_sign = -1 if self.lows[i] == "loss" else 0
+            if mod_sign == 0 and i > 0:
                 mod_sign = _sign_of_stem(self.lows[i - 1])
             if i + 1 < self.n and self.lows[i + 1] == "of":
                 cands = self.conj_ents_right(i + 2)
                 if cands:
-                    lbl = ("IncreaseAmount" if mod_sign >= 0
+                    lbl = ("Amount" if mod_sign == 0 else
+                           "IncreaseAmount" if mod_sign > 0
                            else "DecreaseAmount")
                     for t in cands:
                         ev = self._event(lbl, trig, t, "amount-nominal")
                         self.events.append(ev)
                         self.consumed_triggers.add(i)
-                        if mod_sign != 0:
+                        if mod_sign != 0 and self.lows[i] != "loss":
                             self.consumed_triggers.add(i - 1)
             return
         # "TRIGGER of ENT (by ENT)?" — compound entity directly before the
@@ -993,6 +1108,9 @@ class SentenceExtractor:
     def find_bindings(self) -> None:
         i = 0
         while i < self.n:
+            if i in self.consumed_triggers:  # e.g. translocation 'recruit'
+                i += 1
+                continue
             lw = self.lows[i]
             # hyphenated "<ENT>-binding activity of <ENT>"
             if lw.endswith("-binding"):
@@ -1019,14 +1137,40 @@ class SentenceExtractor:
             is_verb = any(lw.startswith(s) for s in R.BINDING_VERB_STEMS) \
                 and self.tags[i].startswith(("V", "N")) and lw not in R.BINDING_NOUNS
             is_noun = lw in R.BINDING_NOUNS
-            if is_verb and self.tags[i].startswith("V"):
+            # passive: "ASPP1 and ASPP2 are bound by RAS-GTP"
+            # ("bound" participle + following "by CAUSE-as-theme")
+            if is_verb and lw.endswith(("ed", "en", "und")):
+                by_ent = None
+                k = i + 1
+                while k < min(self.n, i + 6) and self.lows[k] in (
+                        "by", "directly", "more", "subsequently") or (
+                        k < min(self.n, i + 6) and self.lows[k].endswith("ly")):
+                    if self.lows[k] == "by":
+                        cands = self.conj_ents_right(k + 1)
+                        if cands:
+                            by_ent = cands[0]
+                        break
+                    k += 1
+                if by_ent is not None:
+                    theme1s = self.conj_ents_left(i)
+                    if not theme1s:
+                        t = self.nearest_ent_left(i, max_hops=12)
+                        theme1s = [t] if t is not None else []
+                    for t1 in theme1s:
+                        self._emit_binding((i, i + 1), t1, by_ent,
+                                           "binding-passive")
+                    if theme1s:
+                        i += 1
+                        continue
+            if is_verb and (self.tags[i].startswith("V") or lw == "bound"):
                 subjs = self.conj_ents_left(i)
                 if not subjs:
                     s = self.nearest_ent_left(i)
                     subjs = [s] if s is not None else []
                 j = i + 1
-                while j < self.n and self.lows[j] in ("to", "with",
-                                                      "directly", "more"):
+                while j < self.n and (self.lows[j] in ("to", "with",
+                                                       "directly", "more")
+                                      or self.lows[j].endswith("ly")):
                     j += 1
                 objs = self.conj_ents_right(j)
                 for subj in subjs:
@@ -1035,18 +1179,66 @@ class SentenceExtractor:
                                            "binding-verbal")
             elif is_noun:
                 t1 = t2 = None
+                t2s: list[Mention] = []
+                # slash-pair compound next to complex/heterodimer:
+                # "the complex Ku70/Ku80", "Ku70/Ku80 heterodimer"
+                if lw in ("complex", "heterodimer", "dimer"):
+                    for jn in (i - 1, i + 1):
+                        if 0 <= jn < self.n and "/" in self.words[jn]:
+                            halves = self.lows[jn].split("/", 1)
+                            if len(halves) == 2 and all(
+                                    h in self.dictionary for h in halves):
+                                pair = []
+                                for off, h in enumerate(halves):
+                                    lab, canon = self.dictionary[h]
+                                    fm = _mk(self.doc_id, self.sent_idx,
+                                             "tbm", lab, jn, jn + 1,
+                                             self.words,
+                                             "rule-ner-slash-pair",
+                                             extra=str(off))
+                                    fm["canonical"] = canon
+                                    fm["text"] = self.words[jn].split(
+                                        "/", 1)[off]
+                                    self.entities.append(fm)
+                                    pair.append(fm)
+                                self._emit_binding((i, i + 1), pair[0],
+                                                   pair[1],
+                                                   "binding-slash-pair")
+                                break
+                    i += 1
+                    continue
+                # gerund: "capable of binding linear polyubiquitin",
+                # "by binding to its numerous effectors such as Raf and PI3K"
+                if lw == "binding" and i > 0 and self.lows[i - 1] in (
+                        "of", "by") and (
+                        i + 1 >= self.n or
+                        self.lows[i + 1] not in ("of", "between")):
+                    subj = self.nearest_ent_left(i - 1, max_hops=12)
+                    j = i + 1
+                    while j < self.n and self.lows[j] in ("to", "with"):
+                        j += 1
+                    objs = self._np_entities_right(j)
+                    if subj is not None and objs:
+                        for o in objs:
+                            self._emit_binding((i, i + 1), subj, o,
+                                               "binding-gerund")
+                        i += 1
+                        continue
                 if i + 1 < self.n and self.lows[i + 1] in ("between", "of"):
                     cands = self.conj_ents_right(i + 2)
                     if self.lows[i + 1] == "between" and len(cands) >= 2:
                         t1, t2 = cands[0], cands[1]
                     elif self.lows[i + 1] == "of" and cands:
                         t1 = cands[0]
-                        for j in range(t1["end"], min(self.n, t1["end"] + 4)):
-                            if self.lows[j] in ("to", "with"):
-                                cc = self.conj_ents_right(j + 1)
-                                if cc:
-                                    t2 = cc[0]
-                                break
+                        if len(cands) >= 2:
+                            # "binding of p53 and K-Ras"
+                            t2s = cands[1:]
+                        else:
+                            for j in range(t1["end"],
+                                           min(self.n, t1["end"] + 4)):
+                                if self.lows[j] in ("to", "with", "by"):
+                                    t2s = self.conj_ents_right(j + 1)
+                                    break
                 else:
                     # hyphenated pair compound: "the RAS-ASPP interaction"
                     if i > 0 and "-" in self.words[i - 1]:
@@ -1073,12 +1265,14 @@ class SentenceExtractor:
                     if left:
                         t1 = left[-1]
                         for j in range(i + 1, min(self.n, i + 4)):
-                            if self.lows[j] in ("to", "with"):
-                                cc = self.conj_ents_right(j + 1)
-                                if cc:
-                                    t2 = cc[0]
+                            if self.lows[j] in ("to", "with", "by"):
+                                t2s = self.conj_ents_right(j + 1)
                                 break
-                if t1 is not None and t2 is not None:
+                if t1 is not None and t2 is None and t2s:
+                    for t2x in t2s:
+                        self._emit_binding((i, i + 1), t1, t2x,
+                                           "binding-nominal")
+                elif t1 is not None and t2 is not None:
                     self._emit_binding((i, i + 1), t1, t2, "binding-nominal")
             i += 1
 
@@ -1090,8 +1284,9 @@ class SentenceExtractor:
             return
         if "ubiquitin" in (t1["canonical"], t2["canonical"]):
             return
-        same_token_pair = (t1["found_by"] == "rule-ner-hyphen-pair" and
-                           t2["found_by"] == "rule-ner-hyphen-pair")
+        pair_rules = ("rule-ner-hyphen-pair", "rule-ner-slash-pair")
+        same_token_pair = (t1["found_by"] in pair_rules and
+                           t2["found_by"] in pair_rules)
         if not same_token_pair and not (t1["end"] <= t2["start"] or
                                         t2["end"] <= t1["start"]):
             return
@@ -1113,10 +1308,18 @@ class SentenceExtractor:
         hops = 0
         while j < self.n and hops < 6:
             if self.tags[j] in ("DT", "CD") or self.lows[j] in (
-                    "basal", "putative", "conserved", "dose", "levels"):
+                    "basal", "putative", "conserved", "dose", "levels",
+                    "kinase", "catalytic", "enzymatic"):
                 j += 1
                 hops += 1
                 continue
+            # neutral wrapper: "the kinase activity of DNA-PK" → DNA-PK
+            if self.lows[j] in ("activity", "function", "signaling",
+                                "signalling") and j + 1 < self.n and \
+                    self.lows[j + 1] == "of":
+                cands = self.conj_ents_right(j + 2)
+                if cands:
+                    return cands[0], 1, "entity"
             # event controlled: an already-found simple event whose trigger
             # token sits here or whose theme NP starts here
             for ev in self.events:
@@ -1148,8 +1351,9 @@ class SentenceExtractor:
             lw = self.lows[j]
             if lw in (",", "clearly", "able", "to", "thus", "also",
                       "strongly", "significantly", "dose", "activity",
-                      "mutant", "protein", "fragment", "not", "fails",
-                      "fail", "failed") or self.tags[j] in ("AUX", "DT"):
+                      "mutant", "mutants", "protein", "fragment", "not",
+                      "fails", "fail", "failed") or \
+                    self.tags[j] in ("AUX", "DT"):
                 j -= 1
                 hops += 1
                 continue
@@ -1199,6 +1403,15 @@ class SentenceExtractor:
                             self._emit_reg_or_act((i, i + 1), subj, 1, o,
                                                   sign, "entity",
                                                   "agent-noun")
+                else:
+                    # "mTOR activator Rapamycin": controlled left,
+                    # controller right (apposition-style agent compound)
+                    ctld = self.ent_ending_at(i - 1, bio_only=True)
+                    ctrl = self.ent_starting_at(i + 1)
+                    if ctld is not None and ctrl is not None:
+                        self._emit_reg_or_act((i, i + 1), ctrl, 1, ctld,
+                                              sign, "entity",
+                                              "agent-noun-compound")
                 i += 1
                 continue
             # hyphenated trigger: "KRas-inducing TFs (TWIST1, ...)" —
@@ -1222,6 +1435,60 @@ class SentenceExtractor:
                 i += 1
                 continue
             sign = _sign_of_stem(lw)
+            # nominal regulation trigger: "Inhibition of mTOR by rapamycin",
+            # "resulted in up-regulation of the MKP3 gene" (pos-reg_template
+            # nominal rules). Controller = by-phrase, else nearest entity
+            # left — aborting at an intervening verbal trigger, which owns
+            # the relation ("Ras inhibits activation of X").
+            if sign != 0 and not self.tags[i].startswith("V") and \
+                    not lw.endswith(("ed", "en", "ing")) and \
+                    i + 1 < self.n and self.lows[i + 1] == "of":
+                ctld, csign, ckind = None, 1, "entity"
+                cands = self.conj_ents_right(i + 2)
+                if cands:
+                    ctld = cands[0]
+                else:
+                    for ev in self.events:
+                        if ev["kind"] == "event" and not \
+                                ev["label"].endswith(("regulation",
+                                                      "activation")) and \
+                                ev["trigger_start"] is not None and \
+                                i + 1 < ev["trigger_start"] <= i + 3:
+                            ctld, ckind = ev, "event"
+                            break
+                if ctld is not None:
+                    ctrl = None
+                    end = ctld["end"] if ckind == "entity" else i + 2
+                    k = end
+                    while k < min(self.n, end + 5):
+                        if self.lows[k] == "by":
+                            cc = self.conj_ents_right(k + 1)
+                            if cc:
+                                ctrl = cc[0]
+                            break
+                        if self.tags[k].startswith("V") or \
+                                self.lows[k] in (".", ";", ","):
+                            break
+                        k += 1
+                    if ctrl is None:
+                        j = i - 1
+                        hops = 0
+                        while j >= 0 and hops < 8:
+                            if _sign_of_stem(self.lows[j]) != 0 and \
+                                    self.tags[j].startswith("V"):
+                                break  # verbal trigger owns this relation
+                            e = self.ent_ending_at(j)
+                            if e:
+                                ctrl = e
+                                break
+                            j -= 1
+                            hops += 1
+                    if ctrl is not None:
+                        self._emit_reg_or_act((i, i + 1), ctrl, 1, ctld,
+                                              sign * csign, ckind,
+                                              "reg-nominal")
+                        i += 1
+                        continue
             if sign == 0 or not (self.tags[i].startswith("V")):
                 i += 1
                 continue
@@ -1368,6 +1635,14 @@ class SentenceExtractor:
             label = ("Positive_activation" if total > 0
                      else "Negative_activation")
             if controller["mention_id"] == controlled["mention_id"]:
+                return
+            # distinct-grounding guard (mkActivation/mkRegulation,
+            # DarpaActions.scala:197-238): "MEK activates MEK" → nothing
+            if controller.get("canonical") == controlled.get("canonical"):
+                return
+            # BioProcess cannot control an activation ("Apoptosis
+            # activated p53" → nothing; bioprocess-valid guard A10)
+            if controller["label"] == "BioProcess":
                 return
         reg = self._reg(label, trig, controller, controlled, rule)
         self.events.append(reg)

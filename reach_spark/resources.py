@@ -152,8 +152,15 @@ BINDING_VERB_STEMS = ("bind", "bound", "interact", "associat", "complex",
 BINDING_NOUNS = ("binding", "interaction", "association", "complex",
                  "heterodimer", "dimerization", "co-immunoprecipitation")
 
-TRANSLOCATION_STEMS = ("translocat", "relocaliz", "migrat", "export",
-                       "import", "redistribut", "transport")
+TRANSLOCATION_STEMS = ("translocat", "relocaliz", "relocat", "migrat",
+                       "export", "import", "redistribut", "transport",
+                       "recruit", "release")
+
+# entity labels that denote context, never PTM-event themes
+# (taxonomy.yml: context branch vs BioChemicalEntity branch)
+CONTEXT_ENTITY_LABELS = frozenset({
+    "Cellular_component", "Species", "Organ", "CellLine", "CellType",
+    "TissueType"})
 TRANSCRIPTION_STEMS = ("transcrib", "transcription", "express")
 DEGRADATION_STEMS = ("degrad",)
 
@@ -234,12 +241,17 @@ _GGP_NAMES = [
     "Pin1", "PP2A", "PP1", "SHP2", "Src", "Fyn", "Lck", "Abl", "BCR-ABL",
     "TWIST1", "SNAIL1", "FOXC2", "CD45", "cRaf", "CRAF", "BRaf",
     "deoxycytidine kinase", "PI3KC2β", "Pde2", "SAPK",
+    "NRF2", "MCL-1", "Ets-1", "MMP-9", "neurofibromin", "BIM", "Kras",
+    "ErbB3", "ERK-1", "HDAC", "SIRT1", "ASPP", "p100", "p105",
+    "Ku70", "Ku80", "DNA-PK", "XRCC1", "IKKgamma", "MKP3", "C-RAF",
+    "STAT1", "FGFR3", "RAD51", "phosphatidylinositol 3-kinase",
 ]
 _FAMILY_NAMES = ["Ras family", "MAPK family", "AKT family", "ERK family",
                  "PI3K family", "STAT family", "caspase family",
                  "Rho family", "14-3-3"]
 _CHEMICAL_NAMES = ["GTP", "GDP", "ATP", "ADP", "AMP", "cAMP", "NADPH",
-                   "ubiquitin", "rapamycin", "wortmannin", "LY294002",
+                   "ubiquitin", "polyubiquitin", "rapamycin", "Rapamycin",
+                   "wortmannin", "LY294002",
                    "U0126", "PD98059", "staurosporine", "calcium", "Ca2+",
                    "glucose", "phosphate", "32P"]
 _BIOPROCESS_NAMES = ["apoptosis", "autophagy", "proliferation", "angiogenesis",
@@ -256,7 +268,8 @@ _CELLTYPE_NAMES = ["fibroblast", "fibroblasts", "lymphocyte", "lymphocytes",
                    "hepatocyte", "hepatocytes", "T cell", "T cells",
                    "B cell", "B cells", "epithelial cells", "keratinocytes"]
 _CELLCOMP_NAMES = ["nucleus", "cytoplasm", "cytosol", "membrane",
-                   "plasma membrane", "mitochondria", "mitochondrion",
+                   "plasma membrane", "nuclear membrane",
+                   "mitochondria", "mitochondrion",
                    "endoplasmic reticulum", "Golgi", "lysosome", "endosome",
                    "chromatin", "ribosome"]
 

@@ -63,7 +63,7 @@ def build_triples(mentions: DataFrame, context: DataFrame | None = None,
     """grounded mentions (+ optional tiny grounding map) → triples rows.
 
     subj = CONTROLLER (null for un-regulated simple events),
-    pred = 'Reg_label→Event_label' for regulations over events,
+    pred = 'Reg_label->Event_label' (ASCII separator: pred is a partition value; non-ASCII partition dirs break on non-UTF8 default-charset filesystems) for regulations over events,
            'Positive_activation'/'Negative_activation', 'Binding', or the
            bare event label,
     obj  = OUTPUT ('text::ns:id' + '.suffix' for PTM outputs, '.a' for
@@ -92,7 +92,7 @@ def build_triples(mentions: DataFrame, context: DataFrame | None = None,
                 F.col("ctld.target_label").isin(
                     "Binding", "Translocation", "Transcription",
                     "IncreaseAmount", "DecreaseAmount"),
-                F.concat_ws("→", "label", "ctld.target_label"))
+                F.concat_ws("->", "label", "ctld.target_label"))
              .otherwise(F.col("label")).alias("pred"),
             # PTM suffix from the controlled event type; '.a' when the
             # controlled is a plain entity (activation output)

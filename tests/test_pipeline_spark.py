@@ -64,7 +64,7 @@ def test_grounding_contract_gr3(spark):
     assert ents["MEK"]["g_ns"] == "uniprot"
     assert ents["Ras"]["g_ns"] == "uniprot"
     trip = res["triples"].collect()
-    regs = [t for t in trip if t["pred"] == "Positive_regulation→Phosphorylation"]
+    regs = [t for t in trip if t["pred"] == "Positive_regulation->Phosphorylation"]
     assert len(regs) == 1
     assert regs[0]["subj"].startswith("MEK::uniprot:")
     assert regs[0]["obj"].startswith("Ras::uniprot:")
