@@ -85,8 +85,8 @@ _AUX = {"is", "was", "are", "were", "be", "been", "being", "has", "have",
         "had", "can", "could", "may", "might", "will", "would", "shall",
         "should", "must", "does", "did", "do", "am"}
 _VERB_SUFFIXES = ("ates", "ate", "ated", "ating", "izes", "ize", "ized",
-                  "izing", "yses", "yse", "ysed", "yzes", "yze", "yzed",
-                  "ifies", "ify", "ified")
+                  "izing", "yses", "yse", "ysed", "ysing", "yzes", "yze",
+                  "yzed", "yzing", "ifies", "ify", "ified")
 _KNOWN_VERBS = {
     "binds", "bind", "bound", "binding", "interacts", "interact",
     "associates", "associate", "associated", "fails", "fail", "failed",
@@ -106,6 +106,12 @@ _KNOWN_VERBS = {
     "prevent", "prevented", "stimulates", "stimulate", "stimulated",
     "hypothesized", "hypothesize", "speculated", "suggests", "suggested",
     "disrupted", "disrupts", "disrupt", "abolished", "abolishes",
+    "aids", "aided", "causes", "cause", "caused", "attenuates",
+    "attenuate", "attenuated", "elevates", "elevate", "elevated",
+    "diminishes", "diminish", "diminished", "impairs", "impair",
+    "impaired", "restores", "restore", "restored", "triggers",
+    "triggered", "drives", "drive", "driven", "represses", "repress",
+    "repressed", "deactivates", "deactivate", "deactivated",
 }
 
 
@@ -252,6 +258,15 @@ def _mod(kind: str, label: str | None = None, evidence: str | None = None,
 # Entity NER: broadcast-dictionary longest match + Site/Mutant token rules
 # ---------------------------------------------------------------------------
 
+def _is_event_nominal(s: str) -> bool:
+    """'phosphorylation', 'monoubiquitination', 'translocation'… — tails
+    that are event nominals, not entity-name parts ("p53-phosphorylation")."""
+    for _, (_, nstem) in R.SIMPLE_EVENT_STEMS.items():
+        if s.startswith(nstem) or s.startswith("de" + nstem):
+            return True
+    return s.startswith(("translocation", "transcription", "expression"))
+
+
 _SITE_AA_RE = re.compile(r"^([ACDEFGHIKLMNPQRSTVWY])[-]?(\d+)$")
 _MUTANT_RE = re.compile(r"^([ACDEFGHIKLMNPQRSTVWY])(\d+)([ACDEFGHIKLMNPQRSTVWY])$")
 _AA3_RE = re.compile(r"^(Ala|Arg|Asn|Asp|Cys|Gln|Glu|Gly|His|Ile|Leu|Lys|"
@@ -282,10 +297,12 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
             out.append(m)
             i += k
         elif "-" in words[i] and lows[i].split("-", 1)[0] in dictionary \
-                and not lows[i].split("-", 1)[1].endswith(("ed", "ing")):
+                and not lows[i].split("-", 1)[1].endswith(("ed", "ing")) \
+                and not _is_event_nominal(lows[i].split("-", 1)[1]):
             # hyphen compound whose head is a known entity: "Ras-GDP",
             # "RAS-GTP" — one entity over the whole token, canonical =
-            # the full lowered form (entities.yml hyphen rules)
+            # the full lowered form (entities.yml hyphen rules);
+            # "p53-phosphorylation" is an event, not an entity
             label, _ = dictionary[lows[i].split("-", 1)[0]]
             m = _mk(doc_id, sent_idx, "tbm", label, i, i + 1, words,
                     "rule-ner-hyphen-compound")
@@ -591,7 +608,7 @@ class SentenceExtractor:
         while j >= 0 and (self.site_at(j) or self.tags[j] == "AUX" or
                           self.lows[j] in {
                 "basal", "putative", "conserved", "tyrosine", "serine",
-                "threonine", "total", "protein", "gene", "mrna"}):
+                "threonine", "total", "protein", "gene", "mrna", "and"}):
             j -= 1
         while j >= 0:
             e = self.ent_ending_at(j)
@@ -676,6 +693,20 @@ class SentenceExtractor:
             return "Degradation" if False else "DecreaseAmount", form, False
         return None
 
+    @staticmethod
+    def match_simple_event_trigger_text(s: str) -> str | None:
+        """Event label for a bare nominal string ('phosphorylation')."""
+        for label, (_, nstem) in R.SIMPLE_EVENT_STEMS.items():
+            if s.startswith("de" + nstem):
+                return "De" + label.lower()
+            if s.startswith(nstem):
+                return label
+        if s.startswith("translocation"):
+            return "Translocation"
+        if s.startswith(("transcription", "expression")):
+            return "Transcription"
+        return None
+
     def sites_near(self, lo: int, hi: int) -> list[Mention]:
         """Sites attached via "at SITE" / "on ... SITE" / paren residue list
         in [lo, hi) (siteSniffer semantics, DarpaActions.scala:294-325)."""
@@ -726,6 +757,27 @@ class SentenceExtractor:
             if i in self.consumed_triggers:  # PTM-modifier trigger (A5)
                 i += 1
                 continue
+            # hyphen cause-compound trigger: "p53-phosphorylation of ERK"
+            # → Phosphorylation(ERK) + Positive_regulation(p53)
+            lw = self.lows[i]
+            if "-" in lw:
+                head, _, tail = lw.partition("-")
+                if head in self.dictionary and _is_event_nominal(tail):
+                    hh = self.match_simple_event_trigger_text(tail)
+                    if hh is not None and i + 1 < self.n and \
+                            self.lows[i + 1] == "of":
+                        labh, canonh = self.dictionary[head]
+                        cause = _mk(self.doc_id, self.sent_idx, "tbm", labh,
+                                    i, i + 1, self.words, "rule-ner-hyphen")
+                        cause["canonical"] = canonh
+                        cause["text"] = self.words[i].partition("-")[0]
+                        self.entities.append(cause)
+                        for theme in self.conj_ents_right(i + 2):
+                            self._split_event_and_reg(
+                                hh, (i, i + 1), theme, cause,
+                                "simple-hyphen-cause")
+                        i += 1
+                        continue
             hit = self.match_simple_event_trigger(i)
             if not hit:
                 i += 1
@@ -750,26 +802,31 @@ class SentenceExtractor:
 
     def _split_event_and_reg(self, label: str, trig: tuple[int, int],
                              theme: Mention, cause: Mention | None,
-                             rule: str, site: Mention | None = None) -> None:
+                             rule: str, site: Mention | None = None,
+                             reg_sign: int = 1) -> None:
         """splitSimpleEvents (DarpaActions.scala:334-368): the simple event
         keeps theme(+site), isDirect=true when a cause existed; the cause
-        becomes controller of a Positive_regulation over the event."""
+        becomes controller of a Positive_regulation over the event
+        (Negative_regulation when reg_sign < 0, e.g. '... in response to
+        RAS inhibition')."""
         if theme["canonical"] == "ubiquitin" or (
                 cause is not None and cause["canonical"] == "ubiquitin"):
             return  # mkUbiquitination guard, DarpaActions.scala:153-162
         if theme["label"] in R.CONTEXT_ENTITY_LABELS:
             return  # PTM themes are BioChemicalEntities (taxonomy.yml)
+        reg_label = ("Positive_regulation" if reg_sign > 0
+                     else "Negative_regulation")
         ev = self._event(label, trig, theme, rule, site=site,
                          cause_text_extra=cause["mention_id"] if cause else "")
         ev["is_direct"] = cause is not None
         self.events.append(ev)
         self.consumed_triggers.add(trig[0])
         if cause is not None and cause["mention_id"] != theme["mention_id"]:
-            reg = self._reg("Positive_regulation", trig, cause, ev,
+            reg = self._reg(reg_label, trig, cause, ev,
                             rule + "-split")
             self.events.append(reg)
         elif cause is not None:  # autoevent: controller == theme
-            reg = self._reg("Positive_regulation", trig, cause, ev,
+            reg = self._reg(reg_label, trig, cause, ev,
                             rule + "-auto")
             self.events.append(reg)
 
@@ -1095,14 +1152,67 @@ class SentenceExtractor:
                 rule = "auto-nominal"
         if is_auto and themes and cause is None:
             cause = themes[-1]
+        # light-verb subject: "Cells expressing ErbB3 show tyrosine
+        # phosphorylation" — theme is the entity across the light verb
+        if not themes:
+            j, hops, crossed = i - 1, 0, False
+            while j >= 0 and hops < 8:
+                if self.lows[j] in ("show", "shows", "showed", "exhibit",
+                                    "exhibits", "exhibited", "display",
+                                    "displayed", "undergo", "undergoes",
+                                    "underwent"):
+                    crossed = True
+                e = self.ent_ending_at(j)
+                if e is not None:
+                    if crossed and e["label"] not in R.CONTEXT_ENTITY_LABELS:
+                        themes = [e]
+                        rule = "simple-nominal-lightverb"
+                    break
+                j -= 1
+                hops += 1
         if not themes:
             return
+        reg_sign = 1
+        if cause is None:
+            cause, reg_sign = self._cause_response(trig[1])
         sites2 = self.sites_near(trig[0], min(self.n, trig[1] + 8))
         if sites2 and site is None:
             site = sites2[0]
         for theme in themes:
             self._split_event_and_reg(label, trig, theme, cause, rule,
-                                      site=site)
+                                      site=site, reg_sign=reg_sign)
+
+    _RESPONSE_SIGNS = {"treatment": 1, "stimulation": 1, "exposure": 1,
+                       "addition": 1, "inhibition": -1, "depletion": -1,
+                       "knockdown": -1, "silencing": -1}
+
+    def _cause_response(self, pos: int) -> tuple[Mention | None, int]:
+        """'... in response to treatment with RAS' / 'to RAS treatment' /
+        'to RAS inhibition' → (controller, polarity sign)."""
+        k = pos
+        stop = min(self.n, pos + 10)
+        while k < stop:
+            if self.lows[k] == "response" and k + 1 < self.n and \
+                    self.lows[k + 1] == "to":
+                k2 = k + 2
+                sgn = self._RESPONSE_SIGNS.get(self.lows[k2]) \
+                    if k2 < self.n else None
+                if sgn is not None and k2 + 1 < self.n and \
+                        self.lows[k2 + 1] in ("with", "of"):
+                    cands = self.conj_ents_right(k2 + 2)
+                    if cands:
+                        return cands[0], sgn
+                cands = self.conj_ents_right(k2)
+                if cands:
+                    e = cands[0]
+                    sgn = self._RESPONSE_SIGNS.get(
+                        self.lows[e["end"]]) if e["end"] < self.n else None
+                    return e, (sgn if sgn is not None else 1)
+                return None, 1
+            if self.lows[k] in (".", ";"):
+                break
+            k += 1
+        return None, 1
 
     # -- bindings ---------------------------------------------------------
     def find_bindings(self) -> None:
@@ -1309,7 +1419,7 @@ class SentenceExtractor:
         while j < self.n and hops < 6:
             if self.tags[j] in ("DT", "CD") or self.lows[j] in (
                     "basal", "putative", "conserved", "dose", "levels",
-                    "kinase", "catalytic", "enzymatic"):
+                    "kinase", "catalytic", "enzymatic", "in"):
                 j += 1
                 hops += 1
                 continue
@@ -1375,7 +1485,12 @@ class SentenceExtractor:
             if hit and hit[1] == "noun":
                 left = self.conj_ents_left(j)
                 if left:
-                    return left[-1], 1
+                    # sign modifier on the controller nominal ("decreased
+                    # PTPN13 expression enhances..." → controller sign -1,
+                    # SEMANTIC_NEGATIVE path capture, P1 polarity)
+                    pre = left[0]["start"] - 1
+                    mod = _sign_of_stem(self.lows[pre]) if pre >= 0 else 0
+                    return left[-1], (mod if mod != 0 else 1)
             j -= 1
             hops += 1
         return None, 1
@@ -1434,6 +1549,31 @@ class SentenceExtractor:
                                               "hyphen-activation")
                 i += 1
                 continue
+            # "E2-induced SRC-3 phosphorylation" → controller=E2 over the
+            # following event(s) (hyphen participle controller compound)
+            if "-" in lw and lw.endswith(("ed", "en")):
+                pre, _, trig_part = lw.rpartition("-")
+                hsign = _sign_of_stem(trig_part)
+                if hsign != 0 and pre in self.dictionary:
+                    evs = [ev for ev in self.events
+                           if ev["kind"] == "event" and
+                           ev["trigger_start"] is not None and
+                           i < ev["trigger_start"] <= i + 5 and
+                           not ev["label"].endswith(("regulation",
+                                                     "activation"))]
+                    if evs:
+                        lab, canon = self.dictionary[pre]
+                        ctrl = _mk(self.doc_id, self.sent_idx, "tbm", lab,
+                                   i, i + 1, self.words, "rule-ner-hyphen")
+                        ctrl["canonical"] = canon
+                        ctrl["text"] = self.words[i].rpartition("-")[0]
+                        self.entities.append(ctrl)
+                        for ev in evs:
+                            self._emit_reg_or_act((i, i + 1), ctrl, 1, ev,
+                                                  hsign, "event",
+                                                  "hyphen-controller")
+                        i += 1
+                        continue
             sign = _sign_of_stem(lw)
             # nominal regulation trigger: "Inhibition of mTOR by rapamycin",
             # "resulted in up-regulation of the MKP3 gene" (pos-reg_template
@@ -1521,6 +1661,16 @@ class SentenceExtractor:
                     conj = self.conj_ents_right(controlled["start"])
                     if len(conj) > 1:
                         targets = conj
+                else:
+                    # all simple events sharing the controlled trigger
+                    # ("enhances EphrinB1 and Erk1 phosphorylation" → one
+                    # reg per theme of the shared nominal trigger)
+                    ts = controlled["trigger_start"]
+                    targets = [ev for ev in self.events
+                               if ev["kind"] == "event" and
+                               ev["trigger_start"] == ts and
+                               not ev["label"].endswith(("regulation",
+                                                         "activation"))]
                 for t in targets:
                     self._emit_reg_or_act((i, i + 1), controller, wsign,
                                           t, sign * csign, ckind,

@@ -651,7 +651,167 @@ CASES: list[tuple[str, str, str, list[tuple]]] = [
      "Apoptosis activated p53.",
      [("count", "Positive_activation", 0),
       ("count", "Negative_activation", 0)]),
+
+    # ------------- TestRegulationEvents.scala (batch 2) -------------
+    ("reg_s20", "TestRegulationEvents.scala:176",
+     "The binding of ASPP1 and ASPP2 promotes the phosphorylation of MEK",
+     [("count", "Positive_regulation", 1),
+      ("event", "Binding", ["ASPP1", "ASPP2"]),
+      ("event", "Phosphorylation", ["MEK"])]),
+    ("reg_s22", "TestRegulationEvents.scala:217",
+     "Human deoxycytidine kinase is phosphorylated on serine 128 by ASPP2.",
+     [("count", "Positive_regulation", 1),
+      ("event", "Phosphorylation", ["deoxycytidine kinase", "serine 128"]),
+      ("posreg", "ASPP2", "Phosphorylation", ["deoxycytidine kinase"])]),
+    ("reg_s23", "TestRegulationEvents.scala:237",
+     "histone 2B phosphorylated by AKT1 had high levels of incorporated "
+     "32P, suggesting that AKT1 was active; while under the same "
+     "conditions, ASPP2 (693-1128) fragment",
+     [("count", "Positive_regulation", 1),
+      ("count", "Phosphorylation", 1),
+      ("posreg", "AKT1", "Phosphorylation", ["histone 2B"])]),
+    ("reg_s24", "TestRegulationEvents.scala:245",
+     "The binding of BS1 and BS2 promotes the phosphorylation of MEK",
+     [("count", "Positive_regulation", 1),
+      ("event", "Binding", ["BS1", "BS2"]),
+      ("event", "Phosphorylation", ["MEK"])]),
+    ("reg_s25", "TestRegulationEvents.scala:263",
+     "ASPP1 aids in the translocation of Kras to the membrane",
+     [("posreg", "ASPP1", "Translocation", ["Kras"])]),
+    ("reg_s27", "TestRegulationEvents.scala:276",
+     "rapamycin blocked the serum-stimulated phosphorylation of ERK",
+     [("negreg", "rapamycin", "Phosphorylation", ["ERK"])]),
+    ("reg_s28", "TestRegulationEvents.scala:282",
+     "rapamycin inhibition of the phosphorylation of ERK",
+     [("negreg", "rapamycin", "Phosphorylation", ["ERK"])]),
+    ("reg_s29", "TestRegulationEvents.scala:288",
+     "B-Raf phosphorylates MEK2 and MEK1 on Ser221 and Ser217",
+     [("count", "Positive_regulation", 4),
+      ("count", "Phosphorylation", 4)]),
+    ("reg_s30", "TestRegulationEvents.scala:295",
+     "Note that only K650M and K650E-FGFR3 mutants cause STAT1 "
+     "phosphorylation",
+     [("count", "Phosphorylation", 1),
+      ("posreg", "FGFR3", "Phosphorylation", ["STAT1"])]),
+    ("reg_s32", "TestRegulationEvents.scala:311",
+     "p53-phosphorylation of ERK",
+     [("count", "Positive_regulation", 1),
+      ("count", "Phosphorylation", 1),
+      ("posreg", "p53", "Phosphorylation", ["ERK"])]),
+    ("reg_s36", "TestRegulationEvents.scala:349",
+     "Taken together , these data suggest that decreased PTPN13 "
+     "expression enhances EphrinB1 and Erk1 and phosphorylation in "
+     "epithelial cells .",
+     [("count", "Negative_regulation", 2)]),
+    ("reg_s38", "TestRegulationEvents.scala:366",
+     "These data are consistent with EphrinB1 being a PTPN13 phosphatase "
+     "substrate and suggest that decreased PTPN13 expression in BL breast "
+     "cancer cell lines increases phosphorylation of EphrinB1 .",
+     [("count", "Negative_regulation", 1)]),
+    ("reg_s41", "TestRegulationEvents.scala:389",
+     "Our model, in which E2-induced SRC-3 phosphorylation occurs in a "
+     "complex with ER",
+     [("count", "Positive_regulation", 1),
+      ("count", "Phosphorylation", 1),
+      ("posreg", "E2", "Phosphorylation", ["SRC-3"])]),
+    ("reg_s42", "TestRegulationEvents.scala:397",
+     "Cells expressing ErbB3 show tyrosine phosphorylation in response to "
+     "treatment with RAS",
+     [("count", "Positive_regulation", 1),
+      ("count", "Phosphorylation", 1),
+      ("posreg", "RAS", "Phosphorylation", ["ErbB3"])]),
+    ("reg_s43", "TestRegulationEvents.scala:405",
+     "Cells expressing ErbB3 show tyrosine phosphorylation in response to "
+     "RAS treatment",
+     [("count", "Positive_regulation", 1),
+      ("count", "Phosphorylation", 1),
+      ("posreg", "RAS", "Phosphorylation", ["ErbB3"])]),
+    ("reg_s44", "TestRegulationEvents.scala:413",
+     "Cells expressing ErbB3 show tyrosine phosphorylation in response to "
+     "RAS inhibition",
+     [("count", "Negative_regulation", 1),
+      ("count", "Phosphorylation", 1),
+      ("negreg", "RAS", "Phosphorylation", ["ErbB3"])]),
+    ("reg_s45", "TestRegulationEvents.scala:421",
+     "Together these data demonstrate that E2-induced SRC-3 "
+     "phosphorylation is dependent on a direct interaction between SRC-3 "
+     "and ERalpha and can occur outside of the nucleus.",
+     [("count", "Positive_regulation", 1),
+      ("count", "Phosphorylation", 1),
+      ("count", "Binding", 1),
+      ("posreg", "E2", "Phosphorylation", ["SRC-3"])]),
 ]
+
+
+# ---------------------------------------------------------------------------
+# Templatic frame generation, mirroring the reference's own rule templating
+# (simple-event_template.yml instantiated per event type in
+# events_master.yml:17-510; test sentences from
+# TestTemplaticSimpleEvents.scala:170-420 / TestTemplaticSimpleDeEvents.scala,
+# which repeat the same ~7 syntactic frames for every PTM type).
+# ---------------------------------------------------------------------------
+
+_TEMPLATE_TYPES: dict[str, tuple[str, str]] = {
+    # label -> (verb stem, noun)
+    "Phosphorylation": ("phosphorylat", "phosphorylation"),
+    "Ubiquitination": ("ubiquitinat", "ubiquitination"),
+    "Sumoylation": ("sumoylat", "sumoylation"),
+    "Glycosylation": ("glycosylat", "glycosylation"),
+    "Acetylation": ("acetylat", "acetylation"),
+    "Farnesylation": ("farnesylat", "farnesylation"),
+    "Ribosylation": ("ribosylat", "ribosylation"),
+    "Methylation": ("methylat", "methylation"),
+    "Hydroxylation": ("hydroxylat", "hydroxylation"),
+    "Hydrolysis": ("hydrolyz", "hydrolysis"),
+}
+
+
+def _templatic_cases() -> list[tuple[str, str, str, list[tuple]]]:
+    out: list[tuple[str, str, str, list[tuple]]] = []
+    src = "TestTemplaticSimpleEvents.scala (templated frames)"
+    de_src = "TestTemplaticSimpleDeEvents.scala (templated frames)"
+    for label, (v, noun) in _TEMPLATE_TYPES.items():
+        ving, ved, v3, vbase = v + "ing", v + "ed", v + "es", v + "e"
+        ev = ("event", label, ["ASPP2"])
+        pr = ("posreg", "Ras", label, ["ASPP2"])
+        frames = [
+            ("decl1", f"Ras is {ving} ASPP2.", [ev, pr]),
+            ("pass1", f"ASPP2 is {ved} by Ras.", [ev, pr]),
+            ("subjnom1", f"Ras {noun} of ASPP2 increased.", [ev, pr]),
+            ("objnom1", f"ASPP2 {noun} by Ras increased.", [ev, pr]),
+            ("subjrel1",
+             "Its many abnormal phenotypes can be rescued via Ras, "
+             f"which specifically {v3} ASPP2.", [ev, pr]),
+            ("subjrel2",
+             f"Ras, which has been found to {vbase} ASPP2, activates MEK.",
+             [ev, pr]),
+            ("objrel1",
+             "We measured transcription activation in the presence of "
+             f"ASPP2, which is {ved} by Ras.", [ev, pr]),
+        ]
+        for fid, sent, exps in frames:
+            out.append((f"tmpl_{label.lower()}_{fid}", src, sent, exps))
+        if label == "Hydrolysis":
+            continue  # no De- variant in the reference taxonomy
+        de_label = "De" + label.lower()
+        dev, denoun = "de" + v, "de" + noun
+        de_ev = ("event", de_label, ["ASPP2"])
+        de_not = ("!event", label, ["ASPP2"])
+        de_pr = ("posreg", "Ras", de_label, ["ASPP2"])
+        de_frames = [
+            ("decl1", f"Ras is {dev}ing ASPP2.", [de_ev, de_not, de_pr]),
+            ("pass1", f"ASPP2 is {dev}ed by Ras.", [de_ev, de_not, de_pr]),
+            ("subjnom1", f"Ras {denoun} of ASPP2 increased.",
+             [de_ev, de_not, de_pr]),
+            ("objnom1", f"ASPP2 {denoun} by Ras increased.",
+             [de_ev, de_not, de_pr]),
+        ]
+        for fid, sent, exps in de_frames:
+            out.append((f"tmpl_{de_label.lower()}_{fid}", de_src, sent, exps))
+    return out
+
+
+CASES.extend(_templatic_cases())
 
 
 def fixture_sentences() -> list[str]:

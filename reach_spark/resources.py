@@ -245,6 +245,8 @@ _GGP_NAMES = [
     "ErbB3", "ERK-1", "HDAC", "SIRT1", "ASPP", "p100", "p105",
     "Ku70", "Ku80", "DNA-PK", "XRCC1", "IKKgamma", "MKP3", "C-RAF",
     "STAT1", "FGFR3", "RAD51", "phosphatidylinositol 3-kinase",
+    "BS1", "BS2", "histone 2B", "PTPN13", "EphrinB1", "p300", "CBP",
+    "SRC-3", "ER", "ERalpha", "GSK-3", "LRP5",
 ]
 _FAMILY_NAMES = ["Ras family", "MAPK family", "AKT family", "ERK family",
                  "PI3K family", "STAT family", "caspase family",
@@ -253,7 +255,7 @@ _CHEMICAL_NAMES = ["GTP", "GDP", "ATP", "ADP", "AMP", "cAMP", "NADPH",
                    "ubiquitin", "polyubiquitin", "rapamycin", "Rapamycin",
                    "wortmannin", "LY294002",
                    "U0126", "PD98059", "staurosporine", "calcium", "Ca2+",
-                   "glucose", "phosphate", "32P"]
+                   "glucose", "phosphate", "32P", "E2"]
 _BIOPROCESS_NAMES = ["apoptosis", "autophagy", "proliferation", "angiogenesis",
                      "transactivation", "cell cycle", "cell death",
                      "tumorigenesis", "metastasis", "differentiation"]
