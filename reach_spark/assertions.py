@@ -162,8 +162,12 @@ def check_expectation(exp: tuple, mentions: list[dict],
         return has_entity(exp[1], mentions)
     if op == "negated":
         return has_negated(exp[1], mentions)
+    if op == "!negated":
+        return not has_negated(exp[1], mentions)
     if op == "hypothesis":
         return has_hypothesis(exp[1], mentions)
+    if op == "!hypothesis":
+        return not has_hypothesis(exp[1], mentions)
     if op == "ptm":
         return has_ptm(exp[1], exp[2], exp[3] if len(exp) > 3 else None,
                        mentions)

@@ -39,7 +39,10 @@ Mention = dict[str, Any]
 # ---------------------------------------------------------------------------
 
 _TOKEN_RE = re.compile(
-    r"[A-Za-z0-9](?:[A-Za-z0-9_+/'.-]*[A-Za-z0-9+])?|\S"
+    # \w keeps unicode letters ("β-D-galactose", "PI3KC2β") in one token;
+    # internal commas join chemical names ("fructose-1,6-bisphosphate") —
+    # list commas are still split because English puts a space after them
+    r"\w(?:[\w+/'.,-]*[\w+])?|\S"
 )
 _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z\"(])")
 
@@ -130,7 +133,7 @@ def pos_tag(words: list[str]) -> list[str]:
             tags.append("DT")
         elif lw in _CONJ:
             tags.append("CC")
-        elif lw in _AUX:
+        elif lw in _AUX or lw.endswith("n't"):
             tags.append("AUX")
         elif lw in _KNOWN_VERBS or lw.endswith(_VERB_SUFFIXES):
             if lw.endswith(("ed", "en")):
@@ -693,6 +696,35 @@ class SentenceExtractor:
             return "Degradation" if False else "DecreaseAmount", form, False
         return None
 
+    _PRON_SG = frozenset({"it", "its"})
+    _PRON_PL = frozenset({"they", "them", "their"})
+
+    def resolve_pronoun(self, pos: int,
+                        exclude: frozenset = frozenset()) -> list[Mention]:
+        """Sentence-local pronominal anaphora (pronominalMatch sieve,
+        DarpaLinks.scala:171-260, resolution explode Coref.scala:35-110):
+        singular → the sentence-subject (leftmost prior) entity; plural →
+        ALL prior entities. `exclude` bars an event's own other arguments
+        from antecedenthood ("BEF phosphorylates it" → no event)."""
+        if pos < 0 or pos >= self.n:
+            return []
+        lw = self.lows[pos]
+        if lw not in self._PRON_SG and lw not in self._PRON_PL:
+            return []
+        prior = [e for e in self.entities
+                 if e["end"] <= pos and
+                 e["label"] not in R.CONTEXT_ENTITY_LABELS and
+                 e["label"] != "Site" and
+                 e["mention_id"] not in exclude]
+        prior.sort(key=lambda e: e["start"])
+        if not prior:
+            return []
+        return prior if lw in self._PRON_PL else [prior[0]]
+
+    def _pronoun_at(self, pos: int) -> bool:
+        return 0 <= pos < self.n and (self.lows[pos] in self._PRON_SG or
+                                      self.lows[pos] in self._PRON_PL)
+
     @staticmethod
     def match_simple_event_trigger_text(s: str) -> str | None:
         """Event label for a bare nominal string ('phosphorylation')."""
@@ -803,7 +835,7 @@ class SentenceExtractor:
     def _split_event_and_reg(self, label: str, trig: tuple[int, int],
                              theme: Mention, cause: Mention | None,
                              rule: str, site: Mention | None = None,
-                             reg_sign: int = 1) -> None:
+                             reg_sign: int = 1) -> Mention | None:
         """splitSimpleEvents (DarpaActions.scala:334-368): the simple event
         keeps theme(+site), isDirect=true when a cause existed; the cause
         becomes controller of a Positive_regulation over the event
@@ -811,9 +843,9 @@ class SentenceExtractor:
         RAS inhibition')."""
         if theme["canonical"] == "ubiquitin" or (
                 cause is not None and cause["canonical"] == "ubiquitin"):
-            return  # mkUbiquitination guard, DarpaActions.scala:153-162
+            return None  # mkUbiquitination guard, DarpaActions.scala:153-162
         if theme["label"] in R.CONTEXT_ENTITY_LABELS:
-            return  # PTM themes are BioChemicalEntities (taxonomy.yml)
+            return None  # PTM themes are BioChemicalEntities (taxonomy.yml)
         reg_label = ("Positive_regulation" if reg_sign > 0
                      else "Negative_regulation")
         ev = self._event(label, trig, theme, rule, site=site,
@@ -829,11 +861,20 @@ class SentenceExtractor:
             reg = self._reg(reg_label, trig, cause, ev,
                             rule + "-auto")
             self.events.append(reg)
+        return ev
 
     def _active_verbal(self, label: str, trig: tuple[int, int],
                        is_auto: bool) -> None:
         i = trig[0]
-        subj = self.nearest_ent_left(i)
+        extra_subjs: list[Mention] = []
+        if self._pronoun_at(i - 1):
+            # plural pronoun subject: "they phosphorylate ASPP2" → one
+            # event, one regulation per resolved controller
+            resolved = self.resolve_pronoun(i - 1)
+            subj = resolved[0] if resolved else None
+            extra_subjs = resolved[1:]
+        else:
+            subj = self.nearest_ent_left(i)
         if is_auto:
             if subj is not None:
                 base = label if label != "AutoPhosphorylation" else "Phosphorylation"
@@ -863,7 +904,16 @@ class SentenceExtractor:
             return
         themes = self.conj_ents_right(i + 1)
         if not themes:
-            return
+            # pronoun object: "BEF sumoylates it" → resolve to the
+            # sentence subject, excluding the event's own controller
+            j2 = i + 1
+            while j2 < self.n and self.tags[j2] == "DT":
+                j2 += 1
+            if self._pronoun_at(j2):
+                excl = frozenset({subj["mention_id"]}) if subj else frozenset()
+                themes = self.resolve_pronoun(j2, excl)
+            if not themes:
+                return
         sites = self.sites_near(themes[-1]["end"], min(self.n, themes[-1]["end"] + 10))
         if not sites:
             sites = self.paren_site_list(themes[-1]["end"] + 1) or \
@@ -873,13 +923,20 @@ class SentenceExtractor:
                 self.lows[themes[-1]["end"]].startswith("residue"):
             sites = self.paren_site_list(themes[-1]["end"] + 1)
         for theme in themes:
+            evs = []
             if sites:
                 for s in sites:
-                    self._split_event_and_reg(label, trig, theme, subj,
-                                              "simple-verbal", site=s)
+                    evs.append(self._split_event_and_reg(
+                        label, trig, theme, subj, "simple-verbal", site=s))
             else:
-                self._split_event_and_reg(label, trig, theme, subj,
-                                          "simple-verbal")
+                evs.append(self._split_event_and_reg(
+                    label, trig, theme, subj, "simple-verbal"))
+            for extra in extra_subjs:  # plural pronoun controllers
+                for ev in evs:
+                    if ev is not None:
+                        self.events.append(self._reg(
+                            "Positive_regulation", trig, extra, ev,
+                            "simple-verbal-split"))
 
     def _scan_from_to_by(self, start: int, limit: int = 16) -> tuple[
             Mention | None, list[Mention], Mention | None]:
@@ -986,7 +1043,8 @@ class SentenceExtractor:
                 j -= 1
                 hops += 1
                 continue
-            if self.lows[j] in ("able", "to", "not", "never") or \
+            if self.lows[j] in ("able", "to", "not", "never", "often",
+                                "sometimes", "always", "still") or \
                     self.lows[j].endswith("ly"):  # adverbs are transparent
                 j -= 1
                 hops += 1
@@ -1005,6 +1063,27 @@ class SentenceExtractor:
         sites = self.sites_near(i, min(self.n, i + 8))
         site = sites[0] if sites else None
         if has_aux or by_ent is not None:
+            # pronoun subject: "it is often ubiquitinated" → resolve to
+            # the sentence subject; an unresolvable pronoun suppresses
+            # the event (Coref.resolve isComplete pruning, Coref.scala:428)
+            k = i - 1
+            while k >= 0 and (self.tags[k] == "AUX" or
+                              self.lows[k].endswith("ly") or
+                              self.lows[k] in ("often", "not", "never",
+                                               "to", "able")):
+                k -= 1
+            if self._pronoun_at(k):
+                excl = frozenset({by_ent["mention_id"]}) if by_ent \
+                    else frozenset()
+                for t in self.resolve_pronoun(k, excl):
+                    if label == "Translocation":
+                        self._emit_translocations(trig, t,
+                                                  "transloc-passive-pron")
+                    else:
+                        self._split_event_and_reg(label, trig, t, by_ent,
+                                                  "simple-passive-pron",
+                                                  site=site)
+                return
             # PTM/translocation themes are BioChemicalEntities, never
             # context entities (taxonomy.yml theme constraints) — walk
             # through cellular components etc. ("... to the nucleus, is
@@ -1144,6 +1223,13 @@ class SentenceExtractor:
                     cands = self.conj_ents_right(i + 2)
                     if cands:
                         cause = cands[0]
+            elif self._pronoun_at(i - 1):
+                # possessive anaphor: "as is their phosphorylation" →
+                # one event per resolved antecedent
+                themes = self.resolve_pronoun(i - 1)
+                rule = "simple-nominal-pron"
+                if not themes:
+                    return
         if is_auto and not themes:
             left = self.conj_ents_left(i)
             if left:
@@ -1213,6 +1299,117 @@ class SentenceExtractor:
                 break
             k += 1
         return None, 1
+
+    # -- conversions ------------------------------------------------------
+    def _first_ent_right(self, pos: int, max_hops: int = 6) -> Mention | None:
+        """First entity starting within `max_hops` tokens right of pos
+        (lenient NP scan: 'to the more metabolically useful glucose
+        1-phosphate')."""
+        j, hops = pos, 0
+        while j < self.n and hops < max_hops:
+            if self.lows[j] in (".", ";", ","):
+                return None
+            e = self.ent_starting_at(j)
+            if e is not None:
+                return e
+            j += 1
+            hops += 1
+        return None
+
+    def _emit_conversion(self, trig: tuple[int, int], theme: Mention,
+                         product: Mention | None,
+                         ctrl: Mention | None, rule: str) -> None:
+        ev = self._event("Conversion", trig, theme, rule,
+                         cause_text_extra=(product["mention_id"]
+                                           if product else "") +
+                         (ctrl["mention_id"] if ctrl else ""))
+        if product is not None:
+            ev["args"].append(_arg("product", product))
+        self.events.append(ev)
+        self.consumed_triggers.add(trig[0])
+        if ctrl is not None:
+            self.events.append(self._reg("Positive_regulation", trig,
+                                         ctrl, ev, rule + "-split"))
+
+    def find_conversions(self) -> None:
+        """Conversion events (conversion_events.yml): 'conversion of X
+        to/into Y (by Z)', 'Z converts X to Y', 'X is converted/epimerized
+        to Y by Z', PTM-passive with product ('phosphorylated by
+        galactokinase to galactose 1-phosphate')."""
+        i = 0
+        while i < self.n:
+            lw = self.lows[i]
+            trig = (i, i + 1)
+            if lw.startswith("conversion") and i + 1 < self.n and \
+                    self.lows[i + 1] == "of":
+                theme = self._first_ent_right(i + 2, 4)
+                product = ctrl = None
+                if theme is not None:
+                    j = theme["end"]
+                    while j < min(self.n, theme["end"] + 10):
+                        if self.lows[j] in ("to", "into") and product is None:
+                            product = self._first_ent_right(j + 1, 6)
+                        if self.lows[j] == "by" and ctrl is None:
+                            ctrl = self._first_ent_right(j + 1, 4)
+                        j += 1
+                    if ctrl is None:
+                        ctrl = self.nearest_ent_left(i, max_hops=8)
+                    self._emit_conversion(trig, theme, product, ctrl,
+                                          "conversion-nominal")
+            elif lw.startswith(R.CONVERSION_STEMS):
+                if lw.endswith(("ed", "en")):
+                    theme = self.nearest_ent_left(
+                        i, skip=frozenset({"Site"}) |
+                        R.CONTEXT_ENTITY_LABELS, max_hops=14)
+                    product = ctrl = None
+                    j = i + 1
+                    while j < min(self.n, i + 12):
+                        if self.lows[j] in ("to", "into") and product is None:
+                            product = self._first_ent_right(j + 1, 6)
+                        if self.lows[j] == "by" and ctrl is None:
+                            ctrl = self._first_ent_right(j + 1, 4)
+                        j += 1
+                    if theme is not None and product is not None:
+                        self._emit_conversion(trig, theme, product, ctrl,
+                                              "conversion-passive")
+                else:
+                    ctrl = self.nearest_ent_left(i, max_hops=8)
+                    theme = self._first_ent_right(i + 1, 5)
+                    product = None
+                    if theme is not None:
+                        j = theme["end"]
+                        while j < min(self.n, theme["end"] + 8):
+                            if self.lows[j] in ("to", "into"):
+                                product = self._first_ent_right(j + 1, 6)
+                                break
+                            j += 1
+                        if product is not None:
+                            self._emit_conversion(trig, theme, product,
+                                                  ctrl, "conversion-active")
+            elif lw.endswith("ed") and self.match_simple_event_trigger(i) \
+                    and i + 1 < self.n and self.lows[i + 1] == "by":
+                # PTM passive with product: "X is phosphorylated by Z to Y"
+                ctrl = self._first_ent_right(i + 2, 4)
+                product = None
+                if ctrl is not None and ctrl["end"] < self.n and \
+                        self.lows[ctrl["end"]] == "to":
+                    product = self._first_ent_right(ctrl["end"] + 1, 6)
+                if product is not None and \
+                        product["label"] == "Simple_chemical":
+                    theme = self.nearest_ent_left(
+                        i, skip=frozenset({"Site"}) |
+                        R.CONTEXT_ENTITY_LABELS, max_hops=12)
+                    if theme is not None:
+                        ev = self._event("Conversion", trig, theme,
+                                         "conversion-ptm-passive",
+                                         cause_text_extra=product["mention_id"])
+                        ev["args"].append(_arg("product", product))
+                        self.events.append(ev)
+                        if ctrl is not None:
+                            self.events.append(self._reg(
+                                "Positive_regulation", trig, ctrl, ev,
+                                "conversion-ptm-passive-split"))
+            i += 1
 
     # -- bindings ---------------------------------------------------------
     def find_bindings(self) -> None:
@@ -1372,11 +1569,32 @@ class SentenceExtractor:
                             i += 1
                             continue
                     left = self.conj_ents_left(i)
+                    if not left and self._pronoun_at(i - 1):
+                        resolved = self.resolve_pronoun(i - 1)
+                        if len(resolved) >= 2:
+                            # "as is their binding" → one binding over the
+                            # resolved antecedent set
+                            for a in range(len(resolved)):
+                                for b in range(a + 1, len(resolved)):
+                                    self._emit_binding(
+                                        (i, i + 1), resolved[a],
+                                        resolved[b], "binding-pron-plural")
+                            i += 1
+                            continue
+                        if resolved:
+                            left = resolved
                     if left:
                         t1 = left[-1]
                         for j in range(i + 1, min(self.n, i + 4)):
                             if self.lows[j] in ("to", "with", "by"):
                                 t2s = self.conj_ents_right(j + 1)
+                                if not t2s:
+                                    k2 = j + 1
+                                    while k2 < self.n and \
+                                            self.tags[k2] == "DT":
+                                        k2 += 1
+                                    t2s = self.resolve_pronoun(
+                                        k2, frozenset({t1["mention_id"]}))
                                 break
                 if t1 is not None and t2 is None and t2s:
                     for t2x in t2s:
@@ -1394,6 +1612,9 @@ class SentenceExtractor:
             return
         if "ubiquitin" in (t1["canonical"], t2["canonical"]):
             return
+        if t1["label"] in R.CONTEXT_ENTITY_LABELS or \
+                t2["label"] in R.CONTEXT_ENTITY_LABELS:
+            return  # "a mouse binds GTP" → not a biochemical binding
         pair_rules = ("rule-ner-hyphen-pair", "rule-ner-slash-pair")
         same_token_pair = (t1["found_by"] in pair_rules and
                            t2["found_by"] in pair_rules)
@@ -1409,7 +1630,9 @@ class SentenceExtractor:
         self.consumed_triggers.add(trig[0])
 
     # -- regulations / activations ----------------------------------------
-    def _controlled_arg(self, pos: int) -> tuple[Mention | None, int, str]:
+    def _controlled_arg(self, pos: int,
+                        exclude: frozenset = frozenset()
+                        ) -> tuple[Mention | None, int, str]:
         """What is being controlled starting near token pos: an event whose
         trigger is at/after pos (within the NP), an activation wrapper
         ("activation of ENT" → the entity with sign), or an entity.
@@ -1447,6 +1670,11 @@ class SentenceExtractor:
             e = self.ent_starting_at(j)
             if e:
                 return e, 1, "entity"
+            if self._pronoun_at(j):
+                # "ASPP2 activates it" → resolve, barring the controller
+                resolved = self.resolve_pronoun(j, exclude)
+                if resolved:
+                    return resolved[0], 1, "entity"
             return None, 1, "none"
         return None, 1, "none"
 
@@ -1479,6 +1707,11 @@ class SentenceExtractor:
                     hit = self.match_simple_event_trigger(k - 1)
                     if hit and hit[1] == "noun":
                         return e, 1
+                # dominant-negative modifier flips the controller sign
+                # ("Dominant negative IL-6 impaired..." → Positive_activation)
+                if k >= 0 and self.lows[k] in ("negative",
+                                               "dominant-negative"):
+                    return e, -1
                 return e, 1
             # bare wrapper directly: "RAS activation" handled via compound
             hit = self.match_simple_event_trigger(j)
@@ -1500,6 +1733,24 @@ class SentenceExtractor:
         while i < self.n:
             lw = self.lows[i]
             if i in self.consumed_triggers:
+                i += 1
+                continue
+            # "X plays no/little role in the phosphorylation of Y" →
+            # regulation; the no/little cue is picked up by the negation
+            # handler (NegationHandler bigrams, NegationHandler.scala:10-112)
+            if lw == "role" and i + 1 < self.n and self.lows[i + 1] == "in":
+                play_pos = None
+                for k in range(max(0, i - 3), i):
+                    if self.lows[k] in ("plays", "play", "played"):
+                        play_pos = k
+                if play_pos is not None:
+                    ctrl = self.nearest_ent_left(play_pos)
+                    ctld, csign, ckind = self._controlled_arg(i + 2)
+                    if ctrl is not None and ctld is not None and \
+                            ckind == "event":
+                        self._emit_reg_or_act((i, i + 1), ctrl, 1, ctld,
+                                              csign, ckind,
+                                              "plays-role-in")
                 i += 1
                 continue
             # agent nouns: "X is an activator of Y" / "... of the
@@ -1648,8 +1899,19 @@ class SentenceExtractor:
                 # adjective) — handled by active pattern only when VBZ/VB
                 # "RAS induced increased binding" → treat as active
                 pass
-            controller, wsign = self._controller_arg(i)
-            controlled, csign, ckind = self._controlled_arg(i + 1)
+            extra_controllers: list[Mention] = []
+            if self._pronoun_at(i - 1):
+                # pronoun controller: "they upregulate the phosphorylation
+                # of ASPP2" → one regulation per resolved antecedent
+                resolved = self.resolve_pronoun(i - 1)
+                controller = resolved[0] if resolved else None
+                extra_controllers = resolved[1:]
+                wsign = 1
+            else:
+                controller, wsign = self._controller_arg(i)
+            controlled, csign, ckind = self._controlled_arg(
+                i + 1, exclude=frozenset({controller["mention_id"]})
+                if controller else frozenset())
             if controller is None and controlled is not None:
                 # right-side controller: "... following MEK inhibition"
                 controller, wsign = self._controller_following(
@@ -1672,9 +1934,10 @@ class SentenceExtractor:
                                not ev["label"].endswith(("regulation",
                                                          "activation"))]
                 for t in targets:
-                    self._emit_reg_or_act((i, i + 1), controller, wsign,
-                                          t, sign * csign, ckind,
-                                          "reg-active")
+                    for ctrl in [controller] + extra_controllers:
+                        self._emit_reg_or_act((i, i + 1), ctrl, wsign,
+                                              t, sign * csign, ckind,
+                                              "reg-active")
             i += 1
 
     def _np_entities_right(self, j: int, max_hops: int = 20) -> list[Mention]:
@@ -1801,14 +2064,18 @@ class SentenceExtractor:
     # -- negation / hypothesis / cleanup -----------------------------------
     def detect_negations(self) -> None:
         """Surface negation cues scoped to the nearest following trigger
-        (NegationHandler.scala:10-112); parity rule applied in the DataFrame
-        layer (F4)."""
+        (NegationHandler.scala:10-112) with even-parity cancellation
+        ("doesn't fail to phosphorylate" → not negated;
+        NegationHandler.scala:115-137 F4)."""
         neg_positions = []
         for i, lw in enumerate(self.lows):
-            if lw in ("not", "no", "cannot", "never", "unable"):
+            if lw in ("not", "no", "cannot", "never", "unable",
+                      "little") or "n't" in lw:
                 neg_positions.append(i)
             elif lw in ("fails", "fail", "failed", "failure") and \
-                    i + 1 < self.n and self.lows[i + 1] == "to":
+                    i + 1 < self.n and (
+                    self.lows[i + 1] in ("to", "not") or
+                    self.tags[i + 1].startswith("V")):
                 neg_positions.append(i)
         if not neg_positions:
             return
@@ -1816,13 +2083,12 @@ class SentenceExtractor:
             ts = ev["trigger_start"]
             if ts is None:
                 continue
-            for p in neg_positions:
-                if p < ts and ts - p <= 4:
-                    between_trigger = any(
-                        q in self.consumed_triggers for q in range(p + 1, ts))
-                    if not between_trigger:
-                        self._attach_negation(ev, self.words[p])
-                        break
+            in_scope = [p for p in neg_positions
+                        if p < ts and ts - p <= 4 and not any(
+                            q in self.consumed_triggers
+                            for q in range(p + 1, ts))]
+            if len(in_scope) % 2 == 1:  # parity rule F4
+                self._attach_negation(ev, self.words[in_scope[0]])
 
     def _attach_negation(self, ev: Mention, cue: str) -> None:
         """Negation lands on the outermost event over this trigger: if a
@@ -1840,7 +2106,10 @@ class SentenceExtractor:
                 break
         if ev["label"].endswith(("regulation", "activation")):
             target = ev
-        target["mods"].append(_mod("Negation", evidence=cue, negated=True))
+        if not any(m["kind"] == "Negation" and m["evidence_text"] == cue
+                   for m in target["mods"]):
+            target["mods"].append(_mod("Negation", evidence=cue,
+                                       negated=True))
 
     def detect_hypotheses(self) -> None:
         cue_pos = [i for i, lw in enumerate(self.lows)
@@ -1967,6 +2236,7 @@ class SentenceExtractor:
         self.split_mutants()
         aliases = self.find_aliases()
         self.find_simple_events()
+        self.find_conversions()
         self.find_bindings()
         self.find_regulations()
         self.detect_negations()

@@ -163,6 +163,7 @@ CONTEXT_ENTITY_LABELS = frozenset({
     "TissueType"})
 TRANSCRIPTION_STEMS = ("transcrib", "transcription", "express")
 DEGRADATION_STEMS = ("degrad",)
+CONVERSION_STEMS = ("convert", "recycl", "epimeriz", "isomeriz")
 
 # negation cues (reference darpa/NegationHandler.scala:10-112)
 NEGATION_SINGLE = ("not", "no", "neither", "nor", "without", "unable",
@@ -173,7 +174,9 @@ NEGATION_BIGRAMS = (("play", "no"), ("is", "not"), ("was", "not"),
                     ("did", "not"), ("do", "not"))
 
 # hypothesis cues (reference darpa/HypothesisHandler.scala:16-43)
-HYPOTHESIS_CUES = ("hypothesize", "hypothesized", "hypothesis", "whether",
+HYPOTHESIS_CUES = ("hints", "hint", "hinted", "indicates", "indicate",
+                   "indicated",
+                   "hypothesize", "hypothesized", "hypothesis", "whether",
                    "may", "might", "possibly", "possible", "suggest",
                    "suggests", "suggested", "propose", "proposed", "test",
                    "tested", "investigate", "investigated", "examine",
@@ -246,7 +249,10 @@ _GGP_NAMES = [
     "Ku70", "Ku80", "DNA-PK", "XRCC1", "IKKgamma", "MKP3", "C-RAF",
     "STAT1", "FGFR3", "RAD51", "phosphatidylinositol 3-kinase",
     "BS1", "BS2", "histone 2B", "PTPN13", "EphrinB1", "p300", "CBP",
-    "SRC-3", "ER", "ERalpha", "GSK-3", "LRP5",
+    "SRC-3", "ER", "ERalpha", "GSK-3", "LRP5", "BEF", "LMTK2",
+    "mutarotase", "GALM", "phosphoglucomutase", "phosphoglucomutases",
+    "galactokinase", "galactose mutarotase", "UDP-galactose 4-epimerase",
+    "ACE2", "PFK-1", "6-phosphofructo-1-kinase",
 ]
 _FAMILY_NAMES = ["Ras family", "MAPK family", "AKT family", "ERK family",
                  "PI3K family", "STAT family", "caspase family",
@@ -255,7 +261,14 @@ _CHEMICAL_NAMES = ["GTP", "GDP", "ATP", "ADP", "AMP", "cAMP", "NADPH",
                    "ubiquitin", "polyubiquitin", "rapamycin", "Rapamycin",
                    "wortmannin", "LY294002",
                    "U0126", "PD98059", "staurosporine", "calcium", "Ca2+",
-                   "glucose", "phosphate", "32P", "E2"]
+                   "glucose", "phosphate", "32P", "E2",
+                   "pyruvate", "lactate", "β-D-galactose", "α-D-galactose",
+                   "glucose 1-phosphate", "glucose-1-phosphate",
+                   "glucose-6-phosphate", "glucose 6-phosphate", "F-6-P",
+                   "fructose-1,6-bisphosphate", "UDP-galactose",
+                   "UDP-glucose", "D-glucose 1-phosphate",
+                   "D-glucose 6-phosphate", "galactose 1-phosphate",
+                   "angiotensin-I", "angiotensin-II"]
 _BIOPROCESS_NAMES = ["apoptosis", "autophagy", "proliferation", "angiogenesis",
                      "transactivation", "cell cycle", "cell death",
                      "tumorigenesis", "metastasis", "differentiation"]
