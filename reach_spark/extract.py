@@ -472,6 +472,12 @@ def attach_entity_mods(words: list[str], lows: list[str],
 # Event grammar (surface-pattern reimplementation of the templatic grammars)
 # ---------------------------------------------------------------------------
 
+def _auto_label(label: str) -> str:
+    """Reflexive/auto event label: AutoPhosphorylation < Phosphorylation
+    (taxonomy.yml:45); other auto PTMs keep the base label."""
+    return "AutoPhosphorylation" if label == "Phosphorylation" else label
+
+
 def _sign_of_stem(lw: str) -> int:
     """+1 / -1 / 0 by prefix against the pos/neg trigger stems
     (events_master.yml:5-7). Longest stem wins so 'upregul' beats none and
@@ -877,9 +883,10 @@ class SentenceExtractor:
             subj = self.nearest_ent_left(i)
         if is_auto:
             if subj is not None:
-                base = label if label != "AutoPhosphorylation" else "Phosphorylation"
-                self._split_event_and_reg(base, trig, subj, subj,
-                                          "auto-verbal")
+                sites = self.sites_near(i + 1, min(self.n, i + 10))
+                self._split_event_and_reg(
+                    _auto_label(label), trig, subj, subj, "auto-verbal",
+                    site=sites[0] if sites else None)
             return
         if label == "Translocation":
             # object present → subject is the cause ("ASPP2 ... translocates
@@ -890,6 +897,9 @@ class SentenceExtractor:
             if objs:
                 theme = objs[0]
                 source, dests, cause = self._scan_from_to_by(theme["end"])
+                if self.lows[i].startswith(("recruit", "release")) and \
+                        source is None and not dests:
+                    return  # "recruit Shp2" alone is not a translocation
                 if subj is not None and \
                         subj["label"] in R.CONTEXT_ENTITY_LABELS:
                     source = source or subj
@@ -909,6 +919,12 @@ class SentenceExtractor:
             j2 = i + 1
             while j2 < self.n and self.tags[j2] == "DT":
                 j2 += 1
+            if j2 < self.n and self.lows[j2] == "itself" and \
+                    subj is not None:
+                # reflexive auto event: "EGFR phosphorylates itself."
+                self._split_event_and_reg(_auto_label(label), trig, subj,
+                                          subj, "auto-reflexive")
+                return
             if self._pronoun_at(j2):
                 excl = frozenset({subj["mention_id"]}) if subj else frozenset()
                 themes = self.resolve_pronoun(j2, excl)
@@ -1265,8 +1281,9 @@ class SentenceExtractor:
         if sites2 and site is None:
             site = sites2[0]
         for theme in themes:
-            self._split_event_and_reg(label, trig, theme, cause, rule,
-                                      site=site, reg_sign=reg_sign)
+            self._split_event_and_reg(
+                _auto_label(label) if is_auto else label, trig, theme,
+                cause, rule, site=site, reg_sign=reg_sign)
 
     _RESPONSE_SIGNS = {"treatment": 1, "stimulation": 1, "exposure": 1,
                        "addition": 1, "inhibition": -1, "depletion": -1,

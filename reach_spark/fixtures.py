@@ -1020,6 +1020,57 @@ CASES.extend([
     ("conv_5", "TestConversionEvents.scala:50",
      "ACE2 catalyzes the conversion of angiotensin-I into angiotensin-II",
      [("count", "Conversion", 1)]),
+
+    # ------------- TestTemplaticAutoEvents.scala -------------
+    ("auto_ex1", "TestTemplaticAutoEvents.scala:9",
+     "EGFR autophosphorylates on a tyrosine residue.",
+     [("count", "AutoPhosphorylation", 1),
+      ("event", "AutoPhosphorylation", ["EGFR", "tyrosine"]),
+      ("posreg", "EGFR", "AutoPhosphorylation", ["EGFR"])]),
+    ("auto_ex2", "TestTemplaticAutoEvents.scala:28",
+     "EGFR phosphorylates itself.",
+     [("count", "AutoPhosphorylation", 1),
+      ("event", "AutoPhosphorylation", ["EGFR"]),
+      ("posreg", "EGFR", "AutoPhosphorylation", ["EGFR"])]),
+    ("auto_ex3", "TestTemplaticAutoEvents.scala:47",
+     "However, stimulation with EGF for varying time intervals revealed "
+     "no significant differences in the levels of autophosphorylation of "
+     "EGFR in cells expressing wild type Gab1 versus the Gab1 "
+     "F446/472/589 mutant.",
+     [("count", "AutoPhosphorylation", 1),
+      ("event", "AutoPhosphorylation", ["EGFR"]),
+      ("posreg", "EGFR", "AutoPhosphorylation", ["EGFR"])]),
+    ("auto_ex4", "TestTemplaticAutoEvents.scala:66",
+     "As has been previously reported, recruitment of Shp2 by Gab1 does "
+     "not alter the magnitude or kinetics of tyrosine autophosphorylation "
+     "of EGFR.",
+     [("count", "AutoPhosphorylation", 1),
+      ("event", "AutoPhosphorylation", ["EGFR"]),
+      ("posreg", "EGFR", "AutoPhosphorylation", ["EGFR"])]),
+    ("auto_ex5", "TestTemplaticAutoEvents.scala:85",
+     "Levels of EGFR autophosphorylation are represented linearly "
+     "following quantitation by densitometry and normalization for "
+     "protein expression levels.",
+     [("count", "AutoPhosphorylation", 1),
+      ("event", "AutoPhosphorylation", ["EGFR"]),
+      ("posreg", "EGFR", "AutoPhosphorylation", ["EGFR"])]),
+    ("auto_ex6", "TestTemplaticAutoEvents.scala:104",
+     "Because the substrates of Shp2 are for the most part unknown, we "
+     "were additionally interested in examining the state of EGFR "
+     "tyrosine phosphorylation following treatment with EGF in order to "
+     "determine if the failure of Gab1 to bind p85, and potentially "
+     "recruit Shp2, would influence levels of EGFR autophosphorylation.",
+     [("count", "AutoPhosphorylation", 1),
+      ("event", "AutoPhosphorylation", ["EGFR"]),
+      ("posreg", "EGFR", "AutoPhosphorylation", ["EGFR"])]),
+    ("auto_ex7", "TestTemplaticAutoEvents.scala:123",
+     "The experiment presented in Fig shows that all cell lines exhibit "
+     "EGFR autophosphorylation in response to EGF treatment, while only "
+     "cells expressing the ectopically introduced ErbB3 protein show "
+     "ErbB3 tyrosine phosphorylation in response to EGF stimulation.",
+     [("count", "AutoPhosphorylation", 1),
+      ("event", "AutoPhosphorylation", ["EGFR"]),
+      ("posreg", "EGFR", "AutoPhosphorylation", ["EGFR"])]),
 ])
 
 # ---------------------------------------------------------------------------
@@ -1090,7 +1141,47 @@ def _templatic_cases() -> list[tuple[str, str, str, list[tuple]]]:
     return out
 
 
+def _modification_cases() -> list[tuple[str, str, str, list[tuple]]]:
+    """TestModifications.scala / TestDeModifications.scala frame corpus:
+    9 PTM types × 7 syntactic frames (JJ / VBN / interceding / that-is,
+    each ± site), verbatim sentence shapes from the reference test file
+    (TestModifications.scala:17-100)."""
+    out: list[tuple[str, str, str, list[tuple]]] = []
+    types = {k: v for k, v in _TEMPLATE_TYPES.items() if k != "Hydrolysis"}
+    for label, (v, _) in types.items():
+        for prefix, lab, src in (
+                ("", label, "TestModifications.scala"),
+                ("de", "De" + label.lower(), "TestDeModifications.scala")):
+            ved = prefix + v + "ed"
+            ptm = ("ptm", "Ras", lab)
+            ptm_s16 = ("ptm", "Ras", lab, "Ser16")
+            ptm_s286 = ("ptm", "Ras", lab, "serine 286")
+            frames = [
+                ("jj", f"The {ved} Ras binds AKT and ASPP2.", [ptm]),
+                ("jj_site", f"The {ved} Ras at Ser16 binds AKT and ASPP2.",
+                 [ptm_s16]),
+                ("jj_interceding",
+                 f"The {ved} Ras protein at Ser16 binds AKT and ASPP2.",
+                 [ptm_s16]),
+                ("vbn", f"{ved.capitalize()} Ras binds AKT and ASPP2.",
+                 [ptm]),
+                ("vbn_site",
+                 f"{ved.capitalize()} Ras at Ser16 binds AKT and ASPP2.",
+                 [ptm_s16]),
+                ("vbn_interceding",
+                 f"{ved.capitalize()} Ras proteins at Ser16 binds AKT and "
+                 "ASPP2.", [ptm_s16]),
+                ("that_is",
+                 f"Src tyrosyl binds Ras that is {ved} at serine 286.",
+                 [ptm_s286, ("!event", lab, ["Ras"])]),
+            ]
+            for fid, sent, exps in frames:
+                out.append((f"modt_{lab.lower()}_{fid}", src, sent, exps))
+    return out
+
+
 CASES.extend(_templatic_cases())
+CASES.extend(_modification_cases())
 
 
 def fixture_sentences() -> list[str]:

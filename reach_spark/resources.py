@@ -252,7 +252,7 @@ _GGP_NAMES = [
     "SRC-3", "ER", "ERalpha", "GSK-3", "LRP5", "BEF", "LMTK2",
     "mutarotase", "GALM", "phosphoglucomutase", "phosphoglucomutases",
     "galactokinase", "galactose mutarotase", "UDP-galactose 4-epimerase",
-    "ACE2", "PFK-1", "6-phosphofructo-1-kinase",
+    "ACE2", "PFK-1", "6-phosphofructo-1-kinase", "p85", "Shp2",
 ]
 _FAMILY_NAMES = ["Ras family", "MAPK family", "AKT family", "ERK family",
                  "PI3K family", "STAT family", "caspase family",
