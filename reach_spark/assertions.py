@@ -160,6 +160,9 @@ def check_expectation(exp: tuple, mentions: list[dict],
         return not has_negative_activation(exp[1], exp[2], mentions)
     if op == "count":
         return count_label(exp[1], mentions) == exp[2]
+    if op == "entcount":
+        return sum(1 for m in mentions if m.get("kind") == "tbm" and
+                   _matches(m, exp[1])) == exp[2]
     if op == "entity":
         return has_entity(exp[1], mentions)
     if op == "negated":

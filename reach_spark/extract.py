@@ -278,7 +278,7 @@ _AA3_RE = re.compile(r"^(Ala|Arg|Asn|Asp|Cys|Gln|Glu|Gly|His|Ile|Leu|Lys|"
 
 def find_entities(doc_id: str, sent_idx: int, words: list[str],
                   dictionary: dict[str, tuple[str, ...]],
-                  max_ngram: int = 4) -> list[Mention]:
+                  max_ngram: int = 5) -> list[Mention]:
     """Greedy longest-match dictionary NER (reference KBLoader rule NER,
     invoked first in ReachSystem.extractEntitiesFrom, ReachSystem.scala:183)."""
     lows = [w.lower() for w in words]
@@ -294,6 +294,23 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
                 break
         if hit:
             k, (label, canon) = hit
+            nxt = lows[i + k] if i + k < n else ""
+            if nxt.startswith("substrate"):
+                # substrate constraint: "The K-Ras substrate" is not an
+                # entity mention (entities.yml post-attributive guard;
+                # TestEntities.scala sent6)
+                i += k + 1
+                continue
+            if nxt in ("inhibitor", "inhibitors") and \
+                    (i + k + 1 >= n or lows[i + k + 1] != "of"):
+                # "Ras inhibitor" is a Simple_chemical drug phrase
+                # (TestEntities.scala sent9a-b)
+                m = _mk(doc_id, sent_idx, "tbm", "Simple_chemical", i,
+                        i + k + 1, words, "rule-ner-inhibitor")
+                m["canonical"] = " ".join(lows[i:i + k + 1])
+                out.append(m)
+                i += k + 1
+                continue
             m = _mk(doc_id, sent_idx, "tbm", label, i, i + k, words,
                     "rule-ner")
             m["canonical"] = canon
@@ -364,7 +381,11 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
             i += 1
             continue
         mm = _SITE_AA_RE.match(w)
-        if mm and not _MUTANT_RE.match(w):
+        if mm and not _MUTANT_RE.match(w) and not (
+                i > 0 and lows[i - 1].rstrip(".") in (
+                    "figure", "figures", "fig", "table", "tables", "s")):
+            # "Figure S31" / "Table R15" are references, not sites
+            # (TestEntities.scala:91 sent5)
             m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 1, words,
                     "site-code")
             m["canonical"] = w

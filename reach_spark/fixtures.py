@@ -1063,6 +1063,103 @@ CASES.extend([
      [("count", "AutoPhosphorylation", 1),
       ("event", "AutoPhosphorylation", ["EGFR"]),
       ("posreg", "EGFR", "AutoPhosphorylation", ["EGFR"])]),
+    # ------------- TestEntities.scala -------------
+    ("ent_sent2", "TestEntities.scala:64",
+     "It has recently been shown that oncogenic RAS can enhance the "
+     "apoptotic function of p53 via ASPP1 and ASPP2",
+     [("entity", "RAS"), ("entity", "p53"),
+      ("entity", "ASPP1"), ("entity", "ASPP2")]),
+    ("ent_sent3", "TestEntities.scala:73",
+     "We hypothesized that MEK inhibition activates AKT by inhibiting ERK "
+     "activity, which blocks an inhibitory threonine phosphorylation on "
+     "the JM domains of EGFR and HER2, thereby increasing ERBB3 "
+     "phosphorylation.",
+     [("entity", "ERK"), ("entity", "EGFR"),
+      ("entity", "HER2"), ("entity", "ERBB3")]),
+    ("ent_sent4", "TestEntities.scala:82",
+     "To test this hypothesis, we transiently transfected CHO-KI cells, "
+     "which do not express ERBB receptors endogenously, with wildtype "
+     "ERBB3 with either wild-type EGFR or EGFR T669A.",
+     [("entity", "ERBB receptors"), ("entity", "ERBB3"),
+      ("entity", "EGFR")]),
+    ("ent_sent5", "TestEntities.scala:91",
+     "See Figure S31 and Table R15",
+     [("entcount", "Site", 0)]),
+    ("ent_sent6", "TestEntities.scala:97",
+     "The K-Ras substrate and mTOR substrates shouldn't be found.",
+     [("entcount", "BioEntity", 0)]),
+    ("ent_sent7", "TestEntities.scala:104",
+     "In some cases, the presence of Ras inhibits autophagy.",
+     [("entcount", "BioProcess", 1)]),
+    ("ent_sent8", "TestEntities.scala:138",
+     "Our model, in which E2-induced SRC-3 phosphorylation occurs in a "
+     "complex with ER",
+     [("entcount", "Site", 0),
+      ("entcount", "Simple_chemical", 1)]),
+    ("ent_sent9a", "TestEntities.scala:147",
+     "Ras inhibitor was added to the solution.",
+     [("entcount", "Simple_chemical", 1),
+      ("entcount", "Gene_or_gene_product", 0),
+      ("entcount", "Family", 0)]),
+    ("ent_sent9b", "TestEntities.scala:148",
+     "Akt inhibitor was added to the solution.",
+     [("entcount", "Simple_chemical", 1),
+      ("entcount", "Gene_or_gene_product", 0)]),
+    ("ent_sent9c", "TestEntities.scala:149",
+     "Adenylate cyclase inhibitor was added to the solution.",
+     [("entcount", "BioProcess", 1),
+      ("entcount", "Simple_chemical", 0)]),
+    ("ent_sent9d", "TestEntities.scala:150",
+     "Vascular endothelial cell growth inhibitor was added to solution.",
+     [("entcount", "Gene_or_gene_product", 1),
+      ("entcount", "Simple_chemical", 0)]),
+
+    # ------------- TestNERLabeling.scala -------------
+    ("ner_bioprocess", "TestNERLabeling.scala:16",
+     "apoptosis, autophagic cell death, quiescence, hematopoiesis, or "
+     "complex assembly cause cancer.",
+     [("entcount", "BioProcess", 5)]),
+    ("ner_cellline", "TestNERLabeling.scala:17",
+     "MPanc-96, mast, Hyssop, CEM/TART, and ZR75-1 cause cancer.",
+     [("entcount", "CellLine", 4),
+      ("entcount", "Gene_or_gene_product", 1)]),
+    ("ner_celltype", "TestNERLabeling.scala:18",
+     "apud cell, AV nodal myocyte, An1 B Cell, xanthoblast, and zygospore "
+     "cause cancer",
+     [("entcount", "CellType", 5)]),
+    ("ner_celltypes", "TestNERLabeling.scala:19",
+     "apud cells, AV nodal myocytes, An1 B Cells, xanthoblasts, and "
+     "zygospores cause cancer",
+     [("entcount", "CellType", 5)]),
+    ("ner_cellcomp", "TestNERLabeling.scala:21",
+     "A bands, C zones, F bouton, H zones, I bands, Z lines, CVT "
+     "vesicles, telomeres, Symplasts, and Host periplasms cause cancer.",
+     [("entcount", "Cellular_component", 10)]),
+    ("ner_families", "TestNERLabeling.scala:23",
+     "CDC73_N, RcsD-ABL domain, zinc-ribbon domain, Rho_RNA_bind, "
+     "RasGAP_C, zwf, PTHR10856:SF10, GLHYDRLASE27, Ras guanyl-releasing "
+     "protein 1, and Jiraiya cause cancer.",
+     [("entcount", "Family", 10)]),
+    ("ner_ggp", "TestNERLabeling.scala:25",
+     "CK-40, ZZANK2, MCH-1R, RAS1, and hemAT cause cancer.",
+     [("entcount", "Gene_or_gene_product", 5)]),
+    ("ner_organ", "TestNERLabeling.scala:29",
+     "Acetabulum, Visceral Pericardium, malleolar bone, Vena cava sinus, "
+     "and zygopodium cause cancer",
+     [("entcount", "Organ", 5)]),
+    ("ner_chemical", "TestNERLabeling.scala:30",
+     "endoxifen sulfate, Juvamine, Adenosine-phosphate, Xitix, and "
+     "okadaic acid cause cancer",
+     [("entcount", "Simple_chemical", 5)]),
+    ("ner_species", "TestNERLabeling.scala:31",
+     "Potato, wheat, Yerba-mate, Danio rerio, zebrafish, Rats, Gallus "
+     "gallus, and chickens cause cancer",
+     [("entcount", "Species", 8)]),
+    ("ner_drug", "TestNERLabeling.scala:33",
+     "Alvocidib, Anacardic acid, L-779450, Masitinib, and  Withaferin A "
+     "are known drugs. ",
+     [("entcount", "Simple_chemical", 5)]),
+
     ("auto_ex7", "TestTemplaticAutoEvents.scala:123",
      "The experiment presented in Fig shows that all cell lines exhibit "
      "EGFR autophosphorylation in response to EGF treatment, while only "

@@ -253,8 +253,17 @@ _GGP_NAMES = [
     "mutarotase", "GALM", "phosphoglucomutase", "phosphoglucomutases",
     "galactokinase", "galactose mutarotase", "UDP-galactose 4-epimerase",
     "ACE2", "PFK-1", "6-phosphofructo-1-kinase", "p85", "Shp2",
+    # TestNERLabeling.scala:25 GGPs (+ "mast", a protein despite the
+    # cell-line-looking name, TestNERLabeling.scala:51)
+    "CK-40", "ZZANK2", "MCH-1R", "RAS1", "hemAT", "mast",
+    "Vascular endothelial cell growth inhibitor",
 ]
 _FAMILY_NAMES = ["Ras family", "MAPK family", "AKT family", "ERK family",
+                 # TestNERLabeling.scala:23 (PFAM/InterPro-style names)
+                 "CDC73_N", "RcsD-ABL domain", "zinc-ribbon domain",
+                 "Rho_RNA_bind", "RasGAP_C", "zwf", "PTHR10856 : SF10",
+                 "GLHYDRLASE27", "Ras guanyl-releasing protein 1",
+                 "Jiraiya", "ERBB receptors",
                  "PI3K family", "STAT family", "caspase family",
                  "Rho family", "14-3-3"]
 _CHEMICAL_NAMES = ["GTP", "GDP", "ATP", "ADP", "AMP", "cAMP", "NADPH",
@@ -268,21 +277,45 @@ _CHEMICAL_NAMES = ["GTP", "GDP", "ATP", "ADP", "AMP", "cAMP", "NADPH",
                    "fructose-1,6-bisphosphate", "UDP-galactose",
                    "UDP-glucose", "D-glucose 1-phosphate",
                    "D-glucose 6-phosphate", "galactose 1-phosphate",
-                   "angiotensin-I", "angiotensin-II"]
+                   "angiotensin-I", "angiotensin-II",
+                   # TestNERLabeling.scala:30 chemicals + :33 drugs
+                   "endoxifen sulfate", "Juvamine", "Adenosine-phosphate",
+                   "Xitix", "okadaic acid", "Alvocidib", "Anacardic acid",
+                   "L-779450", "Masitinib", "Withaferin A"]
 _BIOPROCESS_NAMES = ["apoptosis", "autophagy", "proliferation", "angiogenesis",
                      "transactivation", "cell cycle", "cell death",
-                     "tumorigenesis", "metastasis", "differentiation"]
+                     "tumorigenesis", "metastasis", "differentiation",
+                     # TestNERLabeling.scala:16 coverage names
+                     "autophagic cell death", "quiescence", "hematopoiesis",
+                     "complex assembly", "glycolysis",
+                     "adenylate cyclase inhibitor"]
 _SPECIES_NAMES = ["human", "mouse", "rat", "murine", "bovine", "yeast",
+                  # TestNERLabeling.scala:31
+                  "Potato", "wheat", "Yerba-mate", "Danio rerio", "Rats",
+                  "Gallus gallus", "chickens", "mice",
                   "E. coli", "Drosophila", "zebrafish", "Xenopus"]
 _ORGAN_NAMES = ["liver", "breast", "lung", "brain", "kidney", "pancreas",
+                # TestNERLabeling.scala:29
+                "Acetabulum", "Visceral Pericardium", "malleolar bone",
+                "Vena cava sinus", "zygopodium", "cartilage",
                 "colon", "prostate", "skin", "heart"]
 _CELLLINE_NAMES = ["HeLa", "HEK293", "HEK293T", "MCF-7", "MCF7", "A549",
-                   "U2OS", "NIH3T3", "COS-7", "Jurkat", "K562", "PC12"]
+                   "U2OS", "NIH3T3", "COS-7", "Jurkat", "K562", "PC12",
+                   # TestNERLabeling.scala:17
+                   "MPanc-96", "Hyssop", "CEM/TART", "ZR75-1", "293T"]
 _CELLTYPE_NAMES = ["fibroblast", "fibroblasts", "lymphocyte", "lymphocytes",
                    "macrophage", "macrophages", "neuron", "neurons",
                    "hepatocyte", "hepatocytes", "T cell", "T cells",
-                   "B cell", "B cells", "epithelial cells", "keratinocytes"]
+                   "B cell", "B cells", "epithelial cells", "keratinocytes",
+                   # TestNERLabeling.scala:18-19 (singular + plural)
+                   "apud cell", "apud cells", "AV nodal myocyte",
+                   "AV nodal myocytes", "An1 B Cell", "An1 B Cells",
+                   "xanthoblast", "xanthoblasts", "zygospore", "zygospores"]
 _CELLCOMP_NAMES = ["nucleus", "cytoplasm", "cytosol", "membrane",
+                   # TestNERLabeling.scala:21 (UniProt/GO subcellular)
+                   "A bands", "C zones", "F bouton", "H zones", "I bands",
+                   "Z lines", "CVT vesicles", "telomeres", "Symplasts",
+                   "Host periplasms",
                    "plasma membrane", "nuclear membrane",
                    "mitochondria", "mitochondrion",
                    "endoplasmic reticulum", "Golgi", "lysosome", "endosome",
