@@ -87,26 +87,39 @@ def annotate_sentences(documents: DataFrame,
         spans = spans.repartition(partitions, "doc_id", "span_pos")
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # annotation is a pure function of the span text — memoize per
+        # partition (dedupe-before-compute; see reach_spark.mentions)
+        cache: dict[str, list[dict]] = {}
         for pdf in batches:
             rows = []
             for doc_id, span_pos, text in zip(
                     pdf["doc_id"], pdf["span_pos"], pdf["span_text"]):
                 if not text:
                     continue
-                for li, sent in enumerate(split_sentences(text)):
-                    ann = annotate_sentence(sent)
-                    rows.append({
-                        "doc_id": doc_id,
-                        "sent_idx": int(span_pos) * 1000 + li,
-                        "sent_text": sent,
-                        "words": ann["words"],
-                        "start_offsets": ann["start_offsets"],
-                        "end_offsets": ann["end_offsets"],
-                        "tags": ann["tags"],
-                        "lemmas": ann["lemmas"],
-                        "entities": ["O"] * len(ann["words"]),
-                        "deps": [],
-                    })
+                base = cache.get(text)
+                if base is None:
+                    base = []
+                    for li, sent in enumerate(split_sentences(text)):
+                        ann = annotate_sentence(sent)
+                        base.append({
+                            "li": li,
+                            "sent_text": sent,
+                            "words": ann["words"],
+                            "start_offsets": ann["start_offsets"],
+                            "end_offsets": ann["end_offsets"],
+                            "tags": ann["tags"],
+                            "lemmas": ann["lemmas"],
+                            "entities": ["O"] * len(ann["words"]),
+                            "deps": [],
+                        })
+                    if len(cache) < 100_000:
+                        cache[text] = base
+                for b in base:
+                    row = dict(b)
+                    row.pop("li")
+                    row["doc_id"] = doc_id
+                    row["sent_idx"] = int(span_pos) * 1000 + b["li"]
+                    rows.append(row)
             yield pd.DataFrame(rows, columns=[f.name for f in SENTENCES.fields])
 
     return spans.mapInPandas(gen, schema=SENTENCES)
