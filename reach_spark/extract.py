@@ -752,6 +752,15 @@ class SentenceExtractor:
         return 0 <= pos < self.n and (self.lows[pos] in self._PRON_SG or
                                       self.lows[pos] in self._PRON_PL)
 
+    def _indefinite_np_before(self, i: int) -> bool:
+        """'a cistron', 'a protein' directly before position i: an
+        indefinite generic NP, which never takes an antecedent
+        (open-class generic filtering, Coref.scala:353-377)."""
+        j = i - 1
+        if j < 1 or self.ent_ending_at(j) is not None:
+            return False
+        return self.tags[j] == "NN" and self.lows[j - 1] in ("a", "an")
+
     @staticmethod
     def match_simple_event_trigger_text(s: str) -> str | None:
         """Event label for a bare nominal string ('phosphorylation')."""
@@ -900,6 +909,10 @@ class SentenceExtractor:
             resolved = self.resolve_pronoun(i - 1)
             subj = resolved[0] if resolved else None
             extra_subjs = resolved[1:]
+        elif self._indefinite_np_before(i):
+            # "a cistron phosphorylates ASPP2" — indefinite generic
+            # subject never resolves (Coref.scala:353-377) → no controller
+            subj = None
         else:
             subj = self.nearest_ent_left(i)
         if is_auto:
@@ -1109,6 +1122,8 @@ class SentenceExtractor:
                               self.lows[k] in ("often", "not", "never",
                                                "to", "able")):
                 k -= 1
+            if self._indefinite_np_before(k + 1):
+                return  # "a protein is phosphorylated" — unresolvable
             if self._pronoun_at(k):
                 excl = frozenset({by_ent["mention_id"]}) if by_ent \
                     else frozenset()
@@ -1762,6 +1777,27 @@ class SentenceExtractor:
                     pre = left[0]["start"] - 1
                     mod = _sign_of_stem(self.lows[pre]) if pre >= 0 else 0
                     return left[-1], (mod if mod != 0 else 1)
+                # event anaphor: "this phosphorylation upregulates STAT1"
+                # — resolves to the prior event ONLY with a definite or
+                # demonstrative determiner (generic-mention gating,
+                # Coref.scala:353-377); the event converts to its theme
+                # entity (convertEventToEntity, A18)
+                det = self.lows[j - 1] if j > 0 else ""
+                if det in ("this", "that", "these", "those", "the"):
+                    for ev in self.events:
+                        if ev["kind"] == "event" and \
+                                ev["label"] == hit[0] and \
+                                ev["trigger_start"] is not None and \
+                                ev["trigger_start"] < j:
+                            theme = next(
+                                (a for a in ev["args"]
+                                 if a["role"] == "theme"), None)
+                            if theme is not None:
+                                for e in self.entities:
+                                    if e["mention_id"] == \
+                                            theme["mention_id"]:
+                                        return e, 1
+                return None, 1  # indefinite event anaphor: no controller
             j -= 1
             hops += 1
         return None, 1

@@ -1238,6 +1238,58 @@ def _templatic_cases() -> list[tuple[str, str, str, list[tuple]]]:
     return out
 
 
+CASES.extend([
+    # ------------- TestCoreference.scala (batch 3) -------------
+    ("coref_s26", "TestCoreference.scala:263",
+     "Many RTKs interact directly with Grb2, some rely on Shc family "
+     "adaptors to recruit Grb2, and others do both . While direct "
+     "Grb2/RTK interactions involve binding of the Grb2 SH2 domain to "
+     "pYXNX motifs, Shc proteins interact with RTKs primarily through the "
+     "binding of their N-terminal PTB domain to NPXpY motifs.",
+     [("entity", "Grb2")]),
+    ("coref_s28a", "TestCoreference.scala:320",
+     "ASPP1 is common, and a protein is phosphorylated.",
+     [("count", "Event", 0)]),
+    ("coref_s28b", "TestCoreference.scala:321",
+     "ASPP1 is common, and a cistron phosphorylates ASPP2.",
+     [("count", "ComplexEvent", 0),
+      ("event", "Phosphorylation", ["ASPP2"])]),
+    ("coref_s29", "TestCoreference.scala:333",
+     "Liver is delicious, and it phosphorylates Raf.",
+     [("count", "ComplexEvent", 0)]),
+    ("coref_s30", "TestCoreference.scala:334",
+     "Humans are numerous, and they are sometimes activated by Raf.",
+     [("count", "Event", 0)]),
+])
+
+
+def _event_anaphor_cases() -> list[tuple[str, str, str, list[tuple]]]:
+    """TestCoreference.scala:271-317 sent27a/b: event anaphora with
+    definite-determiner gating, templated over 8 simple-event types."""
+    out = []
+    types = [(lab, v + "es", noun) for lab, (v, noun) in
+             _TEMPLATE_TYPES.items() if lab not in ("Hydrolysis",
+                                                    "Glycosylation")]
+    for lab, vb, noun in types:
+        out.append((
+            f"coref_s27a_{lab.lower()}", "TestCoreference.scala:305",
+            f"We found that ASPP1 {vb} ASPP2, and this {noun} upregulates "
+            "STAT1.",
+            [("count", "ActivationEvent", 1),
+             ("event", lab, ["ASPP2"]),
+             ("posact", "ASPP2", "STAT1")]))
+        out.append((
+            f"coref_s27b_{lab.lower()}", "TestCoreference.scala:311",
+            f"We found that ASPP1 {vb} ASPP2, and {noun} upregulates "
+            "STAT1.",
+            [("count", "ActivationEvent", 0),
+             ("event", lab, ["ASPP2"])]))
+    return out
+
+
+CASES.extend(_event_anaphor_cases())
+
+
 def _modification_cases() -> list[tuple[str, str, str, list[tuple]]]:
     """TestModifications.scala / TestDeModifications.scala frame corpus:
     9 PTM types × 7 syntactic frames (JJ / VBN / interceding / that-is,
