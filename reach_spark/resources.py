@@ -377,12 +377,15 @@ def _stable_id(ns: str, key: str) -> str:
 
 
 def canonical_key(text: str) -> str:
-    """Canonical dictionary key: lower, strip ' -/. quotes (reference
-    grounding/ReachKBKeyTransforms.scala:20-40 canonicalization)."""
+    """Canonical KB key (reference canonicalKey,
+    grounding/ReachKBKeyTransforms.scala:20-40): lower, then strip spaces,
+    hyphens, slashes, periods and quotes — 'A-B and/or C' → 'abandorc',
+    'WO-MAN' → 'woman'; underscores are kept ('MAN_human' → 'man_human').
+    Applied identically at KB load and lookup, so K-Ras/KRAS/kras unify."""
     t = text.lower().strip()
-    for ch in "'\"/.":
+    for ch in "'\"/.- ":
         t = t.replace(ch, "")
-    return t.replace("-", "-")  # hyphens kept: they distinguish K-Ras/KRAS keys
+    return t
 
 
 def kb_rows() -> list[tuple[str, str, str, str, str, int, bool, bool]]:
