@@ -24,6 +24,7 @@ Reference semantics being reimplemented (file:line cites, no code copied):
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 import re
 from typing import Any
 
@@ -432,6 +433,25 @@ def _site_after(words: list[str], lows: list[str], entities: list[Mention],
     return None
 
 
+@lru_cache(maxsize=65536)
+def _ptm_participle_label(lw: str) -> str | None:
+    """'ubiquitinated' -> 'Ubiquitination', 'deubiquitinated' -> 'De...';
+    None otherwise. Pure function of the token; memoized (hot path)."""
+    if not lw.endswith("ed"):
+        return None
+    for ev_label, (vstem, _) in R.SIMPLE_EVENT_STEMS.items():
+        if lw.startswith(vstem):
+            return ev_label
+        if lw.startswith("de" + vstem):
+            return "De" + ev_label.lower()
+    return None
+
+
+@lru_cache(maxsize=65536)
+def _is_binding_verb(lw: str) -> bool:
+    return any(lw.startswith(s) for s in R.BINDING_VERB_STEMS)
+
+
 def attach_entity_mods(words: list[str], lows: list[str],
                        entities: list[Mention]) -> set[int]:
     """PTM participle modifiers ("ubiquitinated Ras", "Ras that is
@@ -446,14 +466,8 @@ def attach_entity_mods(words: list[str], lows: list[str],
     n = len(words)
     consumed: set[int] = set()
     for i, lw in enumerate(lows):
-        for ev_label, (vstem, _) in R.SIMPLE_EVENT_STEMS.items():
-            lbl = None
-            if lw.startswith(vstem) and lw.endswith("ed"):
-                lbl = ev_label
-            elif lw.startswith("de" + vstem) and lw.endswith("ed"):
-                lbl = "De" + ev_label.lower()
-            if lbl is None:
-                continue
+        lbl = _ptm_participle_label(lw)
+        if lbl is not None:
             nxt = i + 1
             # participle directly before an entity and NOT followed later
             # by "by" within the NP → PTM modifier
@@ -499,6 +513,7 @@ def _auto_label(label: str) -> str:
     return "AutoPhosphorylation" if label == "Phosphorylation" else label
 
 
+@lru_cache(maxsize=65536)
 def _sign_of_stem(lw: str) -> int:
     """+1 / -1 / 0 by prefix against the pos/neg trigger stems
     (events_master.yml:5-7). Longest stem wins so 'upregul' beats none and
@@ -520,6 +535,52 @@ def _wrapper_sign(lw: str) -> int:
         return -1
     return 0
 
+
+@lru_cache(maxsize=65536)
+def _match_trigger_cached(lw: str) -> tuple[str, str, bool] | None:
+    """token -> (event_label, form verb|noun, is_auto); memoized - the per-token trigger match is a pure function of the lowered token and the hot path of the cascade. De-prefix guard: deubiquitination must NOT match Ubiquitination (simple-event_template.yml triggerPrefix !word=/^(de|auto)/)."""
+    # mono-/di-/poly- prefixes keep the base event type
+    # ("monoubiquitination" is still a Ubiquitination)
+    core = lw
+    for pre in ("mono", "poly", "di-", "di"):
+        if lw.startswith(pre) and len(lw) > len(pre) + 4:
+            stripped = lw[len(pre):]
+            if any(stripped.startswith(s) for pair in
+                   R.SIMPLE_EVENT_STEMS.values() for s in pair):
+                core = stripped
+                break
+    for label, (vstem, nstem) in R.SIMPLE_EVENT_STEMS.items():
+        if core.startswith("auto") and core[4:].startswith(nstem):
+            return label, "noun", True
+        if core.startswith("auto") and core[4:].startswith(vstem):
+            return label, "verb", True
+        if core.startswith("de") and core[2:].startswith(nstem):
+            return "De" + label.lower(), "noun", False
+        if core.startswith("de") and core[2:].startswith(vstem):
+            return "De" + label.lower(), "verb", False
+        if core.startswith(nstem):
+            return label, "noun", False
+        if core.startswith(vstem):
+            return label, "verb", False
+    if lw.startswith(R.TRANSLOCATION_STEMS):
+        form = "noun" if lw.endswith(("tion", "ment")) else "verb"
+        return "Translocation", form, False
+    if lw.startswith("transcri"):
+        form = "noun" if lw.startswith("transcription") else "verb"
+        return "Transcription", form, False
+    # expression/overexpression → Transcription (transcription_events.yml
+    # expression triggers)
+    core_x = lw[2:] if lw.startswith("re-") else lw
+    if core_x.startswith(("express", "overexpress", "reexpress")):
+        form = "noun" if "sion" in core_x else "verb"
+        return "Transcription", form, False
+    if lw in ("level", "levels", "amount", "amounts", "quantity",
+              "loss"):
+        return "Amount", "noun", False
+    if lw.startswith("degrad"):
+        form = "noun" if lw.startswith("degradation") else "verb"
+        return "Degradation" if False else "DecreaseAmount", form, False
+    return None
 
 class SentenceExtractor:
     """Runs the full sentence-local cascade: priorities mirror the Odin
@@ -676,53 +737,7 @@ class SentenceExtractor:
 
     # -- simple events ---------------------------------------------------
     def match_simple_event_trigger(self, i: int) -> tuple[str, str, bool] | None:
-        """token i → (event_label, form 'verb'|'noun', is_auto).
-        De-prefix guard: 'deubiquitination' must NOT match Ubiquitination
-        (simple-event_template.yml triggerPrefix !word=/^(de|auto)/)."""
-        lw = self.lows[i]
-        # mono-/di-/poly- prefixes keep the base event type
-        # ("monoubiquitination" is still a Ubiquitination)
-        core = lw
-        for pre in ("mono", "poly", "di-", "di"):
-            if lw.startswith(pre) and len(lw) > len(pre) + 4:
-                stripped = lw[len(pre):]
-                if any(stripped.startswith(s) for pair in
-                       R.SIMPLE_EVENT_STEMS.values() for s in pair):
-                    core = stripped
-                    break
-        for label, (vstem, nstem) in R.SIMPLE_EVENT_STEMS.items():
-            if core.startswith("auto") and core[4:].startswith(nstem):
-                return label, "noun", True
-            if core.startswith("auto") and core[4:].startswith(vstem):
-                return label, "verb", True
-            if core.startswith("de") and core[2:].startswith(nstem):
-                return "De" + label.lower(), "noun", False
-            if core.startswith("de") and core[2:].startswith(vstem):
-                return "De" + label.lower(), "verb", False
-            if core.startswith(nstem):
-                return label, "noun", False
-            if core.startswith(vstem):
-                return label, "verb", False
-        if lw.startswith(R.TRANSLOCATION_STEMS):
-            form = "noun" if lw.endswith(("tion", "ment")) else "verb"
-            return "Translocation", form, False
-        if lw.startswith("transcri"):
-            form = "noun" if lw.startswith("transcription") else "verb"
-            return "Transcription", form, False
-        # expression/overexpression → Transcription (transcription_events.yml
-        # expression triggers)
-        core_x = lw[2:] if lw.startswith("re-") else lw
-        if core_x.startswith(("express", "overexpress", "reexpress")):
-            form = "noun" if "sion" in core_x else "verb"
-            return "Transcription", form, False
-        if lw in ("level", "levels", "amount", "amounts", "quantity",
-                  "loss"):
-            return "Amount", "noun", False
-        if lw.startswith("degrad"):
-            form = "noun" if lw.startswith("degradation") else "verb"
-            return "Degradation" if False else "DecreaseAmount", form, False
-        return None
-
+        return _match_trigger_cached(self.lows[i])
     _PRON_SG = frozenset({"it", "its"})
     _PRON_PL = frozenset({"they", "them", "their"})
 
@@ -1494,7 +1509,7 @@ class SentenceExtractor:
                                            "binding-hyphen")
                 i += 1
                 continue
-            is_verb = any(lw.startswith(s) for s in R.BINDING_VERB_STEMS) \
+            is_verb = _is_binding_verb(lw) \
                 and self.tags[i].startswith(("V", "N")) and lw not in R.BINDING_NOUNS
             is_noun = lw in R.BINDING_NOUNS
             # passive: "ASPP1 and ASPP2 are bound by RAS-GTP"
