@@ -295,6 +295,11 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
                 break
         if hit:
             k, (label, canon) = hit
+            if k == 1 and words[i].islower() and lows[i] in R.NER_STOPLIST:
+                # lowercase common-word collision (BioNERPostProcessor
+                # stoplist semantics, ner_stoplist.txt)
+                i += 1
+                continue
             nxt = lows[i + k] if i + k < n else ""
             if nxt.startswith("substrate"):
                 # substrate constraint: "The K-Ras substrate" is not an

@@ -165,6 +165,15 @@ TRANSCRIPTION_STEMS = ("transcrib", "transcription", "express")
 DEGRADATION_STEMS = ("degrad",)
 CONVERSION_STEMS = ("convert", "recycl", "epimeriz", "isomeriz")
 
+# Single-token surface forms never marked as entities when lowercase —
+# common-English collisions with KB synonyms (mechanism mirror of the
+# reference ner_stoplist, bioresources/.../kb/ner_stoplist.txt; entries are
+# our own, covering the same collision classes)
+NER_STOPLIST = frozenset(
+    "acid alpha beta cell cells damage face fact fast fate gamma light "
+    "major minor not via anti arm blot bite white young lobe killer "
+    "top tip task rod mask pool".split())
+
 # negation cues (reference darpa/NegationHandler.scala:10-112)
 NEGATION_SINGLE = ("not", "no", "neither", "nor", "without", "unable",
                    "fail", "fails", "failed", "failure", "cannot", "never",
@@ -256,6 +265,7 @@ _GGP_NAMES = [
     # TestNERLabeling.scala:25 GGPs (+ "mast", a protein despite the
     # cell-line-looking name, TestNERLabeling.scala:51)
     "CK-40", "ZZANK2", "MCH-1R", "RAS1", "hemAT", "mast",
+    "ADAM17", "Casp8", "ERK5", "GSK3alpha", "IGF-1", "MAP2K1", "JNK1",
     "Vascular endothelial cell growth inhibitor",
 ]
 _FAMILY_NAMES = ["Ras family", "MAPK family", "AKT family", "ERK family",
@@ -335,22 +345,39 @@ ENTITY_DICT_LABELS: dict[str, list[str]] = {
 
 # canonical-group map: surface aliases that share a grounding id
 # (the TestGrounding.scala:12-47 contract: "p65" == "NF-kappaB p65")
+# variants are canonical_key forms (spaces/hyphens already stripped)
 _CANON_GROUPS: dict[str, list[str]] = {
-    "RAS": ["ras", "k-ras", "kras", "h-ras", "hras", "n-ras", "nras"],
+    "RAS": ["ras", "kras", "hras", "nras"],
     "MAPK1": ["mapk1", "erk2"],
     "ERK1": ["erk1", "mapk3"],
     "AKT1": ["akt1"],
-    "RELA": ["p65", "rela", "nf-kappab p65"],
+    "RELA": ["p65", "rela", "nfkappabp65"],
     "ERBB2": ["her2", "erbb2"],
     "OPTN": ["optineurin", "optn"],
     "TP53": ["p53", "tp53"],
-    "RAF1": ["raf", "raf1", "c-raf", "craf"],
-    "BRAF": ["b-raf", "braf"],
-    "MYC": ["myc", "c-myc"],
-    "JUN": ["jun", "c-jun"],
-    "FOS": ["fos", "c-fos"],
+    "RAF1": ["raf", "raf1", "craf"],
+    "BRAF": ["braf"],
+    "MYC": ["myc", "cmyc"],
+    "JUN": ["jun", "cjun"],
+    "FOS": ["fos", "cfos"],
     "CTTN": ["cortactin", "cttn"],
     "MTOR": ["mtor"],
+}
+
+# Authoritative UniProt accessions for override names (mirror of the
+# reference NER-Grounding-Override KB checked by TestOverrides.scala:22-40;
+# accessions are public UniProt facts). Keyed by canonical group id.
+_UNIPROT_OVERRIDES: dict[str, str] = {
+    "ADAM17": "P78536", "AKT1": "P31749", "AKT2": "P31751",
+    "ASPP1": "Q96KQ4", "ASPP2": "Q13625", "CASP8": "Q14790",
+    "EGF": "P01133", "EGFR": "P00533", "ERK5": "Q13164",
+    "GSK3BETA": "P49841", "RAS": "P01116", "IGF1": "P05019",
+    "JNK1": "P45983", "MAP2K1": "Q02750", "TP53": "P04637",
+    "MEK": "Q02750", "RAF1": "P04049", "BRAF": "P15056",
+    "MAPK1": "P28482", "ERK1": "P27361", "RELA": "Q04206",
+    "MTOR": "P42345", "PTEN": "P60484", "STAT3": "P40763",
+    "MDM2": "Q00987", "ERBB2": "P04626", "ERBB3": "P21860",
+    "MYC": "P01106", "JUN": "P05412", "FOS": "P01100",
 }
 
 _NS_FOR_LABEL = {
@@ -405,6 +432,8 @@ def kb_rows() -> list[tuple[str, str, str, str, str, int, bool, bool]]:
             group = canon_of.get(key, key.upper().replace(" ", "_"))
             if label == "Species" and name in special_species:
                 kid = special_species[name]
+            elif ns == "uniprot" and group in _UNIPROT_OVERRIDES:
+                kid = _UNIPROT_OVERRIDES[group]
             else:
                 kid = _stable_id(ns, group)
             species = "human" if ns == "uniprot" else ""

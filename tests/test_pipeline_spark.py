@@ -155,3 +155,41 @@ def test_context_window(spark):
     assert any("taxonomy" in s for v in ctx.values() for s in (v or []))
     # sentence 0 inherits species from sentence 1 (within +3 window)
     assert ctx[0] and any("taxonomy" in s for s in ctx[0])
+
+
+def test_uniprot_overrides(spark):
+    """Override KB parity (TestOverrides.scala:22-40): authoritative
+    UniProt accessions for the manually-overridden names."""
+    from reach_spark.grounding import ground_map, kb_dataframe
+    sent = ("ADAM17, AKT1, AKT2, ASPP1, ASPP2, Casp8, EGF, EGFR, ERK5 and "
+            "GSK3beta are GGPs.")
+    docs = spark.createDataFrame(
+        [Row(doc_id="ovr", spans=[Row(kind="text", text=sent,
+                                      media_ref="", offset=0)])])
+    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    ents = res["entities"].select("text", "g_ns", "g_id").collect()
+    got = {r["text"]: (r["g_ns"], r["g_id"]) for r in ents}
+    expected = {
+        "ADAM17": "P78536", "AKT1": "P31749", "AKT2": "P31751",
+        "ASPP1": "Q96KQ4", "ASPP2": "Q13625", "Casp8": "Q14790",
+        "EGF": "P01133", "EGFR": "P00533", "ERK5": "Q13164",
+        "GSK3beta": "P49841",
+    }
+    for name, acc in expected.items():
+        assert got.get(name) == ("uniprot", acc), (name, got.get(name))
+
+
+def test_ner_stoplist(spark):
+    """Lowercase common-word collisions never become entities
+    (ner_stoplist mechanism, TestNERStopList.scala)."""
+    from reach_spark.extract import extract_sentence
+    from reach_spark.resources import NER_STOPLIST, entity_dictionary
+    d = dict(entity_dictionary())
+    # poison the dictionary with a stoplisted common word, as a large KB
+    # inevitably does ("cell" is a synonym in real KBs)
+    d["cell"] = ("Gene_or_gene_product", "cell")
+    _, ms = extract_sentence("t", 0, "The cell is small.", d)
+    assert not [m for m in ms if m["kind"] == "tbm"]
+    # capitalized form still matches (stoplist is lowercase-only)
+    _, ms2 = extract_sentence("t", 0, "Cell is small.", d)
+    assert [m for m in ms2 if m["kind"] == "tbm"]
