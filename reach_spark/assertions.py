@@ -160,6 +160,16 @@ def check_expectation(exp: tuple, mentions: list[dict],
         return not has_negative_activation(exp[1], exp[2], mentions)
     if op == "count":
         return count_label(exp[1], mentions) == exp[2]
+    if op in ("same_canonical", "!same_canonical"):
+        # alias grounding share proxy: canonical keys determine grounding
+        # ids deterministically (G3), so shared canonical == shared id
+        c1 = {m.get("canonical") for m in mentions
+              if m.get("kind") == "tbm" and m["text"] == exp[1]}
+        c2 = {m.get("canonical") for m in mentions
+              if m.get("kind") == "tbm" and m["text"] == exp[2]}
+        same = bool(c1) and bool(c2) and bool(c1 & c2)
+        return same if op == "same_canonical" else (
+            bool(c1) and bool(c2) and not (c1 & c2))
     if op == "entcount":
         return sum(1 for m in mentions if m.get("kind") == "tbm" and
                    _matches(m, exp[1])) == exp[2]

@@ -1114,7 +1114,7 @@ class SentenceExtractor:
                 hops += 1
                 continue
             if self.lows[j] in ("able", "to", "not", "never", "often",
-                                "sometimes", "always", "still") or \
+                                "sometimes", "always", "still", "also") or \
                     self.lows[j].endswith("ly"):  # adverbs are transparent
                 j -= 1
                 hops += 1
@@ -2284,24 +2284,186 @@ class SentenceExtractor:
             out.append(ev)
         self.events = out
 
+    _ALIAS_MARKERS = (
+        ("hereafter", "referred", "to", "as"),
+        ("sometimes", "called"), ("also", "called"),
+        ("previously", "known", "as"), ("also", "known", "as"),
+        ("alias",), ("a.k.a",), ("aka",), ("a.k.a.",),
+    )
+
+    _NAMEISH_RE = re.compile(r"^[A-Za-z][A-Za-z0-9-]{1,19}$")
+
+    def _nameish_at(self, j: int) -> bool:
+        """Unknown capitalized/alphanumeric token that looks like a
+        protein name ('BEF4H', 'AktTR') — alias targets may be outside
+        every KB (coref/Alias.scala InstanceFinder semantics)."""
+        if not (0 <= j < self.n):
+            return False
+        w = self.words[j]
+        return (self._NAMEISH_RE.match(w) is not None and
+                not w.islower() and
+                self.ent_starting_at(j, bio_only=False) is None and
+                self.site_at(j) is None and
+                not _SITE_AA_RE.match(w) and
+                _match_trigger_cached(w.lower()) is None)
+
+    def _alias_marker_end(self, j: int) -> int | None:
+        """If an alias-marker phrase starts at token j, return the index
+        after it."""
+        for marker in self._ALIAS_MARKERS:
+            if j + len(marker) <= self.n and all(
+                    self.lows[j + k].rstrip(".") == m.rstrip(".")
+                    for k, m in enumerate(marker)):
+                end = j + len(marker)
+                # markers may be followed by a stray '.' token ("a.k.a .")
+                if end < self.n and self.words[end] == ".":
+                    end += 1
+                return end
+        return None
+
+    def _mk_alias_target(self, j: int, label: str) -> Mention:
+        m = _mk(self.doc_id, self.sent_idx, "tbm", label, j, j + 1,
+                self.words, "alias-instance")
+        m["canonical"] = self.lows[j]
+        self.entities.append(m)
+        return m
+
+    def _alias_series(self, j: int, label: str,
+                      allow_create: bool = True
+                      ) -> tuple[list[Mention], bool]:
+        """Targets starting at j: ENT (,{ENT})* ((or|and) ENT)?. Returns
+        (targets, shareable) — an 'and' series is NOT shareable
+        (TestCoreference.scala sent43: 'BEF and Akt (a.k.a. ...)').
+        Unknown nameish tokens become entities only when a marker phrase
+        licensed the construction (allow_create)."""
+        out: list[Mention] = []
+        shareable = True
+        first = True
+        while j < self.n:
+            if not first:
+                sep = False
+                while j < self.n and self.lows[j] == ",":
+                    j += 1
+                    sep = True
+                if j < self.n and self.lows[j] == "or":
+                    j += 1
+                    sep = True
+                elif j < self.n and self.lows[j] == "and":
+                    shareable = False
+                    j += 1
+                    sep = True
+                if not sep:
+                    break
+            first = False
+            e = self.ent_starting_at(j)
+            if e is not None:
+                out.append(e)
+                j = e["end"]
+            elif allow_create and self._nameish_at(j):
+                out.append(self._mk_alias_target(j, label))
+                j += 1
+            else:
+                break
+        return out, shareable
+
+    def _emit_alias(self, anchor: Mention, targets: list[Mention],
+                    share: bool, rule: str, out: list[Mention]) -> None:
+        for t in targets:
+            if t["label"] != anchor["label"]:
+                continue  # aliases must be of the same type (sent38/39)
+            if share:
+                # grounding share (coref/Coref.scala:381-413): the
+                # poorly-grounded member inherits the partner's canonical
+                # key, so the broadcast grounding join gives both the
+                # same id
+                if t["found_by"] == "alias-instance":
+                    t["canonical"] = anchor["canonical"]
+                elif anchor["found_by"] == "alias-instance":
+                    anchor["canonical"] = t["canonical"]
+            out.append(_mk(self.doc_id, self.sent_idx, "relation",
+                           "Alias", anchor["start"], t["end"],
+                           self.words, rule,
+                           args=[_arg("theme", anchor), _arg("theme", t)],
+                           extra=t["mention_id"]))
+
     def find_aliases(self) -> list[Mention]:
-        """Parenthetical alias pairs: 'Ras (H-Ras)' → Alias relation
-        (reference coref/Alias.scala:12-75, alias_template.yml). The pair
-        feeds the canonicalization connected-components pass."""
-        out = []
-        for e in self.entities:
-            j = e["end"]
+        """Alias constructions (reference coref/Alias.scala:12-75,
+        alias_template.yml): bare parens 'Ras (H-Ras)', marker parens
+        'Akt1 (a.k.a. Akt334, AktTR, or Akt4H)', appositives 'BEF4H,
+        sometimes called BEF,'. Alias relations feed the canonicalization
+        connected-components pass; shared canonicals implement the
+        grounding share."""
+        out: list[Mention] = []
+        # anchor = known entity OR nameish token followed by paren/comma
+        i = 0
+        while i < self.n:
+            anchor = self.ent_starting_at(i)
+            # a nameish non-KB token can anchor too ("BEF4H (alias BEF)");
+            # its label is typed from the first KNOWN entity in the series
+            j = (anchor["end"] if anchor else i + 1)
+            # interceding 'protein'/'proteins' before the paren
+            while j < self.n and self.lows[j] in ("protein", "proteins"):
+                j += 1
             if j < self.n and self.words[j] == "(":
-                inner = self.ent_starting_at(j + 1)
-                if inner is not None and inner["end"] < self.n and \
-                        self.words[inner["end"]] == ")" and \
-                        inner["label"] == e["label"]:
-                    rel = _mk(self.doc_id, self.sent_idx, "relation",
-                              "Alias", e["start"], inner["end"] + 1,
-                              self.words, "alias-parens",
-                              args=[_arg("theme", e), _arg("theme", inner)])
-                    out.append(rel)
+                k = self._alias_marker_end(j + 1)
+                start = k if k is not None else j + 1
+                label = anchor["label"] if anchor is not None else None
+                if label is None and self._nameish_at(i):
+                    probe = self.ent_starting_at(start)
+                    if probe is not None:
+                        label = probe["label"]
+                if label is not None:
+                    targets, share = self._alias_series(
+                        start, label, allow_create=k is not None)
+                    close = self._paren_close(j)
+                    targets = [t for t in targets if t["end"] <= close]
+                    ok = targets and (k is not None or (
+                        len(targets) == 1 and
+                        targets[0]["label"] == label))
+                    if ok:
+                        if anchor is None:
+                            anchor = self._mk_alias_target(i, label)
+                        self._emit_alias(anchor, targets, share,
+                                         "alias-parens", out)
+                        i = j
+            elif j < self.n and self.lows[j] == "," and j + 1 < self.n:
+                k = self._alias_marker_end(j + 1)
+                if k is not None:
+                    if anchor is None and self._nameish_at(i):
+                        probe = self.ent_starting_at(k)
+                        if probe is not None:
+                            anchor = self._mk_alias_target(
+                                i, probe["label"])
+                    if anchor is not None:
+                        targets, share = self._alias_series(
+                            k, anchor["label"])
+                        if targets:
+                            self._emit_alias(anchor, targets, share,
+                                             "alias-appositive", out)
+            i += 1
+        # InstanceFinder rescan (coref/Alias.scala:12-75): further surface
+        # occurrences of newly-instantiated alias names become entities too
+        created = {e["text"]: (e["label"], e["canonical"])
+                   for e in self.entities
+                   if e["found_by"] == "alias-instance"}
+        if created:
+            covered = set()
+            for e in self.entities:
+                covered.update(range(e["start"], e["end"]))
+            for t in range(self.n):
+                if t not in covered and self.words[t] in created:
+                    lab, canon = created[self.words[t]]
+                    m = _mk(self.doc_id, self.sent_idx, "tbm", lab, t,
+                            t + 1, self.words, "alias-instance-rescan")
+                    m["canonical"] = canon
+                    self.entities.append(m)
         return out
+
+    def _paren_close(self, open_pos: int) -> int:
+        for j in range(open_pos + 1, self.n):
+            if self.words[j] == ")":
+                return j
+        return self.n
 
     def split_mutants(self) -> None:
         """Mutation splitting (F8, ReachSystem.scala:257-275): an entity

@@ -1260,6 +1260,41 @@ CASES.extend([
     ("coref_s30", "TestCoreference.scala:334",
      "Humans are numerous, and they are sometimes activated by Raf.",
      [("count", "Event", 0)]),
+
+    # ------------- TestCoreference.scala alias/grounding-share -----------
+    ("al_s37a", "TestCoreference.scala:414",
+     "BEF4H protein (hereafter referred to as BEF) is phosphorylated.",
+     [("entcount", "Gene_or_gene_product", 2),
+      ("same_canonical", "BEF4H", "BEF")]),
+    ("al_s37b", "TestCoreference.scala:421",
+     "BEF (hereafter referred to as BEF4H) is phosphorylated.",
+     [("entcount", "Gene_or_gene_product", 2),
+      ("same_canonical", "BEF4H", "BEF")]),
+    ("al_s38", "TestCoreference.scala:429",
+     "Ras (hereafter referred to as S135) is phosphorylated.",
+     [("!same_canonical", "Ras", "S135")]),
+    ("al_s40", "TestCoreference.scala:443",
+     "BEF4H, sometimes called BEF, phosphorylates Akt.",
+     [("same_canonical", "BEF4H", "BEF")]),
+    ("al_s41", "TestCoreference.scala:452",
+     "BEF4H (alias BEF) phosphorylates Akt.",
+     [("same_canonical", "BEF4H", "BEF")]),
+    ("al_s42", "TestCoreference.scala:461",
+     "Akt1 (a.k.a. Akt334, AktTR, or Akt4H) is phosphorylated.",
+     [("entcount", "Gene_or_gene_product", 4),
+      ("same_canonical", "Akt1", "Akt334"),
+      ("same_canonical", "Akt1", "AktTR"),
+      ("same_canonical", "Akt1", "Akt4H")]),
+    ("al_s43", "TestCoreference.scala:470",
+     "Akt1 (a.k.a. Akt334 and Akt4H) is phosphorylated.",
+     [("entcount", "Gene_or_gene_product", 3),
+      ("!same_canonical", "Akt1", "Akt334"),
+      ("!same_canonical", "Akt1", "Akt4H")]),
+    ("al_s44a", "TestCoreference.scala:479",
+     "Akt (also called Akt334, AktTR, or Akt4H) is phosphorylated. AktTR "
+     "is also ubiquitinated.",
+     [("same_canonical", "Akt", "AktTR"),
+      ("event", "Ubiquitination", ["AktTR"])]),
 ])
 
 

@@ -60,3 +60,39 @@ def write_fries(grounded_mentions: DataFrame, out_dir: str) -> None:
         .json(f"{out_dir}/fries_entities")
     event_frames(grounded_mentions).write.mode("overwrite") \
         .json(f"{out_dir}/fries_events")
+
+
+def index_cards(triples: DataFrame) -> DataFrame:
+    """IndexCard-style per-event JSON cards (reference
+    export/.../indexcards/IndexCardOutput.scala — S6): one card per triple
+    with participant_a/b, interaction_type, negation and context. Pure
+    column restructuring; write with df.write.json."""
+    itype = (
+        F.when(F.col("pred").startswith("Positive_regulation"),
+               F.lit("increases"))
+        .when(F.col("pred").startswith("Negative_regulation"),
+              F.lit("decreases"))
+        .when(F.col("pred") == "Positive_activation",
+              F.lit("increases_activity"))
+        .when(F.col("pred") == "Negative_activation",
+              F.lit("decreases_activity"))
+        .when(F.col("pred") == "Binding", F.lit("binds"))
+        .otherwise(F.lower(F.col("pred"))))
+    return triples.select(
+        F.concat(F.lit("card-"), "event_id").alias("card_id"),
+        F.col("doc_id").alias("pmc_id"),
+        F.struct(
+            F.col("subj").alias("participant_a"),
+            F.col("obj").alias("participant_b"),
+            itype.alias("interaction_type"),
+            F.col("negated").alias("negative_information"),
+        ).alias("extracted_information"),
+        F.col("context_species"),
+        F.col("trigger").alias("evidence"),
+        F.col("seen").alias("evidence_count"),
+    )
+
+
+def write_index_cards(triples: DataFrame, out_dir: str) -> None:
+    index_cards(triples).write.mode("overwrite").json(
+        f"{out_dir}/index_cards")

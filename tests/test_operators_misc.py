@@ -58,3 +58,40 @@ def test_fries_frames(spark, tmp_path):
         {"controller", "controlled"}
     write_fries(res["mentions"], str(tmp_path))
     assert spark.read.json(str(tmp_path) + "/fries_events").count() >= 2
+
+
+def test_dsv_and_plaintext_sources(spark, tmp_path):
+    """S2 connectors land on the documents schema and feed the pipeline
+    (reference PaperReader.scala:102-137, utils/DSVParser.scala)."""
+    from reach_spark.sources import read_dsv, read_plaintext
+    from reach_spark.pipeline import extract_dataframe
+    tsv = tmp_path / "in.tsv"
+    tsv.write_text("doc_id\ttext\nd1\tMEK phosphorylates Ras.\n"
+                   "d2\tASPP1 is an inhibitor of ASPP2\n")
+    docs = read_dsv(spark, str(tsv))
+    assert docs.columns == ["doc_id", "spans"]
+    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    preds = {r["pred"] for r in res["triples"].collect()}
+    assert "Positive_regulation->Phosphorylation" in preds
+    assert "Negative_activation" in preds
+
+    txtdir = tmp_path / "txts"
+    txtdir.mkdir()
+    (txtdir / "p1.txt").write_text("MEK binds to Ras.")
+    docs2 = read_plaintext(spark, str(txtdir))
+    rows = docs2.collect()
+    assert rows and rows[0]["doc_id"] == "p1"
+
+
+def test_index_card_sink(spark):
+    """S6 IndexCard sink: one card per triple with interaction_type."""
+    from reach_spark.fries import index_cards
+    from reach_spark.pipeline import extract_dataframe
+    from pyspark.sql import Row
+    docs = spark.createDataFrame([Row(doc_id="c1", spans=[
+        Row(kind="text", text="MEK phosphorylates Ras.", media_ref="",
+            offset=0)])])
+    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    cards = index_cards(res["triples"]).collect()
+    itypes = {c["extracted_information"]["interaction_type"] for c in cards}
+    assert "increases" in itypes  # the Positive_regulation card
