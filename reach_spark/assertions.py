@@ -95,7 +95,8 @@ def count_label(label: str, mentions: list[dict]) -> int:
     """Taxonomy-closure count, mirroring `mentions filter (_ matches X)`
     (TestUtils usage; SURVEY §1.4)."""
     return sum(1 for m in mentions
-               if m.get("kind") == "event" and _matches(m, label))
+               if m.get("kind") in ("event", "relation") and
+               _matches(m, label))
 
 
 def has_negated(label: str, mentions: list[dict]) -> bool:

@@ -629,10 +629,25 @@ class SentenceExtractor:
                          max_hops: int = 10) -> Mention | None:
         """Closest bio entity leftward. Relative-clause markers and commas
         are transparent ('via Pde2, which specifically hydrolyzes X' — the
-        subject sits across ', which'); sentence-final punctuation stops."""
+        subject sits across ', which'); a closed parenthetical is skipped
+        whole (appositive: 'Akt (a.k.a. X) is phosphorylated' → Akt);
+        sentence-final punctuation stops."""
         j = i - 1
         hops = 0
         while j >= 0 and hops < max_hops:
+            if self.words[j] == ")":
+                depth = 1
+                k = j - 1
+                while k >= 0 and depth:
+                    if self.words[k] == ")":
+                        depth += 1
+                    elif self.words[k] == "(":
+                        depth -= 1
+                    k -= 1
+                if depth == 0:
+                    j = k
+                    hops += 1
+                    continue
             e = self.ent_ending_at(j)
             if e and e["label"] not in skip:
                 return e
@@ -748,11 +763,14 @@ class SentenceExtractor:
 
     def resolve_pronoun(self, pos: int,
                         exclude: frozenset = frozenset()) -> list[Mention]:
-        """Sentence-local pronominal anaphora (pronominalMatch sieve,
+        """Pronominal anaphora (pronominalMatch sieve,
         DarpaLinks.scala:171-260, resolution explode Coref.scala:35-110):
-        singular → the sentence-subject (leftmost prior) entity; plural →
-        ALL prior entities. `exclude` bars an event's own other arguments
-        from antecedenthood ("BEF phosphorylates it" → no event)."""
+        singular → the sentence-subject (leftmost prior in the SAME
+        sentence), else the most recent mention of a PRECEDING sentence
+        (LinearSelector closest-prior: TestCoreference sent56a/b, sent16);
+        plural → ALL prior entities. `exclude` bars an event's own other
+        arguments from antecedenthood ("BEF phosphorylates it" → no
+        event)."""
         if pos < 0 or pos >= self.n:
             return []
         lw = self.lows[pos]
@@ -766,7 +784,17 @@ class SentenceExtractor:
         prior.sort(key=lambda e: e["start"])
         if not prior:
             return []
-        return prior if lw in self._PRON_PL else [prior[0]]
+        if lw in self._PRON_PL:
+            return prior
+        boundary = -1
+        for b in range(pos - 1, -1, -1):
+            if self.words[b] in (".", "!", "?"):
+                boundary = b
+                break
+        same_sent = [e for e in prior if e["start"] > boundary]
+        if same_sent:
+            return [same_sent[0]]
+        return [prior[-1]]
 
     def _pronoun_at(self, pos: int) -> bool:
         return 0 <= pos < self.n and (self.lows[pos] in self._PRON_SG or
@@ -1547,6 +1575,15 @@ class SentenceExtractor:
                 if not subjs:
                     s = self.nearest_ent_left(i)
                     subjs = [s] if s is not None else []
+                if not subjs:
+                    # pronoun subject ("It binds Mek", "It then binds X"):
+                    # adverbs are transparent (DarpaLinks pronominalMatch)
+                    k = i - 1
+                    while k > 0 and (self.lows[k].endswith("ly") or
+                                     self.lows[k] in ("then", "also",
+                                                      "subsequently")):
+                        k -= 1
+                    subjs = self.resolve_pronoun(k)
                 j = i + 1
                 while j < self.n and (self.lows[j] in ("to", "with",
                                                        "directly", "more")
@@ -1742,6 +1779,31 @@ class SentenceExtractor:
                     return cands[0], ws, "entity"
             e = self.ent_starting_at(j)
             if e:
+                # embedded participle activation as the controlled:
+                # "enhances [EGF induced activation of PI-3]" → synthesize
+                # the inner Positive_activation now and hand it to the
+                # outer trigger as an event (early-pos-reg priority
+                # scheduling, events_master.yml:412-510; reference
+                # TestCoreference sent55 expects posreg(controlled=posact))
+                p = e["end"]
+                if p + 1 < self.n and self.tags[p].startswith(("V", "J")) \
+                        and self.lows[p].endswith(("ed", "en")) and \
+                        _sign_of_stem(self.lows[p]) != 0 and \
+                        p not in self.consumed_triggers:
+                    q = p + 1
+                    ws = _wrapper_sign(self.lows[q])
+                    if ws != 0 and q + 1 < self.n and \
+                            self.lows[q + 1] == "of":
+                        inner = self.conj_ents_right(q + 2)
+                        if inner:
+                            n_before = len(self.events)
+                            self._emit_reg_or_act(
+                                (p, p + 1), e, 1, inner[0],
+                                _sign_of_stem(self.lows[p]) * ws,
+                                "entity", "act-embedded")
+                            self.consumed_triggers.add(p)
+                            if len(self.events) > n_before:
+                                return self.events[-1], 1, "event"
                 return e, 1, "entity"
             if self._pronoun_at(j):
                 # "ASPP2 activates it" → resolve, barring the controller
@@ -2027,6 +2089,10 @@ class SentenceExtractor:
                                ev["trigger_start"] == ts and
                                not ev["label"].endswith(("regulation",
                                                          "activation"))]
+                    if not targets and \
+                            controlled["label"].endswith("activation"):
+                        # regulation over an (embedded) activation event
+                        targets = [controlled]
                 for t in targets:
                     for ctrl in [controller] + extra_controllers:
                         self._emit_reg_or_act((i, i + 1), ctrl, wsign,
@@ -2288,20 +2354,24 @@ class SentenceExtractor:
         ("hereafter", "referred", "to", "as"),
         ("sometimes", "called"), ("also", "called"),
         ("previously", "known", "as"), ("also", "known", "as"),
+        ("better", "known", "as"),
         ("alias",), ("a.k.a",), ("aka",), ("a.k.a.",),
     )
 
-    _NAMEISH_RE = re.compile(r"^[A-Za-z][A-Za-z0-9-]{1,19}$")
+    _NAMEISH_RE = re.compile(r"^[A-Za-z0-9][A-Za-z0-9-]{1,19}$")
 
-    def _nameish_at(self, j: int) -> bool:
+    def _nameish_at(self, j: int, allow_lower: bool = False) -> bool:
         """Unknown capitalized/alphanumeric token that looks like a
-        protein name ('BEF4H', 'AktTR') — alias targets may be outside
-        every KB (coref/Alias.scala InstanceFinder semantics)."""
+        protein name ('BEF4H', 'AktTR', '23peM') — alias targets may be
+        outside every KB (coref/Alias.scala InstanceFinder semantics).
+        allow_lower admits lowercase gene names ('eyeless') when a
+        licensing construction (homolog apposition) vouches for them."""
         if not (0 <= j < self.n):
             return False
         w = self.words[j]
         return (self._NAMEISH_RE.match(w) is not None and
-                not w.islower() and
+                any(c.isalpha() for c in w) and
+                (allow_lower or not w.islower()) and
                 self.ent_starting_at(j, bio_only=False) is None and
                 self.site_at(j) is None and
                 not _SITE_AA_RE.match(w) and
@@ -2329,7 +2399,8 @@ class SentenceExtractor:
         return m
 
     def _alias_series(self, j: int, label: str,
-                      allow_create: bool = True
+                      allow_create: bool = True,
+                      allow_lower: bool = False
                       ) -> tuple[list[Mention], bool]:
         """Targets starting at j: ENT (,{ENT})* ((or|and) ENT)?. Returns
         (targets, shareable) — an 'and' series is NOT shareable
@@ -2359,7 +2430,7 @@ class SentenceExtractor:
             if e is not None:
                 out.append(e)
                 j = e["end"]
-            elif allow_create and self._nameish_at(j):
+            elif allow_create and self._nameish_at(j, allow_lower):
                 out.append(self._mk_alias_target(j, label))
                 j += 1
             else:
@@ -2440,7 +2511,48 @@ class SentenceExtractor:
                         if targets:
                             self._emit_alias(anchor, targets, share,
                                              "alias-appositive", out)
+            elif anchor is not None and j < self.n and \
+                    self.lows[j] in ("homolog", "homologs"):
+                # "the Pax6 homologs eyeless(, eyefull,) and eyegone" —
+                # homolog targets share the anchor's grounding even in an
+                # 'and' series (TestCoreference sent62a/b)
+                targets, _ = self._alias_series(j + 1, anchor["label"],
+                                                allow_lower=True)
+                if targets:
+                    self._emit_alias(anchor, targets, True,
+                                     "alias-homolog", out)
             i += 1
+        # "Eyeless and eyegone, homologs of Pax6, ..." — backward series
+        # before a ', homolog(s) of ENT' apposition (sent63)
+        for h in range(2, self.n - 2):
+            if self.lows[h] not in ("homolog", "homologs") or \
+                    self.lows[h + 1] != "of" or self.words[h - 1] != ",":
+                continue
+            anchor = self.ent_starting_at(h + 2)
+            if anchor is None:
+                continue
+            targets = []
+            pos = h - 2
+            while pos >= 0:
+                e = next((x for x in self.entities
+                          if x["end"] == pos + 1 and x["kind"] == "tbm" and
+                          x["label"] == anchor["label"]), None)
+                if e is not None:
+                    targets.append(e)
+                    pos = e["start"] - 1
+                elif self._nameish_at(pos, allow_lower=True):
+                    targets.append(
+                        self._mk_alias_target(pos, anchor["label"]))
+                    pos -= 1
+                else:
+                    break
+                if pos >= 0 and self.lows[pos] in (",", "and", "or"):
+                    pos -= 1
+                else:
+                    break
+            if targets:
+                self._emit_alias(anchor, targets, True,
+                                 "alias-homolog-appos", out)
         # InstanceFinder rescan (coref/Alias.scala:12-75): further surface
         # occurrences of newly-instantiated alias names become entities too
         created = {e["text"]: (e["label"], e["canonical"])

@@ -1295,6 +1295,81 @@ CASES.extend([
      "is also ubiquitinated.",
      [("same_canonical", "Akt", "AktTR"),
       ("event", "Ubiquitination", ["AktTR"])]),
+
+    # -------- TestCoreference.scala batch 2: pronouns, homologs ----------
+    ("coref_s16", "TestCoreference.scala:168",
+     "BEF is common. This is an intervening sentence. It binds Mek.",
+     [("event", "Binding", ["BEF", "Mek"])]),
+    ("coref_s46", "TestCoreference.scala:509",
+     "This sentence has no mentions.",
+     [("entcount", "Entity", 0), ("count", "Event", 0)]),
+    ("coref_s47", "TestCoreference.scala:516",
+     "We analyzed sporadic CRCs in Omani (of African origin, N = 61), "
+     "Iranian (of Caucasian origin, N = 53) and African American (N = 95) "
+     "patients for microsatellite instability, expression status of "
+     "mismatched repair genes (hMLH1, hMSH2) and presence of the BRAF "
+     "(V600E) mutation. In the Omani group, all tumors with BRAF mutations "
+     "were located in the left side of the colon, and for African "
+     "Americans, 88% of tumors with BRAF mutations were found in the right "
+     "side of the colon.",
+     [("entity", "BRAF")]),
+    ("coref_s48", "TestCoreference.scala:525",
+     "Since EGFR mutation is known to be associated with sensitivity to "
+     "erlotinib, and KRas mutations are associated with resistance, we "
+     "focused on the group of wild-type EGFR/KRas cell lines. We found "
+     "that the half maximal inhibitory concentration (IC50) for erlotinib "
+     "was significantly higher in cell lines that segregated to clusters "
+     "with methylated SRAMs compared to those that segregated to clusters "
+     "with unmethylated SRAMs",
+     [("entity", "EGFR")]),
+    ("coref_s55", "TestCoreference.scala:549",
+     "Gab1 mutant protein enhances EGF induced activation of the PI-3",
+     [("posact", "EGF", "PI-3"),
+      ("count", "Positive_regulation", 1),
+      ("count", "Positive_activation", 1)]),
+    ("coref_s56a", "TestCoreference.scala:561",
+     "Akta and HSP20 are common. It phosphorylates Akta.",
+     [("posreg", "HSP20", "Phosphorylation", ["Akta"])]),
+    ("coref_s56b", "TestCoreference.scala:569",
+     "ASPP1 binds Mek. It then binds KIAA0771.",
+     [("event", "Binding", ["ASPP1", "Mek"]),
+      ("event", "Binding", ["Mek", "KIAA0771"])]),
+    ("al_s50", "TestCoreference.scala:534",
+     "Akt (hereafter referred to as diacylglycerol) is phosphorylated.",
+     [("entcount", "Entity", 2),
+      ("!same_canonical", "Akt", "diacylglycerol")]),
+    ("al_s51", "TestCoreference.scala:541",
+     "Diacylglycerol (hereafter referred to as S135) functions as a "
+     "second messenger signaling lipid.",
+     [("!same_canonical", "Diacylglycerol", "S135")]),
+    ("al_s58", "TestCoreference.scala:587",
+     "ASPP1 (better known as ASPP2) is a common protein.",
+     [("entcount", "Gene_or_gene_product", 2), ("count", "Alias", 1)]),
+    ("al_s59", "TestCoreference.scala:598",
+     "ASPP1 (better known as 23peM) is a common protein.",
+     [("entcount", "Gene_or_gene_product", 2),
+      ("same_canonical", "ASPP1", "23peM")]),
+    ("al_s60", "TestCoreference.scala:610",
+     "23peM (ASPP1) is a common protein.",
+     [("entcount", "Gene_or_gene_product", 2),
+      ("same_canonical", "ASPP1", "23peM")]),
+    ("al_s62a", "TestCoreference.scala:633",
+     "We studied the effects of the Pax6 homologs eyeless and eyegone.",
+     [("entcount", "Gene_or_gene_product", 3),
+      ("same_canonical", "Pax6", "eyeless"),
+      ("same_canonical", "Pax6", "eyegone")]),
+    ("al_s62b", "TestCoreference.scala:645",
+     "The Pax6 homologs eyeless, eyefull, and eyegone were found in "
+     "established lines.",
+     [("entcount", "Gene_or_gene_product", 4),
+      ("same_canonical", "Pax6", "eyeless"),
+      ("same_canonical", "Pax6", "eyefull"),
+      ("same_canonical", "Pax6", "eyegone")]),
+    ("al_s63", "TestCoreference.scala:659",
+     "Eyeless and eyegone, homologs of Pax6, are the subject of this work.",
+     [("entcount", "Gene_or_gene_product", 3),
+      ("same_canonical", "Pax6", "Eyeless"),
+      ("same_canonical", "Pax6", "eyegone")]),
 ])
 
 

@@ -258,6 +258,7 @@ _GGP_NAMES = [
     "Ku70", "Ku80", "DNA-PK", "XRCC1", "IKKgamma", "MKP3", "C-RAF",
     "STAT1", "FGFR3", "RAD51", "phosphatidylinositol 3-kinase",
     "BS1", "BS2", "histone 2B", "PTPN13", "EphrinB1", "p300", "CBP",
+    "PI-3", "HSP20", "Akta", "KIAA0771", "Pax6",
     "SRC-3", "ER", "ERalpha", "GSK-3", "LRP5", "BEF", "LMTK2",
     "mutarotase", "GALM", "phosphoglucomutase", "phosphoglucomutases",
     "galactokinase", "galactose mutarotase", "UDP-galactose 4-epimerase",
@@ -278,6 +279,7 @@ _FAMILY_NAMES = ["Ras family", "MAPK family", "AKT family", "ERK family",
                  "Rho family", "14-3-3"]
 _CHEMICAL_NAMES = ["GTP", "GDP", "ATP", "ADP", "AMP", "cAMP", "NADPH",
                    "ubiquitin", "polyubiquitin", "rapamycin", "Rapamycin",
+                   "diacylglycerol", "Diacylglycerol",
                    "wortmannin", "LY294002",
                    "U0126", "PD98059", "staurosporine", "calcium", "Ca2+",
                    "glucose", "phosphate", "32P", "E2",
