@@ -1,6 +1,10 @@
 """Context assignment: events inherit context keys (species, cell line,
 organ, cell type, cellular component) from nearby sentences.
 
+[C1] context mention detection = the CONTEXT_LABELS entity rows produced
+by dictionary NER (ContextEngine.scala:23-36); [C2] bounded-padding
+assignment below; [C3] dummy engine = passing context_df=None.
+
 Reference: bounded-padding Policy4 (default), window [sent-3, sent+3]
 (context/Policies.scala:11-98, application.conf:52-57).
 

@@ -8,17 +8,52 @@ Arrow-batched ``mapInPandas`` (SURVEY.md §2.2-§2.4: every NLP operator is a
 vectorized UDF; the State of the Odin fixpoint is sentence-local, so the whole
 cascade runs in one partition-local pass with zero shuffles — SURVEY §2.3 O3).
 
-Reference semantics being reimplemented (file:line cites, no code copied):
-  - rule NER longest match: processors/.../ner/KBLoader.scala:51-67
-  - entity grammar + sites/mutants: biogrammar/entities/entities.yml:9-298
-  - PTM storage (mods, not events): darpa/DarpaActions.scala:84-104
-  - simple events (13 templatic types): biogrammar/events/simple-event_template.yml
-  - bindings incl. pair explosion: darpa/DarpaActions.scala:250-289
-  - regulations/activations + polarity: biogrammar/events/pos-reg_template.yml,
-    darpa/DarpaActions.scala:197-238, polarity/LinguisticPolarityEngine.scala:60-75
-  - splitSimpleEvents / handleAutoEvent: darpa/DarpaActions.scala:334-368,170-193
-  - negation/hypothesis handlers: darpa/NegationHandler.scala, HypothesisHandler.scala
-  - keepMostCompleteMentions: darpa/MentionFilter.scala:371-390
+Reference semantics being reimplemented (file:line cites, no code copied);
+SURVEY §2 operator IDs in brackets:
+  - [N2-N4] tokenizer / POS-lite / lemma: processors/.../BioNLPProcessor.scala:18-53
+    (N5's statistical CRF NER is deliberately folded into the dictionary
+    NER [N6]; N7's dependency parse is replaced by the surface grammar —
+    documented divergence, README §divergences)
+  - [N6] rule NER longest match: processors/.../ner/KBLoader.scala:51-67
+  - [O1] token-pattern rules (entities, sites, mutants, mods):
+    biogrammar/entities/entities.yml:9-298, mutants.yml, modifications.yml
+  - [O2] dependency-pattern rule semantics re-expressed as surface +
+    transparency heuristics: simple-event_template.yml:18-290,
+    pos-reg/neg-reg templates, bind_events.yml
+  - [O3] priority/fixpoint scheduling: the fixed cascade order in run()
+    (entities → mods → aliases → simple → bindings → regs) mirrors
+    events_master.yml:412-510 priorities 1-14
+  - [O4] State lookup (mentionsFor): sentence-local entity/event array
+    scans (ent_starting_at / events list) — zero-shuffle State
+  - [O5] grammar templating: the 13 PTM types expand from
+    SIMPLE_EVENT_STEMS like RuleReader.scala:12-53 expands ${eventName}
+  - [A2-A4] relation unpacking / NER-overlap guards: DarpaActions.scala:35-77
+  - [A5-A7] PTM/EventSite/Mutant storage (mods, not events):
+    darpa/DarpaActions.scala:84-146
+  - [A8] ubiquitin-theme drop: DarpaActions.scala:153-162 (_emit_binding)
+  - [A9] handleAutoEvent (auto-verbal split): DarpaActions.scala:170-193
+  - [A10-A11] mkRegulation/mkActivation guards (distinct grounding,
+    overlap, event-controller preference): DarpaActions.scala:197-238
+  - [A12-A13] bindings incl. pair explosion: DarpaActions.scala:250-289
+  - [A14] siteSniffer (sites_near): DarpaActions.scala:294-325
+  - [A16] splitSimpleEvents: DarpaActions.scala:334-368
+  - [A17] cleanupEvents ordering (sites → negation → hypothesis → split):
+    DarpaActions.scala:371-380 = the tail of run()
+  - [A18] convertEventToEntity (event controllers reduce to their output
+    entity in _controller_arg): DarpaActions.scala:581-665
+  - [F1] keepMostCompleteMentions: darpa/MentionFilter.scala:371-390
+  - [F3-F5] negation + parity + hypothesis: darpa/NegationHandler.scala,
+    HypothesisHandler.scala
+  - [F6] regulation-type KD/KO/DN/OE/CHEM detection:
+    darpa/RegulationHandler.scala:19-172
+  - [F7] hyphen role flip: darpa/HyphenHandle.scala:32-71
+  - [F8] mutation splitting: ReachSystem.scala:257-275
+  - [P1] linguistic polarity (wrapper-sign composition):
+    polarity/LinguisticPolarityEngine.scala:60-75
+(A15 proteinBetween and F2 filterOverlappingMentions are dep-path filters
+whose precision effect the surface grammar subsumes: args are only grabbed
+within NP-local windows, so a GGP on the path blocks the grab by
+construction.)
 """
 
 from __future__ import annotations
@@ -1752,7 +1787,7 @@ class SentenceExtractor:
         while j < self.n and hops < 6:
             if self.tags[j] in ("DT", "CD") or self.lows[j] in (
                     "basal", "putative", "conserved", "dose", "levels",
-                    "kinase", "catalytic", "enzymatic", "in"):
+                    "kinase", "catalytic", "enzymatic", "gtpase", "in"):
                 j += 1
                 hops += 1
                 continue
@@ -1813,24 +1848,47 @@ class SentenceExtractor:
             return None, 1, "none"
         return None, 1, "none"
 
-    def _controller_arg(self, pos: int) -> tuple[Mention | None, int]:
+    def _controller_arg(self, pos: int,
+                        max_hops: int = 8) -> tuple[Mention | None, int]:
         """Controller NP ending at/before pos: entity, wrapper-noun of
         entity ("the inhibition of X" → X with sign -1), or event (converted
         to its theme entity per convertEventToEntity,
         DarpaActions.scala:581-665)."""
         j = pos - 1
         hops = 0
-        while j >= 0 and hops < 8:
+        while j >= 0 and hops < max_hops:
             lw = self.lows[j]
-            if lw in (",", "clearly", "able", "to", "thus", "also",
+            if lw == ",":
+                # participial/relative appositive between commas is
+                # transparent: "TSC2 ..., acting downstream of AKT,
+                # negatively regulates ..." → the subject sits across the
+                # whole ", V-ing ... ," span
+                for q in range(j - 2, max(-1, j - 10), -1):
+                    if self.words[q] == "," and (
+                            self.lows[q + 1].endswith("ing") or
+                            self.lows[q + 1] in ("which", "who")):
+                        j = q
+                        break
+                j -= 1
+                hops += 1
+                continue
+            if lw in ("clearly", "able", "to", "thus", "also",
                       "strongly", "significantly", "dose", "activity",
                       "mutant", "mutants", "protein", "fragment", "not",
-                      "fails", "fail", "failed") or \
+                      "gene", "genes", "fails", "fail", "failed") or \
+                    lw.endswith("ly") or \
                     self.tags[j] in ("AUX", "DT"):
                 j -= 1
                 hops += 1
                 continue
             e = self.ent_ending_at(j)
+            if e is not None and e["label"] in R.CONTEXT_ENTITY_LABELS:
+                # Species/CellLine/Organ mentions never control events
+                # ("in human cancers, ... switching off p53" — Wip1 is the
+                # controller, not 'human'; mkRegulation bioprocess guard)
+                j = e["start"] - 1
+                hops += 1
+                continue
             if e:
                 # wrapper noun left of entity NP: "inhibition of X"
                 k = e["start"] - 1
@@ -1981,6 +2039,24 @@ class SentenceExtractor:
                                                   "hyphen-controller")
                         i += 1
                         continue
+            # phrasal activation trigger: "switching off X" / "turns on X"
+            # (neg-reg_template phrasal triggers)
+            if lw in ("switch", "switches", "switched", "switching",
+                      "turn", "turns", "turned", "turning") and \
+                    i + 2 < self.n and self.lows[i + 1] in ("off", "on"):
+                psign = -1 if self.lows[i + 1] == "off" else 1
+                if lw.endswith("ing") and i > 0 and \
+                        self.lows[i - 1] in ("by", "thereby"):
+                    ctrl, wsign = self._controller_arg(i, max_hops=18)
+                else:
+                    ctrl, wsign = self._controller_arg(i)
+                if ctrl is not None:
+                    for o in self._np_entities_right(i + 2, max_hops=8):
+                        self._emit_reg_or_act((i, i + 2), ctrl, wsign, o,
+                                              psign, "entity",
+                                              "phrasal-switch")
+                i += 1
+                continue
             sign = _sign_of_stem(lw)
             # nominal regulation trigger: "Inhibition of mTOR by rapamycin",
             # "resulted in up-regulation of the MKP3 gene" (pos-reg_template
@@ -1989,7 +2065,7 @@ class SentenceExtractor:
             # the relation ("Ras inhibits activation of X").
             if sign != 0 and not self.tags[i].startswith("V") and \
                     not lw.endswith(("ed", "en", "ing")) and \
-                    i + 1 < self.n and self.lows[i + 1] == "of":
+                    i + 1 < self.n and self.lows[i + 1] in ("of", "in"):
                 ctld, csign, ckind = None, 1, "entity"
                 cands = self.conj_ents_right(i + 2)
                 if cands:
@@ -2020,7 +2096,7 @@ class SentenceExtractor:
                     if ctrl is None:
                         j = i - 1
                         hops = 0
-                        while j >= 0 and hops < 8:
+                        while j >= 0 and hops < 12:
                             if _sign_of_stem(self.lows[j]) != 0 and \
                                     self.tags[j].startswith("V"):
                                 break  # verbal trigger owns this relation
@@ -2036,7 +2112,17 @@ class SentenceExtractor:
                                               "reg-nominal")
                         i += 1
                         continue
-            if sign == 0 or not (self.tags[i].startswith("V")):
+            verbal = self.tags[i].startswith("V") or (
+                lw.endswith("ing") and i > 0 and
+                self.lows[i - 1] in ("by", "thereby"))
+            if sign == 0 and verbal and lw.startswith("regul") and i > 0:
+                # adverb fixes the sign of neutral 'regulates'
+                # ("negatively regulates mTORC1" — P1 adverb capture)
+                if self.lows[i - 1] == "negatively":
+                    sign = -1
+                elif self.lows[i - 1] == "positively":
+                    sign = 1
+            if sign == 0 or not verbal:
                 i += 1
                 continue
             if lw.endswith(("ed", "en")) and i + 1 < self.n and \
@@ -2050,11 +2136,27 @@ class SentenceExtractor:
                                           "reg-passive")
                 i += 1
                 continue
-            if lw.endswith(("ed", "en")) and not self._has_aux_before(i):
-                # bare participle modifier ("induced", "increased" as
-                # adjective) — handled by active pattern only when VBZ/VB
-                # "RAS induced increased binding" → treat as active
-                pass
+            if lw.endswith(("ed", "en")) and not self._has_aux_before(i) \
+                    and (i == 0 or self.lows[i - 1] != "by"):
+                # bare participle trigger ("RAS induced increased binding")
+                # fires only with an ADJACENT controller entity; otherwise
+                # it is a controller-NP modifier ("suggest that decreased
+                # PTPN13 expression increases ...") consumed as the sign
+                # flip of the real trigger (P1 SEMANTIC_NEGATIVE capture)
+                k = i - 1
+                if k >= 0 and self.lows[k].endswith("ly"):
+                    k -= 1
+                if k < 0 or self.ent_ending_at(k) is None:
+                    # no adjacent controller: a later tensed verb means
+                    # this participle pre-modifies that verb's controller
+                    # NP — leave the relation to the tensed trigger
+                    later_tensed = any(
+                        self.tags[m].startswith("V") and
+                        not self.lows[m].endswith(("ed", "en", "ing"))
+                        for m in range(i + 1, min(self.n, i + 10)))
+                    if later_tensed:
+                        i += 1
+                        continue
             extra_controllers: list[Mention] = []
             if self._pronoun_at(i - 1):
                 # pronoun controller: "they upregulate the phosphorylation
@@ -2063,8 +2165,55 @@ class SentenceExtractor:
                 controller = resolved[0] if resolved else None
                 extra_controllers = resolved[1:]
                 wsign = 1
+            elif lw.endswith("ing") and i > 0 and \
+                    self.lows[i - 1] in ("by", "thereby"):
+                # "by V-ing" gerund: the logical subject is the MAIN
+                # clause's subject, not the nearest (object) NP —
+                # "TSC2 ... regulates mTORC1 by inhibiting ... Rheb" →
+                # controller TSC2 (dep-grammar nsubj inheritance,
+                # pos-reg_template.yml gerund rules)
+                controller, wsign = None, 1
+                for k in range(i - 2, max(-1, i - 14), -1):
+                    if self.tags[k].startswith("V") and \
+                            (_sign_of_stem(self.lows[k]) != 0 or
+                             self.lows[k].startswith("regul")) and \
+                            not self.lows[k].endswith(("ing",)):
+                        controller, wsign = self._controller_arg(k)
+                        break
+                if controller is None:
+                    controller, wsign = self._controller_arg(
+                        i, max_hops=18)
             else:
                 controller, wsign = self._controller_arg(i)
+                if controller is not None and i > 0 and \
+                        self.lows[i - 1] == "and":
+                    # conjoined VP shares the first VP's subject:
+                    # "Insulin inhibits X and activates Y" → Insulin
+                    for k in range(i - 2, max(-1, i - 10), -1):
+                        if self.tags[k].startswith("V") and \
+                                _sign_of_stem(self.lows[k]) != 0:
+                            c2, w2 = self._controller_arg(k)
+                            if c2 is not None:
+                                controller, wsign = c2, w2
+                            break
+            if controller is not None and not extra_controllers:
+                # conjoined controller series: "MKK4 and JNKK and MKK3 and
+                # MAPKK6, which directly activate X" → one event per
+                # conjunct (dep conj_and expansion, vars.yml)
+                series = self.conj_ents_left(controller["end"])
+                if len(series) > 1 and \
+                        self.lows[max(0, series[0]["start"] - 1)] in \
+                        ("of", "in"):
+                    # wrapper argument list, not conjoined subjects:
+                    # "the binding of ASPP1 and ASPP2 promotes ..." keeps
+                    # ONE regulation (reg_s20)
+                    series = []
+                if len(series) > 1 and any(
+                        m["mention_id"] == controller["mention_id"]
+                        for m in series):
+                    extra_controllers = [
+                        m for m in series
+                        if m["mention_id"] != controller["mention_id"]]
             controlled, csign, ckind = self._controlled_arg(
                 i + 1, exclude=frozenset({controller["mention_id"]})
                 if controller else frozenset())

@@ -1370,6 +1370,57 @@ CASES.extend([
      [("entcount", "Gene_or_gene_product", 3),
       ("same_canonical", "Pax6", "Eyeless"),
       ("same_canonical", "Pax6", "eyegone")]),
+
+    # ------------- TestPolarity.scala (non-ignored cases) ----------------
+    ("pol_sen9", "TestPolarity.scala:74",
+     "Biliverdin reductase-A functions as a scaffold protein for the "
+     "activation of ERK by MEK1/2 and of Elk1 by ERK.",
+     [("posact", "MEK1/2", "ERK")]),
+    ("pol_sen10", "TestPolarity.scala:77",
+     "Potential downstream targets of activated TAK1 include MKK4 and JNKK "
+     "and MKK3 and MAPKK6, which directly activate c-Jun N-terminal kinase "
+     "(JNK) and p38 MAP kinase, respectively [XREF_BIBR, XREF_BIBR]",
+     [("posact", "MKK4", "c-Jun N-terminal kinase")]),
+    ("pol_sen12", "TestPolarity.scala:83",
+     "The protein kinase mammalian target of rapamycin (mTOR) regulates "
+     "mRNA translation and is inhibited by rapamycin.",
+     [("negact", "rapamycin", "mammalian target of rapamycin")]),
+    ("pol_sen13", "TestPolarity.scala:86",
+     "Of these, 6 involved wortmannin or LY-294002 (inhibitors of "
+     "phosphoinositide 3-kinase (PI3K)) or rapamycin (an inhibitor of the "
+     "mammalian target of rapamycin complex 1 (mTORC1)).",
+     [("negact", "rapamycin", "mammalian target of rapamycin")]),
+    ("pol_sen18", "TestPolarity.scala:102",
+     "The Wip1 gene is frequently amplified or overexpressed in human "
+     "cancers, promoting tumor growth by switching off major checkpoint "
+     "kinases and p53.",
+     [("negact", "Wip1", "p53")]),
+    ("pol_sen19", "TestPolarity.scala:105",
+     "The TSC2 and TSC1 tuberous sclerosis complex, acting downstream of "
+     "AKT, negatively regulates mTORC1 by inhibiting the GTPase activity "
+     "of Rheb (Ras Homolog Enriched in Brain), which is a positive "
+     "regulator of mTORC1.",
+     [("negact", "TSC2", "Rheb")]),
+    ("pol_sen22", "TestPolarity.scala:120",
+     "Insulin inhibits adipocyte hormone sensitive lipase and activates "
+     "lipoprotein lipase [XREF_BIBR, XREF_BIBR].",
+     [("posact", "Insulin", "lipoprotein lipase")]),
+    ("pol_sen34", "TestPolarity.scala:157",
+     "Unexpectedly co-misexpression of Trbl and Akt in the fat body led "
+     "to a significant reduction in total FoxO levels (XREF_FIG), "
+     "suggesting that Trbl and Akt might act combinatorially to direct "
+     "FoxO turnover.",
+     [("negact", "Akt", "FoxO")]),
+    ("pol_sen37", "TestPolarity.scala:166",
+     "Inhibition of neutral endopeptidase protects endogenous ANP, and "
+     "inhibition of angiotensin converting enzyme blocks angiotensin II "
+     "production, whereas inhibition of both peptidases is required to "
+     "protect endogenous bradykinin (BK).",
+     [("posact", "angiotensin converting enzyme", "angiotensin II")]),
+    ("pol_sen40", "TestPolarity.scala:176",
+     "Negatively regulating IRFs include IRF4 that competitively inhibits "
+     "IRF5 from binding to TLR, thereby inhibiting inflammatory responses.",
+     [("negact", "IRF4", "IRF5")]),
 ])
 
 

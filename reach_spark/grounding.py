@@ -1,11 +1,14 @@
 """Grounding (entity linking): key-transform expansion → broadcast hash join
 against the KB union table → rank-1 selection → failsafe IDs.
 
-Reference semantics (SURVEY §2.6): label→KB routing with priorities
-(ReachEntityLookup.scala:56-92), key transforms
-(ReachKBKeyTransforms.scala:20-164), first-hit ordering
-(InMemoryKB.scala:121-143), failsafe uaz IDs (AzFailsafeKBML.scala),
-species preference human > none > other (ReachGrounder.scala:28-102).
+Reference semantics (SURVEY §2.6): [G1] label→KB routing with priorities
+(ReachEntityLookup.scala:56-92), [G2] key transforms
+(ReachKBKeyTransforms.scala:20-164), [G3] first-hit ordering
+(InMemoryKB.scala:121-143) with failsafe uaz IDs (AzFailsafeKBML.scala),
+[G4] candidate ordering (Grounding.scala:49-54), [G5] species preference
+human > none > other (ReachGrounder.scala:28-102). [G6-G7] alias
+canonization + grounding share live in canonicalize.py / extract.py
+find_aliases.
 
 Spark shape: all key transforms are built-in string expressions (JVM,
 codegen); the KB is a broadcast DataFrame; first-hit = row_number over

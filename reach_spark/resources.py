@@ -259,6 +259,16 @@ _GGP_NAMES = [
     "STAT1", "FGFR3", "RAD51", "phosphatidylinositol 3-kinase",
     "BS1", "BS2", "histone 2B", "PTPN13", "EphrinB1", "p300", "CBP",
     "PI-3", "HSP20", "Akta", "KIAA0771", "Pax6",
+    # TestPolarity.scala entities
+    "MEK1/2", "MKK4", "JNKK", "MKK3", "MAPKK6", "TAK1",
+    "c-Jun N-terminal kinase", "p38 MAP kinase",
+    "mammalian target of rapamycin", "mammalian target of rapamycin "
+    "complex 1", "mTORC1", "Wip1", "TSC2", "TSC1", "Rheb",
+    "lipoprotein lipase", "hormone sensitive lipase", "Trbl", "FoxO",
+    "angiotensin converting enzyme", "neutral endopeptidase",
+    "angiotensin II", "bradykinin", "ANP", "IRF4", "IRF5", "TLR",
+    "IKKbeta", "MUC1-C", "Elk1", "Biliverdin reductase-A", "Skp2",
+    "EGF receptor", "Hand2", "CDK5",
     "SRC-3", "ER", "ERalpha", "GSK-3", "LRP5", "BEF", "LMTK2",
     "mutarotase", "GALM", "phosphoglucomutase", "phosphoglucomutases",
     "galactokinase", "galactose mutarotase", "UDP-galactose 4-epimerase",
