@@ -85,9 +85,24 @@ _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z\"(])")
 MAX_SENT_TOKENS = 100  # parse guard, reference BioNLPProcessor.scala:24
 
 
+_ABBREV_END_RE = re.compile(
+    r"(?:\b(?:a\.k\.a|e\.g|i\.e|cf|vs|ca|approx|et\s+al|[Ff]ig|[Nn]o)"
+    r"|\b[A-Z])\.$")
+
+
 def split_sentences(text: str) -> list[str]:
     parts = [p.strip() for p in _SENT_SPLIT_RE.split(text)]
-    return [p for p in parts if p]
+    parts = [p for p in parts if p]
+    # re-merge false splits after abbreviations ("a.k.a. Akt334", "Fig. 2",
+    # single-initial "S. cerevisiae") — CoreNLP's tokenizer-level
+    # abbreviation list, BioNLPProcessor.scala:18-30
+    out: list[str] = []
+    for p in parts:
+        if out and _ABBREV_END_RE.search(out[-1]):
+            out[-1] = out[-1] + " " + p
+        else:
+            out.append(p)
+    return out
 
 
 def tokenize(sent: str) -> tuple[list[str], list[int], list[int]]:

@@ -25,13 +25,15 @@ from .canonicalize import canonical_entities
 from .context_ops import assign_context
 from .coref import coref_links
 from .grounding import ground_entities, ground_map, kb_dataframe
-from .mentions import extract_mentions
+from .mentions import extract_mentions, propagate_alias_instances
 from .triples import build_triples
 
 
 def extract_dataframe(spark: SparkSession, documents: DataFrame,
                       with_coref: bool = True,
-                      persist: bool = True) -> dict[str, DataFrame]:
+                      persist: bool = True,
+                      alias_propagation: bool = True,
+                      corpus_aliases: bool = False) -> dict[str, DataFrame]:
     """The programmatic API (reference ReachSystem.extractFrom,
     ReachSystem.scala:167-175): documents → dict of result DataFrames.
 
@@ -39,11 +41,25 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
     grounding, coref, context and triples all branch from it, and without a
     persist each branch would re-run the annotate+extract UDF chain. At
     production scale this is the intermediate Iceberg `mentions` table
-    (SURVEY §2.1 S4 resume point)."""
+    (SURVEY §2.1 S4 resume point).
+
+    `alias_propagation` runs the doc-wide InstanceFinder rescan (G6):
+    sentences + pass-1 mentions are persisted because the rescan references
+    both a second time — at production scale these are the S4 intermediate
+    tables. `corpus_aliases=True` extends the rescan corpus-wide
+    (reference extractFrom(Seq(docs)), TestCoreference sent61)."""
     sentences = annotate_sentences(documents)
-    mentions = extract_mentions(sentences)
-    if persist:
-        mentions = mentions.persist()
+    if alias_propagation:
+        sentences = sentences.persist()
+        base = extract_mentions(sentences).persist()
+        mentions = propagate_alias_instances(sentences, base,
+                                             corpus_level=corpus_aliases)
+        if persist:
+            mentions = mentions.persist()
+    else:
+        mentions = extract_mentions(sentences)
+        if persist:
+            mentions = mentions.persist()
 
     ents = mentions.where(F.col("kind") == "tbm")
     kb = kb_dataframe(spark)

@@ -193,3 +193,43 @@ def test_ner_stoplist(spark):
     # capitalized form still matches (stoplist is lowercase-only)
     _, ms2 = extract_sentence("t", 0, "Cell is small.", d)
     assert [m for m in ms2 if m["kind"] == "tbm"]
+
+
+def test_alias_instance_propagation(spark):
+    """Doc-wide InstanceFinder rescan (G6, coref/Alias.scala:12-75): a name
+    minted by an alias construction in sentence 0 becomes an entity in
+    sentence 1 of the SAME doc, with the shared grounding canonical —
+    TestCoreference.scala:500-507 (sent45a/b across FriesEntries)."""
+    docs = spark.createDataFrame([Row(doc_id="aliasDoc", spans=[
+        Row(kind="text",
+            text="Akt1 (a.k.a. Akt334, AktTR, or Akt4H) is phosphorylated. "
+                 "AktTR is ubiquitinated.",
+            media_ref="", offset=0)])])
+    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    ms = res["mentions"].collect()
+    akttr = [m for m in ms if m["text"] == "AktTR" and m["kind"] == "tbm"]
+    akt1 = [m for m in ms if m["text"] == "Akt1"]
+    assert len(akttr) == 2  # defining sentence + rescanned sentence 2
+    assert all(m["canonical"] == akt1[0]["canonical"] for m in akttr)
+    ubiq = [m for m in ms if m["label"] == "Ubiquitination"]
+    assert len(ubiq) == 1 and ubiq[0]["sent_idx"] == 1
+
+
+def test_corpus_alias_propagation(spark):
+    """Corpus-wide mode (reference extractFrom(Seq(doc1, doc2)),
+    TestCoreference.scala:622-635 sent61): an alias defined in doc2 makes
+    '23peM' an entity in doc1 with ASPP1's grounding."""
+    docs = spark.createDataFrame([
+        Row(doc_id="testDoc1", spans=[
+            Row(kind="text", text="We examine the role of 23peM.",
+                media_ref="", offset=0)]),
+        Row(doc_id="testDoc2", spans=[
+            Row(kind="text", text="23peM (ASPP1) is a common protein.",
+                media_ref="", offset=0)]),
+    ])
+    res = extract_dataframe(spark, docs, with_coref=False, persist=False,
+                            corpus_aliases=True)
+    ms = res["mentions"].collect()
+    nonces = [m for m in ms if m["text"] == "23peM"]
+    assert {m["doc_id"] for m in nonces} == {"testDoc1", "testDoc2"}
+    assert all(m["canonical"] == "aspp1" for m in nonces)
