@@ -58,6 +58,36 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     return timings, n_docs
 
 
+def _cpu_burn(per_worker: int = 6_000_000) -> dict:
+    """Hardware-ceiling baseline: a bare sha1 loop (no Spark, no JVM) at
+    1..32 processes. Efficiency < 1 here is the box's all-core clock /
+    memory-bandwidth limit — the floor under ANY software's scaling at
+    that worker count."""
+    import hashlib
+    from multiprocessing import Process
+
+    def work(n):
+        h = b"x" * 64
+        for _ in range(n):
+            h = hashlib.sha1(h).digest()
+
+    res = {}
+    for workers in (1, 2, 4, 8, 16, 32):
+        t0 = time.time()
+        ps = [Process(target=work, args=(per_worker,))
+              for _ in range(workers)]
+        for p in ps:
+            p.start()
+        for p in ps:
+            p.join()
+        dt = time.time() - t0
+        res[workers] = round(workers * per_worker / dt / 1e6, 2)
+    return {"agg_mhash_per_s": res,
+            "n_to_4n_efficiency": {
+                f"{lo}->{lo * 4}": round(res[lo * 4] / (res[lo] * 4), 3)
+                for lo in (1, 2, 4, 8) if lo * 4 in res}}
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
@@ -101,14 +131,15 @@ def main():
         # Two-cluster-size evidence (BASELINE.md protocol): the SAME
         # compute-bound job — full KG pipeline over a fixed synthetic
         # interleaved corpus — at N and 4N cores, fixed input, fixed
-        # partition-count policy, each level in a fresh JVM. Default
-        # levels 2 vs 8: this box's all-core clock/bandwidth ceiling
-        # (see BASELINE.md burn-test) caps 8→32 at ~0.6-0.7 regardless
-        # of software; 2→8 sits inside the linear region. Both pairs are
-        # reported.
+        # partition-count policy, each level in a fresh JVM. The cpu_burn
+        # baseline below measures this box's all-core clock/bandwidth
+        # ceiling with a bare sha1 loop (no Spark): pairs whose upper
+        # level nears 32 workers are hardware-capped (~0.75 at 8→32),
+        # so the in-linear-region N→4N pair (e.g. 4→16) is the honest
+        # software-scaling number.
         import subprocess
         levels = [int(x) for x in os.environ.get(
-            "SPARK_GRAFT_SCALE_LEVELS", f"2,8,{cpus}").split(",")]
+            "SPARK_GRAFT_SCALE_LEVELS", f"2,4,8,16,{cpus}").split(",")]
         out = {}
         for cores in sorted(set(levels)):
             r = subprocess.run(
@@ -123,7 +154,15 @@ def main():
             eff = (out[hi]["docs_per_sec"] /
                    (out[lo]["docs_per_sec"] * (hi / lo)))
             pairs[f"{lo}->{hi}"] = round(eff, 3)
+        n4n = {}
+        for lo in lvls:
+            if lo * 4 in out:
+                n4n[f"{lo}->{lo * 4}"] = round(
+                    out[lo * 4]["docs_per_sec"] /
+                    (out[lo]["docs_per_sec"] * 4), 3)
         result = {"levels": out, "scaling_efficiency": pairs,
+                  "n_to_4n_efficiency": n4n,
+                  "cpu_burn_baseline": _cpu_burn(),
                   "n_docs": int(os.environ.get("SPARK_GRAFT_SCALE_DOCS",
                                                "100000")),
                   "shuffle_partitions": int(os.environ.get(

@@ -176,6 +176,8 @@ def check_expectation(exp: tuple, mentions: list[dict],
                    _matches(m, exp[1])) == exp[2]
     if op == "entity":
         return has_entity(exp[1], mentions)
+    if op == "!entity":
+        return not has_entity(exp[1], mentions)
     if op == "negated":
         return has_negated(exp[1], mentions)
     if op == "!negated":
@@ -184,6 +186,17 @@ def check_expectation(exp: tuple, mentions: list[dict],
         return has_hypothesis(exp[1], mentions)
     if op == "!hypothesis":
         return not has_hypothesis(exp[1], mentions)
+    if op == "mutations":
+        # total Mutant mods across tbm mentions whose text contains exp[1],
+        # optionally requiring a specific evidence string exp[3]
+        # (TestModifications countMutations / hasMutation)
+        muts = [x for m in mentions
+                if m.get("kind") == "tbm" and exp[1] in m["text"]
+                for x in (m.get("mods") or []) if x["kind"] == "Mutant"]
+        if len(exp) > 3:
+            return any(exp[3] in (x.get("evidence_text") or "")
+                       for x in muts)
+        return len(muts) == exp[2]
     if op == "ptm":
         return has_ptm(exp[1], exp[2], exp[3] if len(exp) > 3 else None,
                        mentions)

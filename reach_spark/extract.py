@@ -392,6 +392,13 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
             m = _mk(doc_id, sent_idx, "tbm", label, i, i + 1, words,
                     "rule-ner-hyphen-tail")
             m["canonical"] = lows[i]
+            # "K650M-FGFR3" carries its own substitution mutant
+            # (TestModifications sent10/12; mutation split F8 then copies)
+            pre = words[i].rsplit("-", 1)[0]
+            if _MUTANT_RE.match(pre):
+                m["canonical"] = lows[i].rsplit("-", 1)[-1]
+                m["mods"].append(
+                    _mod("Mutant", "SubstitutionMutant", pre))
             out.append(m)
             i += 1
         else:
@@ -494,11 +501,16 @@ def _ptm_participle_label(lw: str) -> str | None:
     None otherwise. Pure function of the token; memoized (hot path)."""
     if not lw.endswith("ed"):
         return None
-    for ev_label, (vstem, _) in R.SIMPLE_EVENT_STEMS.items():
-        if lw.startswith(vstem):
-            return ev_label
-        if lw.startswith("de" + vstem):
-            return "De" + ev_label.lower()
+    for pre in ("", "mono", "di", "poly"):  # monoubiquitinated K-Ras
+        w = lw[len(pre):] if pre and lw.startswith(pre) else (
+            lw if not pre else None)
+        if w is None:
+            continue
+        for ev_label, (vstem, _) in R.SIMPLE_EVENT_STEMS.items():
+            if w.startswith(vstem):
+                return ev_label
+            if not pre and w.startswith("de" + vstem):
+                return "De" + ev_label.lower()
     return None
 
 
@@ -540,9 +552,12 @@ def attach_entity_mods(words: list[str], lows: list[str],
                     site = _site_after(words, lows, entities, i + 1)
                     e["mods"].append(_mod("PTM", lbl, words[i], site=site))
                     consumed.add(i)
-    # Mutant tokens attach to nearest entity left (else right)
+    # Mutant tokens attach to nearest entity left (else right); a
+    # slash-joined list "K156M/H204M" carries one Mutant per half
+    # (TestModifications sent15 paren mutant lists)
     for i, w in enumerate(words):
-        if _MUTANT_RE.match(w):
+        halves = [h for h in w.split("/") if _MUTANT_RE.match(h)]
+        if halves and (len(halves) > 1 or _MUTANT_RE.match(w)):
             target = None
             for e in entities:
                 if e["end"] <= i and e["label"] != "Site":
@@ -554,7 +569,9 @@ def attach_entity_mods(words: list[str], lows: list[str],
                         target = e
                         break
             if target is not None:
-                target["mods"].append(_mod("Mutant", "SubstitutionMutant", w))
+                for h in halves:
+                    target["mods"].append(
+                        _mod("Mutant", "SubstitutionMutant", h))
     return consumed
 
 
@@ -758,26 +775,40 @@ class SentenceExtractor:
                 return True
         return False
 
-    def conj_ents_left(self, i: int) -> list[Mention]:
+    def conj_ents_left(self, i: int,
+                       across_clause: bool = False) -> list[Mention]:
         """Entity chain immediately left of i, walking over conj and
-        site/adjective tokens: "... EGFR and ERBB3 tyrosine <TRIG>"."""
+        site/adjective tokens: "... EGFR and ERBB3 tyrosine <TRIG>".
+        across_clause extends transparency over ", but not" + adjectival
+        conjunct modifiers ("mutant p32, but not recombinant ASPP2 and GST
+        proteins, bind ..." → one series; negation lands as a mod —
+        TestBindingEvents sent36); used only for binding-verb subjects
+        where the series IS the subject NP."""
         out: list[Mention] = []
         j = i - 1
         # skip site words / adjectives / NP heads / auxiliaries directly
         # before trigger ("PTEN protein expression", "ASPP1 and ASPP2 are
         # bound by ...")
+        pre_skip = {"basal", "putative", "conserved", "tyrosine", "serine",
+                    "threonine", "total", "protein", "gene", "mrna", "and"}
+        sep_skip = {"and", "or", ","}
+        if across_clause:
+            pre_skip |= {",", "proteins"}
+            sep_skip |= {"but", "not", "recombinant", "purified",
+                         "endogenous", "wild-type", "mutant"}
         while j >= 0 and (self.site_at(j) or self.tags[j] == "AUX" or
-                          self.lows[j] in {
-                "basal", "putative", "conserved", "tyrosine", "serine",
-                "threonine", "total", "protein", "gene", "mrna", "and"}):
+                          self.lows[j] in pre_skip):
             j -= 1
         while j >= 0:
             e = self.ent_ending_at(j)
             if e:
                 out.append(e)
                 j = e["start"] - 1
-                if j >= 0 and self.lows[j] in {"and", "or", ","}:
+                moved = False
+                while j >= 0 and self.lows[j] in sep_skip:
                     j -= 1
+                    moved = True
+                if moved:
                     continue
                 break
             break
@@ -1241,6 +1272,15 @@ class SentenceExtractor:
             theme = self.nearest_ent_left(
                 i, skip=frozenset({"Site"}) | R.CONTEXT_ENTITY_LABELS,
                 max_hops=16)
+            if theme is None and by_ent is not None:
+                # pre-nominal participle with agent: "The phosphorylated
+                # p53 by ASPP2 ..." → theme is the participle's own NP
+                # head (TestModifications sent9: event with cause, NOT a
+                # PTM)
+                cand = self.ent_starting_at(i + 1)
+                if cand is not None and \
+                        cand["mention_id"] != by_ent["mention_id"]:
+                    theme = cand
             if theme is not None:
                 if label == "Translocation":
                     self._emit_translocations(trig, theme,
@@ -1347,8 +1387,43 @@ class SentenceExtractor:
                                 label, trig, theme, None,
                                 "simple-nominal-at-sites", site=s)
                     return
-        # compound: "ENT TRIGGER" — unless "TRIGGER site(s) in/of X" pattern,
-        # where the compound entity is the cause (reg3 pattern)
+        # paren-modified compound: "ERK(T202/Y204) phosphorylation" → one
+        # event per paren site; "ERK(K156M/H204M) phosphorylation" → the
+        # mutants already split ERK into copies (F8), one event per copy
+        # (TestModifications sent14-16)
+        if not themes and i >= 1 and self.words[i - 1] == ")":
+            open_pos = None
+            for q in range(i - 2, max(-1, i - 8), -1):
+                if self.words[q] == "(":
+                    open_pos = q
+                    break
+            if open_pos is not None and open_pos >= 1:
+                heads = [e for e in self.entities
+                         if e["end"] == open_pos and
+                         e["label"] not in ("Site",)]
+                inner_sites = []
+                for t in range(open_pos + 1, i - 1):
+                    for off, part in enumerate(self.words[t].split("/")):
+                        if _SITE_AA_RE.match(part):
+                            sm = _mk(self.doc_id, self.sent_idx, "tbm",
+                                     "Site", t, t + 1, self.words,
+                                     "site-paren-list", extra=str(off))
+                            sm["text"] = part
+                            sm["canonical"] = part
+                            self.entities.append(sm)
+                            inner_sites.append(sm)
+                if heads and inner_sites:
+                    for h in heads:
+                        for s in inner_sites:
+                            self._split_event_and_reg(
+                                label, trig, h, None,
+                                "simple-nominal-paren-sites", site=s)
+                    return
+                if heads:
+                    themes = heads
+                    rule = "simple-nominal-compound"
+        # compound: "ENT TRIGGER" — unless "TRIGGER site(s) in/of X"
+        # pattern, where the compound entity is the cause (reg3 pattern)
         if not themes:
             nxt = i + 1
             site_head = (nxt < self.n and
@@ -1621,7 +1696,7 @@ class SentenceExtractor:
                         i += 1
                         continue
             if is_verb and (self.tags[i].startswith("V") or lw == "bound"):
-                subjs = self.conj_ents_left(i)
+                subjs = self.conj_ents_left(i, across_clause=True)
                 if not subjs:
                     s = self.nearest_ent_left(i)
                     subjs = [s] if s is not None else []
@@ -1640,6 +1715,24 @@ class SentenceExtractor:
                                       or self.lows[j].endswith("ly")):
                     j += 1
                 objs = self.conj_ents_right(j)
+                if not subjs and objs and lw == "bound":
+                    # fronted participle: "Once bound to RAD51, the DNA-PK
+                    # holoenzyme facilitates ..." → subject follows the
+                    # comma (binding_oncebound, TestBindingEvents sent27)
+                    k = objs[0]["end"]
+                    if k < self.n and self.words[k] == ",":
+                        objs = objs[:1]
+                        k += 1
+                        hops = 0
+                        while k < self.n and hops < 5:
+                            e2 = self.ent_starting_at(k)
+                            if e2 is not None:
+                                subjs = [e2]
+                                break
+                            if self.tags[k].startswith("V"):
+                                break
+                            k += 1
+                            hops += 1
                 for subj in subjs:
                     for o in objs:
                         self._emit_binding((i, i + 1), subj, o,
@@ -1672,6 +1765,28 @@ class SentenceExtractor:
                                                    pair[1],
                                                    "binding-slash-pair")
                                 break
+                    else:
+                        # "X and Y coexist in a common complex" / "X and Y
+                        # are present in a complex" → pairwise binding of
+                        # the subject series (bind_events.yml complex-NP
+                        # rules; TestBindingEvents sent28/29)
+                        jn = i - 1
+                        hops = 0
+                        while jn >= 0 and hops < 8 and \
+                                self.ent_ending_at(jn) is None:
+                            if self.lows[jn] in (".", ";"):
+                                break
+                            jn -= 1
+                            hops += 1
+                        series = (self.conj_ents_left(
+                            jn + 1, across_clause=True)
+                            if jn >= 0 and self.ent_ending_at(jn)
+                            else [])
+                        for a in range(len(series)):
+                            for b in range(a + 1, len(series)):
+                                self._emit_binding(
+                                    (i, i + 1), series[a], series[b],
+                                    "binding-in-complex")
                     i += 1
                     continue
                 # gerund: "capable of binding linear polyubiquitin",
@@ -1819,7 +1934,7 @@ class SentenceExtractor:
                 if ev["kind"] == "event" and ev["label"] not in (
                         "Positive_regulation", "Negative_regulation") and \
                         ev["trigger_start"] is not None and \
-                        j <= ev["trigger_start"] <= j + 6:
+                        j <= ev["trigger_start"] <= j + 8:
                     return ev, 1, "event"
             lw = self.lows[j]
             ws = _wrapper_sign(lw)
@@ -2549,8 +2664,9 @@ class SentenceExtractor:
                     self.lows[j + k].rstrip(".") == m.rstrip(".")
                     for k, m in enumerate(marker)):
                 end = j + len(marker)
-                # markers may be followed by a stray '.' token ("a.k.a .")
-                if end < self.n and self.words[end] == ".":
+                # markers may be followed by a stray '.' or ':' token
+                # ("a.k.a .", "aka: sirolimus" — TestCoreference sent21)
+                if end < self.n and self.words[end] in (".", ":"):
                     end += 1
                 return end
         return None

@@ -692,7 +692,12 @@ CASES: list[tuple[str, str, str, list[tuple]]] = [
      "Note that only K650M and K650E-FGFR3 mutants cause STAT1 "
      "phosphorylation",
      [("count", "Phosphorylation", 1),
-      ("posreg", "FGFR3", "Phosphorylation", ["STAT1"])]),
+      ("posreg", "FGFR3", "Phosphorylation", ["STAT1"]),
+      # TestModifications.scala:781 asserts 2 FGFR3 copies (F8 split),
+      # carrying K650M and K650E respectively
+      ("mutations", "FGFR3", 2),
+      ("mutations", "FGFR3", 2, "K650M"),
+      ("mutations", "FGFR3", 2, "K650E")]),
     ("reg_s32", "TestRegulationEvents.scala:311",
      "p53-phosphorylation of ERK",
      [("count", "Positive_regulation", 1),
@@ -1370,6 +1375,191 @@ CASES.extend([
      [("entcount", "Gene_or_gene_product", 3),
       ("same_canonical", "Pax6", "Eyeless"),
       ("same_canonical", "Pax6", "eyegone")]),
+
+    # -------- TestBindingEvents.scala batch 2 ----------------------------
+    ("bind_s19", "TestBindingEvents.scala:268",
+     "The dimerization of cRaf with BRaf helps something.",
+     [("event", "Binding", ["cRaf", "BRaf"])]),
+    ("bind_s20", "TestBindingEvents.scala:274",
+     "MEK binds with MEK.",
+     [("count", "Binding", 0)]),
+    ("bind_s21", "TestBindingEvents.scala:280",
+     "Highly purified DNA-PKcs, Ku70/Ku80 heterodimer and the two "
+     "documented XRCC1 binding partners LigIII and DNA polbeta were "
+     "dot-blotted",
+     [("event", "Binding", ["Ku70", "Ku80"])]),
+    ("bind_s23", "TestBindingEvents.scala:291",
+     "The complex Ku70/Ku80 is awesome",
+     [("event", "Binding", ["Ku70", "Ku80"])]),
+    ("bind_s24", "TestBindingEvents.scala:297",
+     "That Ku70/Ku80 complex is awesome",
+     [("event", "Binding", ["Ku70", "Ku80"])]),
+    ("bind_s27", "TestBindingEvents.scala:319",
+     "Once bound to RAD51, the DNA-PK holoenzyme facilitates the "
+     "recruitment...",
+     [("event", "Binding", ["DNA-PK", "RAD51"])]),
+    ("bind_s28", "TestBindingEvents.scala:327",
+     "To confirm whether XRCC1 and DNA-PK coexist in a common complex, we "
+     "carried out co-immunoprecipitation experiments in HeLa nuclear "
+     "extracts.",
+     [("event", "Binding", ["DNA-PK", "XRCC1"])]),
+    ("bind_s29", "TestBindingEvents.scala:333",
+     "We found that the three subunits of DNA-PK co-purified only with "
+     "BRCT1 containing XRCC1-fusion proteins             confirming that "
+     "XRCC1 and DNA-PK are present in a complex. ",
+     [("event", "Binding", ["DNA-PK", "XRCC1"])]),
+    ("bind_s30", "TestBindingEvents.scala:339",
+     "Figure 3. Raf and PI3K bind more to ubiquitinated Ras than to "
+     "non-ubiquitinated Ras",
+     [("event", "Binding", ["Raf", "Ras"]),
+      ("event", "Binding", ["PI3K", "Ras"])]),
+    ("bind_s31", "TestBindingEvents.scala:346",
+     "We observed that endogenous PLC, Afadin, Calmodulin and Tubulin "
+     "bind with Sos.",
+     [("event", "Binding", ["PLC", "Sos"]),
+      ("event", "Binding", ["Afadin", "Sos"]),
+      ("event", "Binding", ["Calmodulin", "Sos"]),
+      ("event", "Binding", ["Tubulin", "Sos"])]),
+    ("bind_s33", "TestBindingEvents.scala:362",
+     "As expected based on previous studies, wild-type K-Ras bound "
+     "primarily 32P-GDP, while G12V-Ras bound 32P-GTP (Fig.2, A and B).",
+     [("event", "Binding", ["K-Ras", "32P-GDP"])]),
+    ("bind_s36", "TestBindingEvents.scala:386",
+     "Lower: purified wild-type and mutant p32, but not recombinant ASPP2 "
+     "and GST proteins, bind to Mek.",
+     [("count", "Binding", 3),
+      ("event", "Binding", ["p32", "Mek"]),
+      ("event", "Binding", ["ASPP2", "Mek"]),
+      ("event", "Binding", ["GST", "Mek"]),
+      ("!event", "Binding", ["p32", "ASPP2"]),
+      ("!event", "Binding", ["p32", "GST"])]),
+    ("bind_s37a", "TestBindingEvents.scala:398",
+     "Src tyrosyl phosphorylates Ras that is GTP bound",
+     [("event", "Phosphorylation", ["Ras"])]),
+
+    # -------- TestEntities.scala: protein fragments + figure negatives ---
+    ("ent_s10a", "TestEntities.scala:172",
+     "p13 BID is a protein fragment",
+     [("entity", "p13 BID"), ("entcount", "Entity", 1)]),
+    ("ent_s10b", "TestEntities.scala:173",
+     "Abeta is a protein fragment",
+     [("entity", "Abeta"), ("entcount", "Entity", 1)]),
+    ("ent_s10c", "TestEntities.scala:174",
+     "inactivated P-factor is a protein fragment",
+     [("entity", "inactivated P-factor"), ("entcount", "Entity", 1)]),
+    ("ent_s10d", "TestEntities.scala:175",
+     "interleukin-1 alpha proteolytic cleavage product is a protein "
+     "fragment",
+     [("entity", "interleukin-1 alpha proteolytic cleavage product"),
+      ("entcount", "Entity", 1)]),
+    ("ent_s10e", "TestEntities.scala:176",
+     "Non-structural protein 5 is a protein fragment",
+     [("entity", "Non-structural protein 5"), ("entcount", "Entity", 1)]),
+    ("ent_s10f", "TestEntities.scala:177",
+     "preM is a protein fragment",
+     [("entity", "preM"), ("entcount", "Entity", 1)]),
+    ("ent_s11a", "TestEntities.scala:215",
+     "Similarly, we showed that wild-type p53 was polyubiquitinated by "
+     "Pirh2 but not by Pirh2-DN and Pirh2-ΔRING (Fig. 5C, compare lane 3 "
+     "with lanes 4 and 5).",
+     [("!entity", "Fig. 5C"), ("!entity", "5C")]),
+    ("ent_s11d", "TestEntities.scala:218",
+     "MG132 treatment rescued the NSC59984-mediated down-regulation of "
+     "mutant p53 (figure 4A).",
+     [("!entity", "figure 4A"), ("!entity", "4A"), ("entity", "p53")]),
+
+    # -------- TestModifications.scala: PTM-vs-event + paren lists --------
+    ("mod_sent1", "TestModifications.scala:675",
+     "The phosphorylated AKT binds to ASPP2.",
+     [("count", "Phosphorylation", 0),
+      ("ptm", "AKT", "Phosphorylation"),
+      ("event", "Binding", ["AKT", "ASPP2"])]),
+    ("mod_sent1b", "TestModifications.scala:676",
+     "The ubiquitinated AKT binds to ASPP2.",
+     [("count", "Ubiquitination", 0),
+      ("ptm", "AKT", "Ubiquitination"),
+      ("event", "Binding", ["AKT", "ASPP2"])]),
+    ("mod_sent4", "TestModifications.scala:721",
+     "Phosphorylated Mek binds to GTP.",
+     [("count", "Phosphorylation", 0),
+      ("ptm", "Mek", "Phosphorylation"),
+      ("event", "Binding", ["Mek", "GTP"])]),
+    ("mod_sent11", "TestModifications.scala:793",
+     "Note that only FGFR3 K650M causes STAT1 phosphorylation",
+     [("mutations", "FGFR3", 1),
+      ("event", "Phosphorylation", ["STAT1"])]),
+    ("mod_sent12", "TestModifications.scala:801",
+     "Note that only the K650M-FGFR3 mutant causes STAT1 phosphorylation",
+     [("mutations", "FGFR3", 1, "K650M"),
+      ("event", "Phosphorylation", ["STAT1"])]),
+    ("mod_sent5", "TestModifications.scala:728",
+     "Ligation of ASPP2 to hydroxylated RAS-GTP promotes apoptosis.",
+     [("count", "Hydroxylation", 0),
+      ("ptm", "RAS-GTP", "Hydroxylation")]),
+    ("mod_sent6", "TestModifications.scala:735",
+     "Optineurin regulates NF-kappaB activation by mediating interaction "
+     "of CYLD with ubiquitinated RIP.",
+     [("count", "Ubiquitination", 0)]),
+    ("mod_sent9", "TestModifications.scala:770",
+     "The phosphorylated p53 by ASPP2 is doing something...",
+     [("event", "Phosphorylation", ["p53"]),
+      ("posreg", "ASPP2", "Phosphorylation", ["p53"])]),
+    ("mod_sent13", "TestModifications.scala:809",
+     "monoubiquitinated K-Ras is less sensitive than the unmodified "
+     "protein to GAP-mediated GTP hydrolysis",
+     [("count", "Ubiquitination", 0),
+      ("!event", "Ubiquitination", ["K-Ras"]),
+      ("ptm", "K-Ras", "Ubiquitination")]),
+    ("mod_sent14", "TestModifications.scala:825",
+     "all six FGFR3 mutants induced activatory ERK(T202/Y204) "
+     "phosphorylation (Fig. 2).",
+     [("count", "Phosphorylation", 2),
+      ("event", "Phosphorylation", ["ERK", "T202"]),
+      ("event", "Phosphorylation", ["ERK", "Y204"]),
+      ("count", "Positive_regulation", 2)]),
+    ("mod_sent15", "TestModifications.scala:844",
+     "all six FGFR3 mutants induced activatory ERK(K156M/H204M) "
+     "phosphorylation (Fig. 2).",
+     [("count", "Positive_regulation", 2)]),
+    ("mod_sent16", "TestModifications.scala:853",
+     "all six FGFR3 mutants induced activatory ERK(K156M, H204M) "
+     "phosphorylation (Fig. 2).",
+     [("count", "Positive_regulation", 2)]),
+
+    # -------- TestCoreference.scala batch 3: robustness negatives --------
+    ("coref_s20", "TestCoreference.scala:215",
+     "We also monitored how siRNA-induced loss of LMTK2 influenced "
+     "phosphorylation of PP1Cthr320. Four different LMTK2 siRNAs all "
+     "markedly reduced LMTK2 levels and this led to a corresponding "
+     "decrease in PP1Cthr320 phosphorylation.",
+     [("!posact", "LMTK2", "LMTK2")]),
+    ("coref_s21", "TestCoreference.scala:223",
+     "Inhibition of mTOR kinase is feasible with the macrolide natural "
+     "product rapamycin (aka: sirolimus, RAPA, Rapamune, AY-22989, and "
+     "NSC-226080). Rapamycin is an FDA-approved agent used as "
+     "immunosuppressive therapy post organ transplant .",
+     [("entity", "rapamycin"), ("entity", "mTOR")]),
+    ("coref_s23", "TestCoreference.scala:247",
+     "Most efforts at understanding Ras mediated transformation have "
+     "centered on identifying those targets that bind RasGTP . However , "
+     "our data raise the possibility that there is a class of proteins , "
+     "such as PI3KC2beta , that bind nucleotide-free Ras and are "
+     "negatively regulated by this interaction .",
+     [("count", "Regulation", 0)]),
+    ("coref_s25", "TestCoreference.scala:255",
+     "Another example can be given with mutated p53. The pivotal role of "
+     "p53 as a tumor suppressor is illustrated by the fact that this "
+     "protein is found mutated in ~50% of human cancers. In most cases, "
+     "mutations in p53 greatly increase the otherwise short half life of "
+     "this protein and cause it to accumulate in tumor cells.",
+     [("entity", "p53")]),
+    ("coref_s26", "TestCoreference.scala:263",
+     "Many RTKs interact directly with Grb2, some rely on Shc family "
+     "adaptors to recruit Grb2, and others do both    . While direct "
+     "Grb2/RTK interactions involve binding of the Grb2 SH2 domain to "
+     "pYXNX motifs, Shc proteins interact with RTKs primarily through the "
+     "binding of their N-terminal PTB domain to NPXpY motifs.",
+     [("entity", "Grb2")]),
 
     # ------------- TestPolarity.scala (non-ignored cases) ----------------
     ("pol_sen9", "TestPolarity.scala:74",

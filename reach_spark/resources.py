@@ -269,6 +269,14 @@ _GGP_NAMES = [
     "angiotensin II", "bradykinin", "ANP", "IRF4", "IRF5", "TLR",
     "IKKbeta", "MUC1-C", "Elk1", "Biliverdin reductase-A", "Skp2",
     "EGF receptor", "Hand2", "CDK5",
+    # TestBindingEvents.scala entities
+    "PLC", "Afadin", "Calmodulin", "Tubulin", "p32", "GST", "DNA-PKcs",
+    "LigIII", "DNA polbeta",
+    # protein-fragments KB entries (TestEntities.scala:172-215; reference
+    # bioresources protein fragment ontology)
+    "p13 BID", "Abeta", "inactivated P-factor",
+    "interleukin-1 alpha proteolytic cleavage product",
+    "Non-structural protein 5", "preM",
     "SRC-3", "ER", "ERalpha", "GSK-3", "LRP5", "BEF", "LMTK2",
     "mutarotase", "GALM", "phosphoglucomutase", "phosphoglucomutases",
     "galactokinase", "galactose mutarotase", "UDP-galactose 4-epimerase",
