@@ -1217,14 +1217,17 @@ class SentenceExtractor:
         has_aux = False
         hops = 0
         while j >= 0 and hops < 4:
-            if self.tags[j] == "AUX":
+            if self.tags[j] == "AUX" or self.lows[j] in (
+                    "be", "been", "being", "become", "becomes", "became"):
                 has_aux = True
                 j -= 1
                 hops += 1
                 continue
             if self.lows[j] in ("able", "to", "not", "never", "often",
                                 "sometimes", "always", "still", "also") or \
-                    self.lows[j].endswith("ly"):  # adverbs are transparent
+                    self.lows[j].endswith("ly") or \
+                    self.site_at(j):  # site premodifier: "is tyrosine
+                # phosphorylated" (adverbs/sites are transparent)
                 j -= 1
                 hops += 1
                 continue
@@ -1285,12 +1288,26 @@ class SentenceExtractor:
                 if label == "Translocation":
                     self._emit_translocations(trig, theme,
                                               "transloc-passive")
-                elif site is not None:
-                    self._split_event_and_reg(label, trig, theme, by_ent,
-                                              "simple-passive", site=site)
-                else:
-                    self._split_event_and_reg(label, trig, theme, by_ent,
-                                              "simple-passive")
+                    return
+                causes: list[Mention | None] = [by_ent]
+                rsgn = 1
+                if by_ent is None:
+                    # "... is phosphorylated in response to EGF" → the
+                    # response phrase carries the controller(s)
+                    resp, rsgn = self._cause_responses(i + 1)
+                    causes = resp or [None]
+                lbl = _auto_label(label) if is_auto else label
+                ev = self._split_event_and_reg(lbl, trig, theme, causes[0],
+                                               "simple-passive", site=site,
+                                               reg_sign=rsgn)
+                if ev is not None:
+                    # further coordinated causes regulate the SAME event
+                    # ("in response to either EGF or NRG" → 2 regs, 1 event)
+                    rl = ("Positive_regulation" if rsgn > 0
+                          else "Negative_regulation")
+                    for c in causes[1:]:
+                        self.events.append(self._reg(
+                            rl, trig, c, ev, "simple-passive-split"))
             return
         # bare participle postmodifier: "the levels of MCL-1 and BIM
         # expressed in ..." → one Transcription per NP-chain entity
@@ -1319,6 +1336,7 @@ class SentenceExtractor:
         themes: list[Mention] = []
         cause: Mention | None = None
         site: Mention | None = None
+        fol_sign = 1
         rule = "simple-nominal"
         if label == "Amount":
             # "increased levels of p53" → IncreaseAmount / DecreaseAmount;
@@ -1360,6 +1378,15 @@ class SentenceExtractor:
                     left = self.conj_ents_left(i)
                     if left:
                         cause = left[-1]
+                if cause is None and themes:
+                    # "The phosphorylation of AKT1 following MEK
+                    # activation / following inhibition of MEK" →
+                    # right-side controller with wrapper sign
+                    # (TestRegulation sent54/54c)
+                    f, fs = self._controller_following(themes[-1]["end"])
+                    if f is not None:
+                        cause = f
+                        fol_sign = fs
             rule = "simple-nominal-of"
         # "of TRIGGER on ENT" ("the effects of monoubiquitination on Ras")
         if not themes and i >= 1 and self.lows[i - 1] == "of" and \
@@ -1483,24 +1510,32 @@ class SentenceExtractor:
                 hops += 1
         if not themes:
             return
-        reg_sign = 1
+        reg_sign = fol_sign
         if cause is None:
             cause, reg_sign = self._cause_response(trig[1])
         sites2 = self.sites_near(trig[0], min(self.n, trig[1] + 8))
-        if sites2 and site is None:
-            site = sites2[0]
+        site_list = [site] if site is not None else (sites2 or [None])
         for theme in themes:
-            self._split_event_and_reg(
-                _auto_label(label) if is_auto else label, trig, theme,
-                cause, rule, site=site, reg_sign=reg_sign)
+            # one event per attached site ("STAT1 phosphorylation on Y123
+            # and T546" → 2 events; siteSniffer A14 per-site explode)
+            for s in site_list:
+                self._split_event_and_reg(
+                    _auto_label(label) if is_auto else label, trig, theme,
+                    cause, rule, site=s, reg_sign=reg_sign)
 
     _RESPONSE_SIGNS = {"treatment": 1, "stimulation": 1, "exposure": 1,
                        "addition": 1, "inhibition": -1, "depletion": -1,
                        "knockdown": -1, "silencing": -1}
 
     def _cause_response(self, pos: int) -> tuple[Mention | None, int]:
+        """First 'in response to' controller (single-cause callers)."""
+        causes, sgn = self._cause_responses(pos)
+        return (causes[0] if causes else None), sgn
+
+    def _cause_responses(self, pos: int) -> tuple[list[Mention], int]:
         """'... in response to treatment with RAS' / 'to RAS treatment' /
-        'to RAS inhibition' → (controller, polarity sign)."""
+        'to stimulation with either EGF or NRG' → (controllers, sign)
+        (pos-reg_template in-response-to rules, TestRegulation sent48-53)."""
         k = pos
         stop = min(self.n, pos + 10)
         while k < stop:
@@ -1511,20 +1546,23 @@ class SentenceExtractor:
                     if k2 < self.n else None
                 if sgn is not None and k2 + 1 < self.n and \
                         self.lows[k2 + 1] in ("with", "of"):
-                    cands = self.conj_ents_right(k2 + 2)
+                    j = k2 + 2
+                    if j < self.n and self.lows[j] in ("either", "both"):
+                        j += 1
+                    cands = self.conj_ents_right(j)
                     if cands:
-                        return cands[0], sgn
+                        return cands, sgn
                 cands = self.conj_ents_right(k2)
                 if cands:
                     e = cands[0]
                     sgn = self._RESPONSE_SIGNS.get(
                         self.lows[e["end"]]) if e["end"] < self.n else None
-                    return e, (sgn if sgn is not None else 1)
-                return None, 1
+                    return cands, (sgn if sgn is not None else 1)
+                return [], 1
             if self.lows[k] in (".", ";"):
                 break
             k += 1
-        return None, 1
+        return [], 1
 
     # -- conversions ------------------------------------------------------
     def _first_ent_right(self, pos: int, max_hops: int = 6) -> Mention | None:
@@ -1929,12 +1967,23 @@ class SentenceExtractor:
                 if cands:
                     return cands[0], 1, "entity"
             # event controlled: an already-found simple event whose trigger
-            # token sits here or whose theme NP starts here
+            # token sits here or whose theme NP starts here; when the
+            # nominal carried its own cause ("the phosphorylation of AFT
+            # by BEF"), the controlled is the REGULATION built from it —
+            # regulation nesting ("Akt inhibits the phosphorylation of AFT
+            # by BEF" → Neg_reg(Akt, Pos_reg(BEF, Phospho(AFT))),
+            # events_master.yml:410-433, TestRegulationEvents sent46)
             for ev in self.events:
                 if ev["kind"] == "event" and ev["label"] not in (
                         "Positive_regulation", "Negative_regulation") and \
                         ev["trigger_start"] is not None and \
                         j <= ev["trigger_start"] <= j + 8:
+                    for reg in self.events:
+                        if reg["label"] in ("Positive_regulation",
+                                            "Negative_regulation") and \
+                                reg["trigger_start"] == \
+                                ev["trigger_start"]:
+                            return reg, 1, "event"
                     return ev, 1, "event"
             lw = self.lows[j]
             ws = _wrapper_sign(lw)
@@ -2344,6 +2393,18 @@ class SentenceExtractor:
                     extra_controllers = [
                         m for m in series
                         if m["mention_id"] != controller["mention_id"]]
+            if controller is not None:
+                # mutation-split copies (F8) each control their own
+                # regulation ("K650M, K660M, and K650E-FGFR3 mutants cause
+                # ..." → one reg per mutant copy, TestRegulation sent31)
+                seen_ids = {controller["mention_id"]} | {
+                    m["mention_id"] for m in extra_controllers}
+                extra_controllers.extend(
+                    e for e in self.entities
+                    if e["start"] == controller["start"] and
+                    e["end"] == controller["end"] and
+                    e["label"] == controller["label"] and
+                    e["mention_id"] not in seen_ids)
             controlled, csign, ckind = self._controlled_arg(
                 i + 1, exclude=frozenset({controller["mention_id"]})
                 if controller else frozenset())
@@ -2369,8 +2430,10 @@ class SentenceExtractor:
                                not ev["label"].endswith(("regulation",
                                                          "activation"))]
                     if not targets and \
-                            controlled["label"].endswith("activation"):
-                        # regulation over an (embedded) activation event
+                            controlled["label"].endswith(("activation",
+                                                          "regulation")):
+                        # regulation over an (embedded) activation or a
+                        # nested regulation event
                         targets = [controlled]
                 for t in targets:
                     for ctrl in [controller] + extra_controllers:
@@ -2446,6 +2509,14 @@ class SentenceExtractor:
                 if best is None or ev["trigger_start"] > best["trigger_start"]:
                     best = ev
         if best is not None:
+            # prefer the cause-built regulation sharing the trigger
+            # ("The phosphorylation of AFT by BEF is inhibited by ..." →
+            # controlled = Pos_reg(BEF, Phospho(AFT)); nesting, sent47)
+            for reg in self.events:
+                if reg["label"] in ("Positive_regulation",
+                                    "Negative_regulation") and \
+                        reg["trigger_start"] == best["trigger_start"]:
+                    return reg, 1, "event"
             return best, 1, "event"
         e = self.nearest_ent_left(i)
         return e, 1, "entity"
@@ -2464,6 +2535,15 @@ class SentenceExtractor:
                 cands = self.conj_ents_right(j + 2)
                 if cands:
                     return cands[0], ws
+            # event-nominal controller ("... inhibited by the
+            # ubiquitination of Akt") → the event converts to its output
+            # entity (convertEventToEntity A18, DarpaActions.scala:581-665)
+            hit = self.match_simple_event_trigger(j)
+            if hit is not None and hit[1] == "noun" and \
+                    j + 1 < self.n and self.lows[j + 1] == "of":
+                cands = self.conj_ents_right(j + 2)
+                if cands:
+                    return cands[0], 1
             e = self.ent_starting_at(j)
             if e:
                 return e, 1
@@ -2481,6 +2561,10 @@ class SentenceExtractor:
         if total == 0:
             return
         if ckind == "event":
+            if controller["label"] == "BioProcess":
+                # bioprocess-valid guard (mkRegulation, A10): "Apoptosis
+                # promotes the phosphorylation of p53" → no regulation
+                return
             label = ("Positive_regulation" if total > 0
                      else "Negative_regulation")
         else:

@@ -1376,6 +1376,65 @@ CASES.extend([
       ("same_canonical", "Pax6", "Eyeless"),
       ("same_canonical", "Pax6", "eyegone")]),
 
+    # -------- TestRegulationEvents.scala batch 3: nesting + response -----
+    ("reg_s31", "TestRegulationEvents.scala:298",
+     "Note that only K650M, K660M, and K650E-FGFR3 mutants cause STAT1 "
+     "phosphorylation on Y123 and T546",
+     [("count", "Positive_regulation", 6),
+      ("count", "Phosphorylation", 2),
+      ("posreg", "FGFR3", "Phosphorylation", ["STAT1", "Y123"]),
+      ("posreg", "FGFR3", "Phosphorylation", ["STAT1", "T546"])]),
+    ("reg_s46", "TestRegulationEvents.scala:424",
+     "Akt inhibits the phosphorylation of AFT by BEF.",
+     [("count", "Positive_regulation", 1),
+      ("count", "Negative_regulation", 1),
+      ("posreg", "BEF", "Phosphorylation", ["AFT"])]),
+    ("reg_s47", "TestRegulationEvents.scala:434",
+     "The phosphorylation of AFT by BEF is inhibited by the "
+     "ubiquitination of Akt.",
+     [("count", "Positive_regulation", 1),
+      ("count", "Negative_regulation", 1),
+      ("posreg", "BEF", "Phosphorylation", ["AFT"]),
+      ("event", "Ubiquitination", ["Akt"])]),
+    ("reg_s48", "TestRegulationEvents.scala:447",
+     "We first assayed the ability of the endogenous EGFR to be tyrosine "
+     "autophosphorylated in response to EGF",
+     [("posreg", "EGF", "AutoPhosphorylation", ["EGFR"])]),
+    ("reg_s49", "TestRegulationEvents.scala:456",
+     "the ability of the exogenous ErbB3 receptor to be tyrosine "
+     "phosphorylated in response to stimulation with either EGF or "
+     "neuregulin (NRG)",
+     [("count", "Positive_regulation", 2),
+      ("count", "Phosphorylation", 1),
+      ("posreg", "EGF", "Phosphorylation", ["ErbB3"]),
+      ("posreg", "neuregulin", "Phosphorylation", ["ErbB3"])]),
+    ("reg_s50", "TestRegulationEvents.scala:465",
+     "Both Gab1 and Gab1 F446/472/589 are tyrosine phosphorylated in "
+     "response to EGF treatment",
+     [("posreg", "EGF", "Phosphorylation", ["Gab1"])]),
+    ("reg_s51", "TestRegulationEvents.scala:473",
+     "The endogenous EGFR is tyrosine phosphorylated in response to EGF "
+     "in all cell lines.",
+     [("posreg", "EGF", "Phosphorylation", ["EGFR"])]),
+    ("reg_s52", "TestRegulationEvents.scala:482",
+     "As shown in Figure, the endogenous Gab1 present in WT MEFs is "
+     "tyrosine phosphorylated in response to EGF treatment.",
+     [("posreg", "EGF", "Phosphorylation", ["Gab1"])]),
+    ("reg_s53", "TestRegulationEvents.scala:490",
+     "We first assayed the ability of the mutant Gab1 proteins to become "
+     "tyrosine phosphorylated in response to EGF.",
+     [("posreg", "EGF", "Phosphorylation", ["Gab1"])]),
+    ("reg_s54", "TestRegulationEvents.scala:500",
+     "The phosphorylation of AKT1 following MEK activation.",
+     [("posreg", "MEK", "Phosphorylation", ["AKT1"])]),
+    ("reg_s54c", "TestRegulationEvents.scala:510",
+     "The phosphorylation of AKT1 following inhibition of MEK.",
+     [("negreg", "MEK", "Phosphorylation", ["AKT1"])]),
+    ("reg_s55", "TestRegulationEvents.scala:519",
+     "Apoptosis promotes the phosphorylation of p53.",
+     [("count", "Regulation", 0),
+      ("event", "Phosphorylation", ["p53"])]),
+
     # -------- TestBindingEvents.scala batch 2 ----------------------------
     ("bind_s19", "TestBindingEvents.scala:268",
      "The dimerization of cRaf with BRaf helps something.",
