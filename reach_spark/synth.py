@@ -43,11 +43,18 @@ def make_documents(
     skew_every: int = 50,
     skew_repeat: int = 120,
     partitions: int | None = None,
+    unique: bool = False,
 ) -> DataFrame:
     """Deterministic interleaved documents table.
 
     Every `skew_every`-th doc is a long-tail doc repeating `skew_repeat`
     sentences (heavy skew for the salting story).
+
+    `unique=True` prefixes every text span with a deterministic
+    sample-id clause, making every sentence distinct. This models a
+    realistic web-scale corpus (mostly unique text) where extraction is
+    CPU-bound; the default (duplicate-heavy) corpus exercises the
+    dedupe-before-compute memo fast path instead.
     """
     sents = fixture_sentences()
     n_sents = len(sents)
@@ -62,7 +69,12 @@ def make_documents(
                 k_text = skew_repeat if heavy else 1 + _rng_ints(seed, idx, 1, 3)[0]
                 k_media = _rng_ints(seed, idx + 10**9, 1, 3)[0]
                 picks = _rng_ints(seed, idx, k_text, n_sents)
-                spans = [("text", sents[p], "", 0) for p in picks]
+                if unique:
+                    spans = [("text",
+                              f"Per sample {idx}-{si}, {sents[p]}", "", 0)
+                             for si, p in enumerate(picks)]
+                else:
+                    spans = [("text", sents[p], "", 0) for p in picks]
                 for m in range(k_media):
                     spans.append(("media", "", f"img://{doc_id}/{m}", 0))
                 # deterministic interleave: order by sha1 of (doc,i), then
