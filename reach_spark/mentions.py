@@ -27,7 +27,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from .extract import SentenceExtractor
+from .extract import SentenceExtractor, annotate_sentence
 from .resources import entity_dictionary
 from .schemas import MENTIONS
 
@@ -39,14 +39,10 @@ def _remap_id(prefix: str, old: str) -> str:
     return hashlib.sha1((prefix + old).encode()).hexdigest()[:16]
 
 
-def _extract_base(ann_rec, dictionary) -> list[dict]:
-    ann = {
-        "words": list(ann_rec.words),
-        "tags": list(ann_rec.tags),
-        "lemmas": list(ann_rec.lemmas),
-        "start_offsets": list(ann_rec.start_offsets),
-        "end_offsets": list(ann_rec.end_offsets),
-    }
+def _extract_base(sent_text: str, dictionary) -> list[dict]:
+    # annotation is re-derived here (~0.04 ms/sentence) instead of being
+    # shipped as nested Arrow columns — see annotate.split_sentences_df
+    ann = annotate_sentence(sent_text)
     ex = SentenceExtractor("", 0, ann, dictionary)
     base = []
     for m in ex.run():
@@ -82,7 +78,7 @@ def extract_mentions(sentences: DataFrame) -> DataFrame:
             for rec in pdf.itertuples(index=False):
                 base = cache.get(rec.sent_text)
                 if base is None:
-                    base = _extract_base(rec, dictionary)
+                    base = _extract_base(rec.sent_text, dictionary)
                     if len(cache) < _CACHE_MAX:
                         cache[rec.sent_text] = base
                 rows.extend(_rescope(base, rec.doc_id, rec.sent_idx))
@@ -131,7 +127,8 @@ def propagate_alias_instances(sentences: DataFrame, mentions: DataFrame,
                    F.struct("i_text", "i_label", "i_canonical"))
                    .alias("extras")))
     cand = (sentences.join(F.broadcast(per_doc), "doc_id")
-            .where(F.arrays_overlap("words", F.col("extras.i_text"))))
+            .where(F.expr(
+                "exists(extras, x -> instr(sent_text, x.i_text) > 0)")))
 
     dictionary = entity_dictionary()
 
@@ -149,7 +146,7 @@ def propagate_alias_instances(sentences: DataFrame, mentions: DataFrame,
                     d = dict(dictionary)
                     for t, lab, canon in extras:
                         d.setdefault(t.lower(), (lab, canon))
-                    base = _extract_base(rec, d)
+                    base = _extract_base(rec.sent_text, d)
                     if len(cache) < _CACHE_MAX:
                         cache[key] = base
                 rows.extend(_rescope(base, rec.doc_id, rec.sent_idx))

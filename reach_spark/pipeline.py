@@ -20,7 +20,7 @@ import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .annotate import annotate_sentences, media_spans
+from .annotate import annotate_sentences, media_spans, split_sentences_df
 from .canonicalize import canonical_entities
 from .context_ops import assign_context
 from .coref import coref_links
@@ -48,18 +48,23 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
     both a second time — at production scale these are the S4 intermediate
     tables. `corpus_aliases=True` extends the rescan corpus-wide
     (reference extractFrom(Seq(docs)), TestCoreference sent61)."""
-    sentences = annotate_sentences(documents)
+    # hot path: light (doc_id, sent_idx, sent_text) rows; annotation is
+    # memoized inside the extraction UDF (split_sentences_df docstring)
+    sentences_light = split_sentences_df(documents)
     if alias_propagation:
-        sentences = sentences.persist()
-        base = extract_mentions(sentences).persist()
-        mentions = propagate_alias_instances(sentences, base,
+        sentences_light = sentences_light.persist()
+        base = extract_mentions(sentences_light).persist()
+        mentions = propagate_alias_instances(sentences_light, base,
                                              corpus_level=corpus_aliases)
         if persist:
             mentions = mentions.persist()
     else:
-        mentions = extract_mentions(sentences)
+        mentions = extract_mentions(sentences_light)
         if persist:
             mentions = mentions.persist()
+    # the fully annotated table is exposed (and persisted by run_batch) as
+    # the S4 resume artifact only — it is NOT on the triples hot path
+    sentences = annotate_sentences(documents)
 
     ents = mentions.where(F.col("kind") == "tbm")
     kb = kb_dataframe(spark)
