@@ -97,7 +97,7 @@ def main():
         # one parallelism level, fresh JVM (invoked as a subprocess by
         # --scaling so levels can't pollute each other's heap/code cache)
         cores = int(sys.argv[sys.argv.index("--scaling-level") + 1])
-        n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "400000"))
+        n_docs = int(os.environ.get("SPARK_GRAFT_SCALE_DOCS", "30000"))
         partitions = int(os.environ.get("SPARK_GRAFT_SCALE_PARTS", "64"))
         repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
         from reach_spark.pipeline import extract_dataframe
@@ -173,7 +173,7 @@ def main():
                   "n_to_4n_efficiency": n4n,
                   "cpu_burn_baseline": _cpu_burn(),
                   "n_docs": int(os.environ.get("SPARK_GRAFT_SCALE_DOCS",
-                                               "400000")),
+                                               "30000")),
                   "shuffle_partitions": int(os.environ.get(
                       "SPARK_GRAFT_SCALE_PARTS", "64"))}
         with open("BENCH_SCALING.json", "w") as f:
