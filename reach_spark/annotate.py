@@ -100,6 +100,13 @@ def split_sentences_df(documents: DataFrame,
                 base = cache.get(text)
                 if base is None:
                     base = split_sentences(text)
+                    # sent_idx = span_pos*1000 + li assumes < 1000 sentences
+                    # per span; fail loudly instead of silently colliding
+                    if len(base) >= 1000:
+                        raise ValueError(
+                            f"span yields {len(base)} sentences (>= 1000); "
+                            "sent_idx encoding would collide — split the "
+                            "span upstream")
                     if len(cache) < 100_000:
                         cache[text] = base
                 for li, sent in enumerate(base):
@@ -138,7 +145,12 @@ def annotate_sentences(documents: DataFrame,
                 base = cache.get(text)
                 if base is None:
                     base = []
-                    for li, sent in enumerate(split_sentences(text)):
+                    sents = split_sentences(text)
+                    if len(sents) >= 1000:
+                        raise ValueError(
+                            f"span yields {len(sents)} sentences (>= 1000); "
+                            "sent_idx encoding would collide")
+                    for li, sent in enumerate(sents):
                         ann = annotate_sentence(sent)
                         base.append({
                             "li": li,

@@ -35,11 +35,16 @@ def alias_edges(grounded_entities: DataFrame,
                  .where(F.col("kind") == "relation")
                  .where(F.col("label") == "Alias")
                  .select(
+                     # try_element_at: ANSI-safe under Catalyst filter
+                     # reordering (predicates referencing these may run
+                     # before the kind/label filters on arg-less rows)
                      F.concat(F.lit("key:"),
-                              F.element_at("args", 1)["canonical"])
+                              F.try_element_at("args",
+                                               F.lit(1))["canonical"])
                      .alias("src"),
                      F.concat(F.lit("key:"),
-                              F.element_at("args", 2)["canonical"])
+                              F.try_element_at("args",
+                                               F.lit(2))["canonical"])
                      .alias("dst"))
                  .where(F.col("src") != F.col("dst"))
                  .distinct())

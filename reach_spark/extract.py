@@ -85,9 +85,13 @@ _SENT_SPLIT_RE = re.compile(r"(?<=[.!?])\s+(?=[A-Z\"(])")
 MAX_SENT_TOKENS = 100  # parse guard, reference BioNLPProcessor.scala:24
 
 
+# NOTE: no bare `[A-Z]\.` branch — the splitter only breaks before a
+# capital, so a single-capital "abbreviation" merge would glue
+# "...protein kinase C." onto the next sentence; genus initials
+# ("S. cerevisiae") are never split in the first place (lowercase
+# continuation fails the split lookahead)
 _ABBREV_END_RE = re.compile(
-    r"(?:\b(?:a\.k\.a|e\.g|i\.e|cf|vs|ca|approx|et\s+al|[Ff]ig|[Nn]o)"
-    r"|\b[A-Z])\.$")
+    r"\b(?:a\.k\.a|e\.g|i\.e|cf|vs|ca|approx|et\s+al|[Ff]ig|[Nn]o)\.$")
 
 
 def split_sentences(text: str) -> list[str]:

@@ -62,14 +62,32 @@ def write_fries(grounded_mentions: DataFrame, out_dir: str) -> None:
         .json(f"{out_dir}/fries_events")
 
 
-def index_cards(triples: DataFrame) -> DataFrame:
-    """IndexCard-style per-event JSON cards (reference
-    export/.../indexcards/IndexCardOutput.scala — S6): one card per triple
-    with participant_a/b, interaction_type, negation and context. Pure
-    column restructuring; write with df.write.json."""
+def index_cards(occurrences: DataFrame) -> DataFrame:
+    """IndexCard per-event JSON cards (reference
+    export/.../indexcards/IndexCardOutput.scala — S6): one card per event
+    OCCURRENCE (build_triple_occurrences output) with participant_a/b,
+    interaction_type, negation and context. Interaction-type vocabulary
+    follows the reference: regulations over PTM events →
+    adds_modification / inhibits_modification (with a modifications
+    struct), translocations → translocates, activations →
+    increases_activity / decreases_activity, plain regulations →
+    increases / decreases, binding → binds. Pure column restructuring;
+    write with df.write.json."""
+    from .triples import PTM_SUFFIX
+    ptm_names = list(PTM_SUFFIX)
+    ctld = F.try_element_at(F.split("pred", "->"), F.lit(2))
+    is_reg_ptm = ctld.isin(ptm_names)
+    is_bare_ptm = F.col("pred").isin(ptm_names)
+    ptm_type = F.coalesce(ctld, F.col("pred"))
     itype = (
-        F.when(F.col("pred").startswith("Positive_regulation"),
-               F.lit("increases"))
+        F.when(F.col("pred").startswith("Positive_regulation") & is_reg_ptm,
+               F.lit("adds_modification"))
+        .when(F.col("pred").startswith("Negative_regulation") & is_reg_ptm,
+              F.lit("inhibits_modification"))
+        .when(is_bare_ptm, F.lit("adds_modification"))
+        .when(F.col("pred") == "Translocation", F.lit("translocates"))
+        .when(F.col("pred").startswith("Positive_regulation"),
+              F.lit("increases"))
         .when(F.col("pred").startswith("Negative_regulation"),
               F.lit("decreases"))
         .when(F.col("pred") == "Positive_activation",
@@ -78,21 +96,24 @@ def index_cards(triples: DataFrame) -> DataFrame:
               F.lit("decreases_activity"))
         .when(F.col("pred") == "Binding", F.lit("binds"))
         .otherwise(F.lower(F.col("pred"))))
-    return triples.select(
+    mods = F.when(is_reg_ptm | is_bare_ptm,
+                  F.array(F.struct(
+                      F.lower(ptm_type).alias("modification_type"))))
+    return occurrences.select(
         F.concat(F.lit("card-"), "event_id").alias("card_id"),
         F.col("doc_id").alias("pmc_id"),
         F.struct(
             F.col("subj").alias("participant_a"),
             F.col("obj").alias("participant_b"),
             itype.alias("interaction_type"),
+            mods.alias("modifications"),
             F.col("negated").alias("negative_information"),
         ).alias("extracted_information"),
         F.col("context_species"),
         F.col("trigger").alias("evidence"),
-        F.col("seen").alias("evidence_count"),
     )
 
 
-def write_index_cards(triples: DataFrame, out_dir: str) -> None:
-    index_cards(triples).write.mode("overwrite").json(
+def write_index_cards(occurrences: DataFrame, out_dir: str) -> None:
+    index_cards(occurrences).write.mode("overwrite").json(
         f"{out_dir}/index_cards")

@@ -27,7 +27,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 
-from .extract import SentenceExtractor, annotate_sentence
+from .extract import SentenceExtractor, annotate_sentence, split_sentences
 from .resources import entity_dictionary
 from .schemas import MENTIONS
 
@@ -85,6 +85,90 @@ def extract_mentions(sentences: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=_MENTION_COLS)
 
     return sentences.mapInPandas(gen, schema=MENTIONS)
+
+
+def extract_document_mentions(documents: DataFrame) -> DataFrame:
+    """The FUSED hot path: documents(doc_id, spans) → mention rows in ONE
+    mapInPandas stage — span ordering, sentence split, pass-1 extraction,
+    and the doc-level alias-instance rescan (G6) all happen inside the UDF.
+
+    Why fused: a document row already carries every span of the doc, so
+    the doc-local InstanceFinder rescan needs NO shuffle, NO broadcast
+    join, and NO second UDF stage — the unfused path
+    (split_sentences_df → extract_mentions → propagate_alias_instances)
+    chained two Python workers with an Arrow hop between them plus two
+    persists and a broadcast join, which dominated the measured scaling
+    curve. Corpus-wide alias mode still uses the unfused path (it
+    genuinely needs a global barrier).
+
+    Skew: the work unit is one document (like the reference's per-paper
+    loop, ReachCLI.scala:43-153). Sentence-level extraction is memoized
+    per partition, so duplicated content still collapses to cache probes;
+    a pathological mega-document serializes on one task — pre-split such
+    docs upstream (the 1000-sentence-per-span guard bounds the damage)."""
+    dictionary = entity_dictionary()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        split_cache: dict[str, list[str]] = {}
+        cache1: dict[str, list[dict]] = {}
+        cache2: dict[tuple, list[dict]] = {}
+        for pdf in batches:
+            rows = []
+            for rec in pdf.itertuples(index=False):
+                tspans = sorted((s for s in rec.spans
+                                 if s["kind"] == "text" and s["text"]),
+                                key=lambda s: s["offset"])
+                sents: list[tuple[int, str]] = []
+                for pos, s in enumerate(tspans):
+                    ss = split_cache.get(s["text"])
+                    if ss is None:
+                        ss = split_sentences(s["text"])
+                        if len(ss) >= 1000:
+                            raise ValueError(
+                                f"span yields {len(ss)} sentences (>= "
+                                "1000); sent_idx encoding would collide")
+                        if len(split_cache) < _CACHE_MAX:
+                            split_cache[s["text"]] = ss
+                    sents.extend((pos * 1000 + li, t)
+                                 for li, t in enumerate(ss))
+                per_sent: list[tuple[int, str, list[dict]]] = []
+                for si, stext in sents:
+                    base = cache1.get(stext)
+                    if base is None:
+                        base = _extract_base(stext, dictionary)
+                        if len(cache1) < _CACHE_MAX:
+                            cache1[stext] = base
+                    per_sent.append((si, stext, base))
+                # doc-level alias instances (InstanceFinder rescan, G6):
+                # identical semantics to propagate_alias_instances —
+                # extras = sorted distinct instances minted anywhere in
+                # the doc; only sentences containing an instance text are
+                # re-extracted, memoized on (sentence, extras)
+                extras = tuple(sorted({
+                    (m["text"], m["label"], m["canonical"])
+                    for _, _, base in per_sent for m in base
+                    if str(m.get("found_by", "")).startswith(
+                        "alias-instance")}))
+                if extras:
+                    for i, (si, stext, base) in enumerate(per_sent):
+                        if not any(t in stext for t, _, _ in extras):
+                            continue
+                        key = (stext, extras)
+                        b2 = cache2.get(key)
+                        if b2 is None:
+                            d = dict(dictionary)
+                            for t, lab, canon in extras:
+                                d.setdefault(t.lower(), (lab, canon))
+                            b2 = _extract_base(stext, d)
+                            if len(cache2) < _CACHE_MAX:
+                                cache2[key] = b2
+                        per_sent[i] = (si, stext, b2)
+                for si, _stext, base in per_sent:
+                    rows.extend(_rescope(base, rec.doc_id, si))
+            yield pd.DataFrame(rows, columns=_MENTION_COLS)
+
+    return documents.select("doc_id", "spans").mapInPandas(
+        gen, schema=MENTIONS)
 
 
 def alias_instance_table(mentions: DataFrame) -> DataFrame:

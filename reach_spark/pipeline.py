@@ -25,8 +25,9 @@ from .canonicalize import canonical_entities
 from .context_ops import assign_context
 from .coref import coref_links
 from .grounding import ground_entities, ground_map, kb_dataframe
-from .mentions import extract_mentions, propagate_alias_instances
-from .triples import build_triples
+from .mentions import (extract_document_mentions, extract_mentions,
+                       propagate_alias_instances)
+from .triples import assemble_triples, build_triple_occurrences
 
 
 def extract_dataframe(spark: SparkSession, documents: DataFrame,
@@ -43,25 +44,32 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
     production scale this is the intermediate Iceberg `mentions` table
     (SURVEY §2.1 S4 resume point).
 
-    `alias_propagation` runs the doc-wide InstanceFinder rescan (G6):
-    sentences + pass-1 mentions are persisted because the rescan references
-    both a second time — at production scale these are the S4 intermediate
-    tables. `corpus_aliases=True` extends the rescan corpus-wide
-    (reference extractFrom(Seq(docs)), TestCoreference sent61)."""
-    # hot path: light (doc_id, sent_idx, sent_text) rows; annotation is
-    # memoized inside the extraction UDF (split_sentences_df docstring)
-    sentences_light = split_sentences_df(documents)
-    if alias_propagation:
-        sentences_light = sentences_light.persist()
-        base = extract_mentions(sentences_light).persist()
+    `alias_propagation` runs the doc-wide InstanceFinder rescan (G6) —
+    FUSED into the single extraction UDF (extract_document_mentions): a
+    document row carries all its spans, so the doc-local rescan needs no
+    joins or extra stages. `corpus_aliases=True` extends the rescan
+    corpus-wide (reference extractFrom(Seq(docs)), TestCoreference
+    sent61); that mode genuinely needs a global barrier, so it uses the
+    unfused two-pass path (pass-1 + broadcast-join rescan)."""
+    if alias_propagation and not corpus_aliases:
+        # hot path: ONE mapInPandas stage does span-order → sentence split
+        # → extraction → doc-level alias rescan
+        mentions = extract_document_mentions(documents)
+    elif alias_propagation:
+        sentences_light = split_sentences_df(documents)
+        base = extract_mentions(sentences_light)
+        if persist:
+            # the rescan references both a second time; persist only when
+            # the caller opted in (long-lived sessions with persist=False
+            # must not accumulate cached blocks)
+            sentences_light = sentences_light.persist()
+            base = base.persist()
         mentions = propagate_alias_instances(sentences_light, base,
-                                             corpus_level=corpus_aliases)
-        if persist:
-            mentions = mentions.persist()
+                                             corpus_level=True)
     else:
-        mentions = extract_mentions(sentences_light)
-        if persist:
-            mentions = mentions.persist()
+        mentions = extract_mentions(split_sentences_df(documents))
+    if persist:
+        mentions = mentions.persist()
     # the fully annotated table is exposed (and persisted by run_batch) as
     # the S4 resume artifact only — it is NOT on the triples hot path
     sentences = annotate_sentences(documents)
@@ -80,7 +88,8 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
 
     links = coref_links(grounded) if with_coref else None
     context = assign_context(grounded)
-    triples = build_triples(grounded, context, gmap=gmap)
+    occurrences = build_triple_occurrences(grounded, context, gmap=gmap)
+    triples = assemble_triples(occurrences)
     canon = canonical_entities(grounded, links)
     return {
         "sentences": sentences,
@@ -88,6 +97,7 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
         "entities": grounded_ents,
         "coref_links": links,
         "context": context,
+        "triple_occurrences": occurrences,
         "triples": triples,
         "canonical_entities": canon,
         "media": media_spans(documents),
@@ -125,12 +135,12 @@ def run_batch(spark: SparkSession, documents: DataFrame, out_dir: str,
     results = extract_dataframe(spark, todo)
     counts: dict[str, int] = {}
     t0 = time.time()
-    for name in ("mentions", "triples", "canonical_entities"):
+    for name in ("mentions", "triple_occurrences", "canonical_entities"):
         df = results[name]
         mode = "append" if name != "canonical_entities" else "overwrite"
         path = os.path.join(out_dir, name)
         writer = df.write.mode(mode)
-        if name == "triples":
+        if name == "triple_occurrences":
             # partitioned write (Iceberg partitionedBy analog): predicate
             # pushdown on pred for downstream graph queries
             writer = writer.partitionBy("pred")
@@ -139,6 +149,17 @@ def run_batch(spark: SparkSession, documents: DataFrame, out_dir: str,
             .withColumn("wall_s", F.lit(time.time() - t0))
         metrics.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
         counts[name] = spark.read.parquet(path).count()
+
+    # EER triple table = assembly rollup over ALL occurrences appended so
+    # far (this batch + every resumed batch): seen counts stay corpus-wide
+    # under checkpoint/resume because the aggregate re-runs over the full
+    # log — one hash aggregation, overwritten each batch
+    from .triples import assemble_triples as _assemble
+    occ_all = spark.read.parquet(os.path.join(out_dir, "triple_occurrences"))
+    tri_path = os.path.join(out_dir, "triples")
+    _assemble(occ_all).write.mode("overwrite").partitionBy("pred") \
+        .parquet(tri_path)
+    counts["triples"] = spark.read.parquet(tri_path).count()
 
     # checkpoint finished docs LAST (all-or-nothing per batch)
     todo.select("doc_id").write.mode("append").parquet(ckpt_path)

@@ -62,7 +62,11 @@ def q3_topk_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = spark.read.parquet(f"{sf_dir}/customer.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    rev = (li.join(F.broadcast(o.where(F.col("o_orderstatus") == "O")),
+    # orders is a FACT table — never broadcast it (a broadcast that fits at
+    # sf0.1 OOMs at 100×); lineitem⋈orders shuffles on the join key (AQE
+    # may still pick broadcast at small SF), only the customer DIM gets an
+    # explicit broadcast hint
+    rev = (li.join(o.where(F.col("o_orderstatus") == "O"),
                    li["l_orderkey"] == o["o_orderkey"])
            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
            .groupBy("o_orderkey")

@@ -266,7 +266,7 @@ _GGP_NAMES = [
     "complex 1", "mTORC1", "Wip1", "TSC2", "TSC1", "Rheb",
     "lipoprotein lipase", "hormone sensitive lipase", "Trbl", "FoxO",
     "angiotensin converting enzyme", "neutral endopeptidase",
-    "angiotensin II", "bradykinin", "ANP", "IRF4", "IRF5", "TLR",
+    "bradykinin", "ANP", "IRF4", "IRF5", "TLR",
     "IKKbeta", "MUC1-C", "Elk1", "Biliverdin reductase-A", "Skp2",
     "EGF receptor", "Hand2", "CDK5",
     # TestBindingEvents.scala entities
@@ -307,7 +307,12 @@ _CHEMICAL_NAMES = ["GTP", "GDP", "ATP", "ADP", "AMP", "cAMP", "NADPH",
                    "fructose-1,6-bisphosphate", "UDP-galactose",
                    "UDP-glucose", "D-glucose 1-phosphate",
                    "D-glucose 6-phosphate", "galactose 1-phosphate",
+                   # both surface forms of the angiotensin peptides live
+                   # HERE (not in the GGP list): the canonical key strips
+                   # hyphens, so "angiotensin II"/"angiotensin-II" must
+                   # share one label or one canonical grounds to two gids
                    "angiotensin-I", "angiotensin-II",
+                   "angiotensin I", "angiotensin II",
                    # TestNERLabeling.scala:30 chemicals + :33 drugs
                    "endoxifen sulfate", "Juvamine", "Adenosine-phosphate",
                    "Xitix", "okadaic acid", "Alvocidib", "Anacardic acid",
@@ -367,7 +372,13 @@ ENTITY_DICT_LABELS: dict[str, list[str]] = {
 # (the TestGrounding.scala:12-47 contract: "p65" == "NF-kappaB p65")
 # variants are canonical_key forms (spaces/hyphens already stripped)
 _CANON_GROUPS: dict[str, list[str]] = {
-    "RAS": ["ras", "kras", "hras", "nras"],
+    # kras/hras/nras are distinct genes with distinct UniProt accessions
+    # (TestOverrides.scala:40-41 ggp7) — one canonical group each; generic
+    # "Ras" stays its own group with a synthetic (non-authoritative) id
+    "KRAS": ["kras"],
+    "HRAS": ["hras"],
+    "NRAS": ["nras"],
+    "RAS": ["ras"],
     "MAPK1": ["mapk1", "erk2"],
     "ERK1": ["erk1", "mapk3"],
     "AKT1": ["akt1"],
@@ -391,7 +402,8 @@ _UNIPROT_OVERRIDES: dict[str, str] = {
     "ADAM17": "P78536", "AKT1": "P31749", "AKT2": "P31751",
     "ASPP1": "Q96KQ4", "ASPP2": "Q13625", "CASP8": "Q14790",
     "EGF": "P01133", "EGFR": "P00533", "ERK5": "Q13164",
-    "GSK3BETA": "P49841", "RAS": "P01116", "IGF1": "P05019",
+    "GSK3BETA": "P49841", "KRAS": "P01116", "HRAS": "P01112",
+    "NRAS": "P01111", "IGF1": "P05019",
     "JNK1": "P45983", "MAP2K1": "Q02750", "TP53": "P04637",
     "MEK": "Q02750", "RAF1": "P04049", "BRAF": "P15056",
     "MAPK1": "P28482", "ERK1": "P27361", "RELA": "Q04206",

@@ -88,7 +88,8 @@ MENTIONS = T.StructType([
     T.StructField("is_controlled", T.BooleanType(), False),
 ])
 
-TRIPLES = T.StructType([
+# the append-safe triple LOG: one row per event occurrence
+TRIPLE_OCCURRENCES = T.StructType([
     T.StructField("doc_id", T.StringType(), False),
     T.StructField("sent_idx", T.IntegerType(), False),
     T.StructField("event_id", T.StringType(), False),
@@ -101,5 +102,18 @@ TRIPLES = T.StructType([
     T.StructField("trigger", T.StringType(), True),
     T.StructField("found_by", T.StringType(), False),
     T.StructField("context_species", T.ArrayType(T.StringType()), True),
-    T.StructField("seen", T.IntegerType(), False),
+])
+
+# the deduped EER table (assemble_triples): one row per equivalence class
+TRIPLES = T.StructType([
+    T.StructField("subj", T.StringType(), True),
+    T.StructField("pred", T.StringType(), False),
+    T.StructField("obj", T.StringType(), False),
+    T.StructField("negated", T.BooleanType(), False),
+    T.StructField("hypothesis", T.BooleanType(), False),
+    T.StructField("is_direct", T.BooleanType(), False),
+    T.StructField("trigger", T.StringType(), True),
+    T.StructField("found_by", T.StringType(), False),
+    T.StructField("seen", T.LongType(), False),
+    T.StructField("seen_in", T.ArrayType(T.StringType()), False),
 ])

@@ -31,7 +31,11 @@ def stream_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
         if batch_df.isEmpty():
             return
         res = extract_dataframe(spark, batch_df, with_coref=False)
-        (res["triples"]
+        # the append-safe unit is the occurrence log (one row per event
+        # occurrence); the deduped EER table is a downstream batch rollup
+        # (pipeline.run_batch) — appending pre-aggregated EER rows per
+        # micro-batch would double-count seen
+        (res["triple_occurrences"]
          .write.mode("append").partitionBy("pred")
          .parquet(f"{out_dir}/triples"))
         (res["entities"]

@@ -143,15 +143,29 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram Jaccard near-dup: inverted index on shingles → pair intersection
 # counts → |A∩B| / (|A|+|B|-|A∩B|). Threshold in basis points (integer) so
 # the comparison is float-free across engines.
+#
+# Hot-shingle cap: a shingle shared by k docs contributes k²/2 candidate
+# pairs, so one boilerplate shingle in 10⁶ docs would alone emit 5·10¹¹
+# pairs. Shingles with document frequency > JACCARD_DF_CAP are dropped from
+# the inverted index BEFORE the self-join (they carry ~zero Jaccard signal;
+# sizes still count them so the ratio denominator is exact). Near-dup at
+# corpus scale routes through the MinHash-LSH path whose candidate count is
+# O(n·bands) by construction. The oracle applies the identical cap.
 # --------------------------------------------------------------------------
+JACCARD_DF_CAP = 1000
+
 @_register("dedup_jaccard_pairs", f"""
 WITH sh AS (
   SELECT DISTINCT doc_id, unnest({_SHINGLE_DUCK}) AS shingle FROM documents
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+), cold AS (
+  SELECT shingle FROM sh GROUP BY shingle HAVING count(*) <= 1000
+), shc AS (
+  SELECT sh.doc_id, sh.shingle FROM sh JOIN cold USING (shingle)
 ), inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT doc_a, doc_b,
@@ -166,6 +180,9 @@ def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
           .select("doc_id", F.explode(F.expr(_SHINGLE_SPARK)).alias("shingle"))
           .distinct())
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    cold = (sh.groupBy("shingle").agg(F.count("*").alias("df"))
+            .where(F.col("df") <= JACCARD_DF_CAP).select("shingle"))
+    sh = sh.join(cold, "shingle")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (a.join(b, (F.col("a.shingle") == F.col("b.shingle")) &

@@ -18,7 +18,7 @@ the mods array — no UDF.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, functions as F
 
 # PTM output suffixes (AssemblyExporter event-type abbreviations)
 PTM_SUFFIX = {
@@ -54,13 +54,19 @@ def _suffix_for(label_col: F.Column) -> F.Column:
 
 
 def _arg1(role: str) -> F.Column:
-    return F.element_at(
-        F.filter("args", lambda a: a["role"] == F.lit(role)), 1)
+    # try_element_at, not element_at: Catalyst may reorder a pushed-down
+    # predicate on `pred` BEFORE the label filter, evaluating this on event
+    # rows that lack the role (ANSI element_at would throw on empty arrays)
+    return F.try_element_at(
+        F.filter("args", lambda a: a["role"] == F.lit(role)), F.lit(1))
 
 
-def build_triples(mentions: DataFrame, context: DataFrame | None = None,
-                  gmap: DataFrame | None = None) -> DataFrame:
-    """grounded mentions (+ optional tiny grounding map) → triples rows.
+def build_triple_occurrences(mentions: DataFrame,
+                             context: DataFrame | None = None,
+                             gmap: DataFrame | None = None) -> DataFrame:
+    """grounded mentions (+ optional tiny grounding map) → one row per
+    EVENT OCCURRENCE (the incremental, append-safe triple log; the deduped
+    EER table is `assemble_triples` over this).
 
     subj = CONTROLLER (null for un-regulated simple events),
     pred = 'Reg_label->Event_label' (ASCII separator: pred is a partition value; non-ASCII partition dirs break on non-UTF8 default-charset filesystems) for regulations over events,
@@ -114,15 +120,21 @@ def build_triples(mentions: DataFrame, context: DataFrame | None = None,
               .where(~F.col("is_controlled")))
 
     bind = simple.where(F.col("label") == "Binding")
+    # themes ordered by CONTENT (text, canonical) — sorting the raw arg
+    # structs would order by mention_id, which is (doc, sent)-scoped, so
+    # the same binding sentence in two docs would emit (A,B) vs (B,A) and
+    # split one equivalence class into two EERs. Binding is symmetric; the
+    # canonical theme order is part of the equivalence key.
+    themes = F.array_sort(F.transform(
+        F.filter("args", lambda a: a["role"] == F.lit("theme")),
+        lambda a: F.struct(a["text"].alias("text"),
+                           a["canonical"].alias("canonical"),
+                           a["target_label"].alias("target_label"))))
     bind_rows = bind.select(
         "doc_id", "sent_idx",
         F.col("mention_id").alias("event_id"),
-        F.element_at(F.array_sort(F.filter(
-            "args", lambda a: a["role"] == F.lit("theme"))), 1)
-         .alias("t1"),
-        F.element_at(F.array_sort(F.filter(
-            "args", lambda a: a["role"] == F.lit("theme"))), 2)
-         .alias("t2"),
+        F.try_element_at(themes, F.lit(1)).alias("t1"),
+        F.try_element_at(themes, F.lit(2)).alias("t2"),
         "label", "mods", "trigger_text", "found_by", "is_direct",
     ).where(F.col("t2").isNotNull()).select(
         "doc_id", "sent_idx", "event_id",
@@ -168,9 +180,13 @@ def build_triples(mentions: DataFrame, context: DataFrame | None = None,
 
     # --- grounding resolution: two broadcast joins against the tiny map --
     if gmap is not None:
+        # one gid per canonical key (min over the labels present): keeps the
+        # left joins below 1:1 — a canonical grounding differently under two
+        # labels must not duplicate triple rows
         g = F.broadcast(gmap.select(F.col("canonical").alias("c"),
                                     F.concat_ws(":", "g_ns", "g_id")
-                                    .alias("gid")).distinct())
+                                    .alias("gid"))
+                        .groupBy("c").agg(F.min("gid").alias("gid")))
         rows = (rows
                 .join(g.withColumnRenamed("c", "subj_canon")
                        .withColumnRenamed("gid", "subj_gid"),
@@ -191,12 +207,6 @@ def build_triples(mentions: DataFrame, context: DataFrame | None = None,
                  F.col("obj_sfx")).alias("obj"),
         "negated", "hypothesis", "is_direct", "trigger", "found_by")
 
-    # SEEN = corpus-wide evidence count on the equivalence key (T2 EER dedup
-    # groupBy + the Arizona seen>0 filter T4)
-    wseen = Window.partitionBy("subj", "pred", "obj", "negated")
-    out = (out.withColumn("seen", F.count("*").over(wseen).cast("int"))
-              .where(F.col("seen") > 0))
-
     if context is not None:
         out = out.join(context.select("doc_id", "sent_idx",
                                       "context_species"),
@@ -206,5 +216,37 @@ def build_triples(mentions: DataFrame, context: DataFrame | None = None,
                              F.lit(None).cast("array<string>"))
     return out.select(
         "doc_id", "sent_idx", "event_id", "subj", "pred", "obj", "negated",
-        "hypothesis", "is_direct", "trigger", "found_by", "context_species",
-        "seen")
+        "hypothesis", "is_direct", "trigger", "found_by", "context_species")
+
+
+def assemble_triples(occurrences: DataFrame) -> DataFrame:
+    """[T1/T2/T4] AssemblyManager EER dedup: occurrence rows → ONE row per
+    distinct equivalence class (subj, pred, obj, negated) with SEEN =
+    corpus-wide evidence count and SEEN IN = the doc ids carrying evidence
+    (AssemblyExporter.scala:114-180, ArizonaOutputter.scala:40-45; the
+    seen>0 keep-filter is satisfied by construction — a class only exists
+    because ≥1 occurrence was observed).
+
+    Spark shape: a single hash aggregation with map-side partial combine on
+    the equivalence key — no window (a window would shuffle AND sort every
+    occurrence; the aggregate pre-combines per partition, so at 100 TB the
+    shuffle carries one partial row per (partition × distinct EER), not one
+    per occurrence)."""
+    return (occurrences
+            .groupBy("subj", "pred", "obj", "negated")
+            .agg(F.count("*").alias("seen"),
+                 F.max("hypothesis").alias("hypothesis"),
+                 F.max("is_direct").alias("is_direct"),
+                 F.min("trigger").alias("trigger"),
+                 F.min("found_by").alias("found_by"),
+                 F.array_sort(F.collect_set("doc_id")).alias("seen_in"))
+            .select("subj", "pred", "obj", "negated", "hypothesis",
+                    "is_direct", "trigger", "found_by", "seen", "seen_in"))
+
+
+def build_triples(mentions: DataFrame, context: DataFrame | None = None,
+                  gmap: DataFrame | None = None,
+                  assemble: bool = True) -> DataFrame:
+    """Convenience: occurrences (+ optional EER assembly, the default)."""
+    occ = build_triple_occurrences(mentions, context, gmap)
+    return assemble_triples(occ) if assemble else occ

@@ -32,3 +32,16 @@ def test_canonical_groups_unify():
     # the TestGrounding.scala:12 contract relies on alias unification
     assert canonical_key("K-Ras") == canonical_key("KRas")
     assert canonical_key("MCF-7") == canonical_key("MCF7")
+
+
+def test_ras_isoform_accessions_distinct():
+    """ggp7 contract (reference TestOverrides.scala:40-41): the three Ras
+    isoforms ground to distinct authoritative UniProt accessions; generic
+    'Ras' must NOT share any of them."""
+    from reach_spark.resources import kb_rows
+    uni = {key: kid for (label, key, ns, kid, *_rest) in kb_rows()
+           if ns == "uniprot"}
+    assert uni["kras"] == "P01116"
+    assert uni["hras"] == "P01112"
+    assert uni["nras"] == "P01111"
+    assert uni["ras"] not in {"P01116", "P01112", "P01111"}

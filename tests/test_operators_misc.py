@@ -84,7 +84,9 @@ def test_dsv_and_plaintext_sources(spark, tmp_path):
 
 
 def test_index_card_sink(spark):
-    """S6 IndexCard sink: one card per triple with interaction_type."""
+    """S6 IndexCard sink: one card per event occurrence with the reference
+    interaction_type vocabulary (IndexCardOutput.scala): a regulation over
+    a PTM event → adds_modification with a modifications struct."""
     from reach_spark.fries import index_cards
     from reach_spark.pipeline import extract_dataframe
     from pyspark.sql import Row
@@ -92,6 +94,56 @@ def test_index_card_sink(spark):
         Row(kind="text", text="MEK phosphorylates Ras.", media_ref="",
             offset=0)])])
     res = extract_dataframe(spark, docs, with_coref=False, persist=False)
-    cards = index_cards(res["triples"]).collect()
+    cards = index_cards(res["triple_occurrences"]).collect()
     itypes = {c["extracted_information"]["interaction_type"] for c in cards}
-    assert "increases" in itypes  # the Positive_regulation card
+    assert "adds_modification" in itypes  # Positive_regulation->PTM card
+    mod_cards = [c for c in cards
+                 if c["extracted_information"]["interaction_type"]
+                 == "adds_modification"]
+    assert all(
+        c["extracted_information"]["modifications"][0]["modification_type"]
+        == "phosphorylation" for c in mod_cards)
+
+
+def test_kg_expected_not_stale():
+    """The generated per-fixture oracle data (reach_spark/_kg_expected.py)
+    pins a hash of the fixture corpus; if fixtures.py changes without
+    re-running tools/gen_kg_oracle.py, this fails loudly instead of the
+    driver's DuckDB oracle silently mismatching."""
+    import hashlib
+    from reach_spark import _kg_expected as E
+    from reach_spark.fixtures import fixture_sentences
+    sents = fixture_sentences()
+    h = hashlib.sha256()
+    for s in sents:
+        h.update(s.encode("utf-8"))
+        h.update(b"\x00")
+    assert E.N_FIXTURES == len(sents)
+    assert E.FIXTURE_SHA == h.hexdigest()[:16], (
+        "fixtures.py changed — regenerate with: python tools/gen_kg_oracle.py")
+    assert len(E.TRIPLES) > 500 and len(E.EDGES) > 1000
+
+
+def test_triple_eer_dedup(spark):
+    """T1/T2/T4: duplicate evidence collapses to ONE row per equivalence
+    class with seen = evidence count (AssemblyExporter.scala:114-180) —
+    the same sentence in two docs and twice within one doc → seen=3."""
+    from pyspark.sql import Row
+    sent = "MEK phosphorylates Ras."
+    docs = spark.createDataFrame([
+        Row(doc_id="d1", spans=[
+            Row(kind="text", text=sent, media_ref="", offset=0),
+            Row(kind="text", text=sent, media_ref="", offset=1)]),
+        Row(doc_id="d2", spans=[
+            Row(kind="text", text=sent, media_ref="", offset=0)]),
+    ])
+    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    trip = res["triples"].collect()
+    regs = [t for t in trip
+            if t["pred"] == "Positive_regulation->Phosphorylation"]
+    assert len(regs) == 1  # ONE row per EER, not one per occurrence
+    assert regs[0]["seen"] == 3
+    assert sorted(regs[0]["seen_in"]) == ["d1", "d2"]
+    occ = res["triple_occurrences"].where(
+        F.col("pred") == "Positive_regulation->Phosphorylation")
+    assert occ.count() == 3

@@ -108,8 +108,8 @@ def test_canonicalization_components(spark, results):
 def test_determinism_two_runs(spark, docs):
     """Two full runs on the same input → identical triple sets
     (deterministic IDs everywhere, SURVEY §7)."""
-    a = extract_dataframe(spark, docs, with_coref=False)["triples"]
-    b = extract_dataframe(spark, docs, with_coref=False)["triples"]
+    a = extract_dataframe(spark, docs, with_coref=False)["triple_occurrences"]
+    b = extract_dataframe(spark, docs, with_coref=False)["triple_occurrences"]
     cols = ["doc_id", "sent_idx", "event_id", "subj", "pred", "obj",
             "negated"]
     assert a.select(cols).exceptAll(b.select(cols)).count() == 0
@@ -126,14 +126,21 @@ def test_checkpoint_resume(spark, tmp_path_factory):
     assert c1["docs"] == 6
     c2 = run_batch(spark, full, out1)
     assert c2["docs"] == 6  # only the remainder (restart anti-join)
-    resumed = spark.read.parquet(out1 + "/triples")
+    resumed = spark.read.parquet(out1 + "/triple_occurrences")
 
     out2 = str(tmp_path_factory.mktemp("oneshot"))
     run_batch(spark, full, out2)
-    oneshot = spark.read.parquet(out2 + "/triples")
+    oneshot = spark.read.parquet(out2 + "/triple_occurrences")
     cols = ["doc_id", "sent_idx", "event_id", "subj", "pred", "obj"]
     assert resumed.select(cols).exceptAll(oneshot.select(cols)).count() == 0
     assert oneshot.select(cols).exceptAll(resumed.select(cols)).count() == 0
+    # the EER rollup (incl. corpus-wide seen counts) must also be identical
+    # between the resumed run and the one-shot run
+    ecols = ["subj", "pred", "obj", "negated", "seen"]
+    er = spark.read.parquet(out1 + "/triples").select(ecols)
+    eo = spark.read.parquet(out2 + "/triples").select(ecols)
+    assert er.exceptAll(eo).count() == 0
+    assert eo.exceptAll(er).count() == 0
     # metrics rows exist with partition lineage
     metrics = spark.read.parquet(out1 + "/metrics")
     assert {"partition_id", "rows", "stage"} <= set(metrics.columns)

@@ -92,6 +92,7 @@ def test_streaming_availablenow(spark, tmp_path):
     assert triples.count() > 0
     from reach_spark.pipeline import extract_dataframe
     batch = extract_dataframe(
-        spark, spark.read.parquet(docs_dir), with_coref=False)["triples"]
+        spark, spark.read.parquet(docs_dir),
+        with_coref=False)["triple_occurrences"]
     cols = ["doc_id", "sent_idx", "event_id", "subj", "pred", "obj"]
     assert triples.select(cols).exceptAll(batch.select(cols)).count() == 0
