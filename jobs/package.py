@@ -13,7 +13,9 @@ def main() -> None:
         pkg = os.path.join(root, "reach_spark")
         for dirpath, _dirnames, filenames in os.walk(pkg):
             for fn in filenames:
-                if fn.endswith(".py"):
+                # .yml: the declarative rule files (reach_spark/rules/)
+                # must ship with the code
+                if fn.endswith((".py", ".yml")):
                     full = os.path.join(dirpath, fn)
                     z.write(full, os.path.relpath(full, root))
     print(out)

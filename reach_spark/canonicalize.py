@@ -28,6 +28,8 @@ def alias_edges(grounded_entities: DataFrame,
     e1 = (grounded_entities
           .where(F.col("kind") == "tbm")
           .where(F.col("label") != "Site")
+          .where(~F.col("label").startswith("Generic"))
+          .where(F.col("g_ns").isNotNull())
           .select(key_node.alias("src"), id_node.alias("dst"))
           .distinct())
     # parenthetical alias relations ("Ras (H-Ras)") — G6 alias canonization

@@ -414,23 +414,49 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
         w, lw = words[i], lows[i]
         if (lw in R.AA_SHORT or lw in R.AMINO_ACIDS) and i + 1 < n and \
                 lows[i + 1].startswith("residue"):
-            # "Lys residues 104 and 147" → one Site per residue number
+            # "Lys residues 104 and 147" → one Site per residue number;
+            # "multiple lysine residues ( K164 , 370 , ... )" → the head
+            # phrase is itself a Site AND each paren element is one, bare
+            # numbers inheriting the head's amino-acid prefix
+            # (TestRegulationEvents sent35 enumeration)
             aa = R.AA_SHORT.get(lw) or R.AMINO_ACIDS[lw]
             k = i + 2
             found = False
+            in_paren = False
             while k < n:
-                if words[k].isdigit():
+                if words[k] == "(" and not in_paren and not found:
+                    in_paren = True
+                    k += 1
+                elif words[k].isdigit():
                     m = _mk(doc_id, sent_idx, "tbm", "Site", k, k + 1,
                             words, "site-residue-list")
                     m["canonical"] = f"{aa}{words[k]}"
                     out.append(m)
                     found = True
                     k += 1
+                elif in_paren and _SITE_AA_RE.match(words[k]):
+                    sm = _SITE_AA_RE.match(words[k])
+                    m = _mk(doc_id, sent_idx, "tbm", "Site", k, k + 1,
+                            words, "site-residue-list")
+                    m["canonical"] = f"{sm.group(1)}{sm.group(2)}"
+                    out.append(m)
+                    found = True
+                    k += 1
                 elif lows[k] in (",", "and", "or"):
                     k += 1
+                elif in_paren and words[k] == ")":
+                    k += 1
+                    break
                 else:
                     break
             if found:
+                if in_paren:
+                    # the generic head phrase ("lysine residues") is a
+                    # Site too — the underspecified acetylation site
+                    m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 2,
+                            words, "site-residue-head")
+                    m["canonical"] = f"{aa}residues"
+                    out.append(m)
                 i = k
                 continue
         if lw in R.AMINO_ACIDS and i + 1 < n and words[i + 1].isdigit():
@@ -559,7 +585,14 @@ def attach_entity_mods(words: list[str], lows: list[str],
     # Mutant tokens attach to nearest entity left (else right); a
     # slash-joined list "K156M/H204M" carries one Mutant per half
     # (TestModifications sent15 paren mutant lists)
+    _DETS_ANA = ("this", "the", "that", "these", "those")
     for i, w in enumerate(words):
+        # "the K341L mutant" is a mutant ANAPHOR (resolve_mutant_anaphors),
+        # not a modifier of the previous entity — skipping here prevents a
+        # duplicate Mutant mod on the antecedent (TestCoreference sent32a)
+        if i > 0 and i + 1 < n and lows[i - 1] in _DETS_ANA and \
+                lows[i + 1].startswith("mutant"):
+            continue
         halves = [h for h in w.split("/") if _MUTANT_RE.match(h)]
         if halves and (len(halves) > 1 or _MUTANT_RE.match(w)):
             target = None
@@ -664,7 +697,17 @@ class SentenceExtractor:
     → cleanup; events_master.yml:412-510)."""
 
     def __init__(self, doc_id: str, sent_idx: int, ann: dict[str, Any],
-                 dictionary: dict[str, tuple[str, ...]]):
+                 dictionary: dict[str, tuple[str, ...]],
+                 emit_generic: bool = False):
+        # emit_generic=True (the Spark per-sentence path): an anaphor with
+        # no SENTENCE-local antecedent is emitted as a Generic_entity /
+        # Generic_event placeholder instead of suppressing the event, so
+        # the DOC-level coref sieves (reach_spark.coref) can resolve it;
+        # unresolved generics are pruned at triple-build time — the same
+        # net suppression as emit_generic=False (Coref.resolve argsComplete
+        # pruning, Coref.scala:92-100). The False default keeps the
+        # fixture harness semantics (whole fixture = one extraction unit).
+        self.emit_generic = emit_generic
         self.doc_id = doc_id
         self.sent_idx = sent_idx
         self.words: list[str] = ann["words"]
@@ -676,6 +719,10 @@ class SentenceExtractor:
         self.entities: list[Mention] = []
         self.events: list[Mention] = []
         self.consumed_triggers: set[int] = set()
+        # token positions of unresolvable generic anaphors ('the mutant'
+        # with no mutant-bearing antecedent): event rules must not reach
+        # across them to an earlier clause (TestCoreference sent32b/33b)
+        self.generic_blocked: set[int] = set()
 
     # -- helpers ---------------------------------------------------------
     def ent_ending_at(self, i: int, bio_only: bool = True) -> Mention | None:
@@ -885,6 +932,133 @@ class SentenceExtractor:
         return 0 <= pos < self.n and (self.lows[pos] in self._PRON_SG or
                                       self.lows[pos] in self._PRON_PL)
 
+    _ANA_DETS = frozenset({"this", "the", "that", "these", "those"})
+
+    def resolve_mutant_anaphors(self) -> None:
+        """mutantProteinMatch, sentence-local half (darpa/DarpaLinks.scala
+        :77-110, compatibleMutants CorefUtils.scala:105-117; TestCoreference
+        sent31-33). Three anaphor shapes over 'mutant(s)':
+
+          'this mutant ASPP1'  → the named entity gains the closest prior
+              same-protein specific mutants (sent31a) or, failing that, a
+              GENERIC Mutant mod (sent31b — mention survives, unresolved);
+          'the K341L mutant'   → mints a resolved copy of the closest prior
+              entity carrying that exact mutant (sent32a); no antecedent →
+              no mention (sent32b);
+          'the mutant'         → mints a resolved copy of the closest prior
+              entity with any specific mutant (sent33a); no antecedent →
+              no mention, so no downstream binding (sent33b/c)."""
+        def specific_muts(e: Mention) -> list[dict]:
+            return [m for m in e["mods"] if m["kind"] == "Mutant" and
+                    not str(m.get("evidence_text", "")).startswith("mutant")]
+
+        minted: list[Mention] = []
+        for i in range(self.n):
+            if not self.lows[i].startswith("mutant") or \
+                    self.tags[i].startswith("V"):
+                continue
+            nxt_ent = self.ent_starting_at(i + 1)
+            if i > 0 and self.lows[i - 1] in self._ANA_DETS and \
+                    nxt_ent is not None:
+                # 'this mutant ASPP1'
+                ante = None
+                for e in self.entities:
+                    if e["end"] <= i - 1 and \
+                            e["canonical"] == nxt_ent["canonical"] and \
+                            specific_muts(e):
+                        if ante is None or e["end"] > ante["end"]:
+                            ante = e
+                if ante is not None:
+                    have = {m["evidence_text"] for m in nxt_ent["mods"]
+                            if m["kind"] == "Mutant"}
+                    nxt_ent["mods"].extend(
+                        m for m in specific_muts(ante)
+                        if m["evidence_text"] not in have)
+                elif not specific_muts(nxt_ent):
+                    nxt_ent["mods"].append(
+                        _mod("Mutant", "GenericMutant", "mutant"))
+                continue
+            prev = self.words[i - 1] if i > 0 else ""
+            if i > 1 and self.lows[i - 2] in self._ANA_DETS and \
+                    _MUTANT_RE.match(prev):
+                # 'the K341L mutant'
+                ante = None
+                for e in self.entities:
+                    if e["end"] <= i - 2 and any(
+                            m["evidence_text"] == prev
+                            for m in specific_muts(e)):
+                        if ante is None or e["end"] > ante["end"]:
+                            ante = e
+                if ante is not None:
+                    minted.append(self._mint_mutant_copy(ante, i))
+                elif self.emit_generic:
+                    # doc-level candidate: generic entity carrying the
+                    # SPECIFIC mutation for the mutantProteinMatch sieve
+                    self._mint_generic_entity(
+                        i, mods=[_mod("Mutant", "SubstitutionMutant", prev)])
+                else:
+                    # unresolvable mutant anaphor occupies the NP: block
+                    # event rules from reaching across it (sent32b)
+                    self.generic_blocked.add(i)
+                continue
+            if i > 0 and self.lows[i - 1] in self._ANA_DETS:
+                # bare 'the mutant'
+                ante = None
+                for e in self.entities:
+                    if e["end"] <= i - 1 and specific_muts(e):
+                        if ante is None or e["end"] > ante["end"]:
+                            ante = e
+                if ante is not None:
+                    minted.append(self._mint_mutant_copy(ante, i))
+                elif self.emit_generic:
+                    self._mint_generic_entity(
+                        i, mods=[_mod("Mutant", "GenericMutant", "mutant")])
+                else:
+                    self.generic_blocked.add(i)
+        self.entities.extend(minted)
+        # 'the protein' (definite article + bare generic head, no entity
+        # inside the NP) never takes an antecedent in the reference sieves
+        # — only demonstratives do ('this protein', coref_entities.yml) —
+        # so it blocks event rules like an unresolved anaphor
+        # (TestCoreference sent33c: 'ASPP1 ... and the protein binds GTP'
+        # must NOT produce a binding)
+        for i in range(1, self.n):
+            if self.lows[i] in R.GENERIC_NP_HEADS and \
+                    self.lows[i] != "complex" and \
+                    self.lows[i - 1] == "the" and \
+                    self.ent_starting_at(i + 1) is None and \
+                    (i + 1 >= self.n or
+                     self.lows[i + 1] not in (",", "(", ")")) and \
+                    self.site_at(i) is None and \
+                    self.ent_starting_at(i) is None:
+                self.generic_blocked.add(i)
+
+    def _mint_generic_entity(self, pos: int,
+                             mods: list | None = None) -> Mention:
+        """Generic_entity placeholder at a pronoun / unresolved-anaphor
+        position (reference generic CorefTextBoundMention; resolved or
+        pruned by the doc-level sieves)."""
+        m = _mk(self.doc_id, self.sent_idx, "tbm", "Generic_entity", pos,
+                min(pos + 1, self.n), self.words, "generic-anaphor")
+        m["canonical"] = None
+        num = "plural" if self.lows[pos] in self._PRON_PL else "singular"
+        m["mods"].append(_mod("Generic", num, self.words[pos]))
+        if mods:
+            m["mods"].extend(mods)
+        self.entities.append(m)
+        return m
+
+    def _mint_mutant_copy(self, ante: Mention, pos: int) -> Mention:
+        """Resolved singleton at the anaphor position carrying the
+        antecedent's surface/canonical/mods (Coref.toSingletons)."""
+        m = _mk(self.doc_id, self.sent_idx, "tbm", ante["label"], pos,
+                pos + 1, self.words, "mutant-anaphor",
+                extra=ante["mention_id"])
+        m["text"] = ante["text"]
+        m["canonical"] = ante["canonical"]
+        m["mods"] = [dict(md) for md in ante["mods"]]
+        return m
+
     def _indefinite_np_before(self, i: int) -> bool:
         """'a cistron', 'a protein' directly before position i: an
         indefinite generic NP, which never takes an antecedent
@@ -908,6 +1082,15 @@ class SentenceExtractor:
             return "Transcription"
         return None
 
+    _SITE_SCAN_SKIP = frozenset({",", "and", "or", "multiple", "several",
+                                 "various", "numerous", "(", ")"})
+
+    def _site_scan_skippable(self, k: int) -> bool:
+        lwk = self.lows[k]
+        return (self.tags[k] == "DT" or lwk in self._SITE_SCAN_SKIP or
+                lwk.startswith("residue") or lwk in R.AA_SHORT or
+                lwk in R.AMINO_ACIDS)
+
     def sites_near(self, lo: int, hi: int) -> list[Mention]:
         """Sites attached via "at SITE" / "on ... SITE" / paren residue list
         in [lo, hi) (siteSniffer semantics, DarpaActions.scala:294-325)."""
@@ -915,20 +1098,21 @@ class SentenceExtractor:
         j = lo
         while j < hi and j < self.n:
             if self.lows[j] in ("at", "on") or self.words[j] == "(":
+                # [lo, hi) bounds the ANCHOR search; once anchored, the
+                # site list itself may run past the window ("at multiple
+                # lysine residues ( K164 , 370 , ... )")
                 k = j + 1
-                while k < min(hi, self.n):
+                while k < self.n:
                     s = self.site_at(k)
                     if s and s["start"] == k:
                         sites.append(s)
                         k = s["end"]
-                        if k < self.n and self.lows[k] in (",", "and", "or"):
+                        if k < self.n and self.lows[k] in (",", "and", "or",
+                                                           "(", ")"):
                             k += 1
                             continue
                         break
-                    lwk = self.lows[k]
-                    if self.tags[k] == "DT" or lwk in (",", "and", "or") or \
-                            lwk.startswith("residue") or \
-                            lwk in R.AA_SHORT or lwk in R.AMINO_ACIDS:
+                    if self._site_scan_skippable(k):
                         k += 1
                         continue
                     break
@@ -1095,6 +1279,8 @@ class SentenceExtractor:
             if self._pronoun_at(j2):
                 excl = frozenset({subj["mention_id"]}) if subj else frozenset()
                 themes = self.resolve_pronoun(j2, excl)
+                if not themes and self.emit_generic:
+                    themes = [self._mint_generic_entity(j2)]
             if not themes:
                 return
         sites = self.sites_near(themes[-1]["end"], min(self.n, themes[-1]["end"] + 10))
@@ -1237,13 +1423,18 @@ class SentenceExtractor:
                 continue
             break
         by_ent = None
+        by_extra: list[Mention] = []
         site = None
         k = i + 1
         while k < min(self.n, i + 12):
             if self.lows[k] == "by":
                 cands = self.conj_ents_right(k + 1)
                 if cands:
+                    # ALL coordinated agents: "acetylated by p300 and CBP"
+                    # → every cause regulates every event
+                    # (TestRegulationEvents sent35)
                     by_ent = cands[0]
+                    by_extra = cands[1:]
                 break
             k += 1
         sites = self.sites_near(i, min(self.n, i + 8))
@@ -1263,7 +1454,13 @@ class SentenceExtractor:
             if self._pronoun_at(k):
                 excl = frozenset({by_ent["mention_id"]}) if by_ent \
                     else frozenset()
-                for t in self.resolve_pronoun(k, excl):
+                resolved = self.resolve_pronoun(k, excl)
+                if not resolved and self.emit_generic:
+                    # 'It is phosphorylated.' with the antecedent in a
+                    # previous sentence: emit with a generic theme for the
+                    # doc-level pronominalMatch sieve
+                    resolved = [self._mint_generic_entity(k)]
+                for t in resolved:
                     if label == "Translocation":
                         self._emit_translocations(trig, t,
                                                   "transloc-passive-pron")
@@ -1293,7 +1490,7 @@ class SentenceExtractor:
                     self._emit_translocations(trig, theme,
                                               "transloc-passive")
                     return
-                causes: list[Mention | None] = [by_ent]
+                causes: list[Mention | None] = [by_ent] + by_extra
                 rsgn = 1
                 if by_ent is None:
                     # "... is phosphorylated in response to EGF" → the
@@ -1301,15 +1498,23 @@ class SentenceExtractor:
                     resp, rsgn = self._cause_responses(i + 1)
                     causes = resp or [None]
                 lbl = _auto_label(label) if is_auto else label
-                ev = self._split_event_and_reg(lbl, trig, theme, causes[0],
-                                               "simple-passive", site=site,
-                                               reg_sign=rsgn)
-                if ev is not None:
-                    # further coordinated causes regulate the SAME event
+                # a site LIST splits into one event per site ("acetylated
+                # at multiple lysine residues (K164, 370, ...)" →
+                # 8 acetylations; each further cause regulates each event
+                # → |causes| × |sites| regulations, sent35's 16)
+                evs = []
+                for s in (sites if len(sites) > 1 else [site]):
+                    ev = self._split_event_and_reg(
+                        lbl, trig, theme, causes[0], "simple-passive",
+                        site=s, reg_sign=rsgn)
+                    if ev is not None:
+                        evs.append(ev)
+                rl = ("Positive_regulation" if rsgn > 0
+                      else "Negative_regulation")
+                for c in causes[1:]:
+                    # further coordinated causes regulate the SAME events
                     # ("in response to either EGF or NRG" → 2 regs, 1 event)
-                    rl = ("Positive_regulation" if rsgn > 0
-                          else "Negative_regulation")
-                    for c in causes[1:]:
+                    for ev in evs:
                         self.events.append(self._reg(
                             rl, trig, c, ev, "simple-passive-split"))
             return
@@ -1738,6 +1943,10 @@ class SentenceExtractor:
                         i += 1
                         continue
             if is_verb and (self.tags[i].startswith("V") or lw == "bound"):
+                if (i - 1) in self.generic_blocked or \
+                        (i - 2) in self.generic_blocked:
+                    i += 1
+                    continue
                 subjs = self.conj_ents_left(i, across_clause=True)
                 if not subjs:
                     s = self.nearest_ent_left(i)
@@ -1751,6 +1960,9 @@ class SentenceExtractor:
                                                       "subsequently")):
                         k -= 1
                     subjs = self.resolve_pronoun(k)
+                    if not subjs and self._pronoun_at(k) and \
+                            self.emit_generic:
+                        subjs = [self._mint_generic_entity(k)]
                 j = i + 1
                 while j < self.n and (self.lows[j] in ("to", "with",
                                                        "directly", "more")
@@ -1785,6 +1997,10 @@ class SentenceExtractor:
                 # slash-pair compound next to complex/heterodimer:
                 # "the complex Ku70/Ku80", "Ku70/Ku80 heterodimer"
                 if lw in ("complex", "heterodimer", "dimer"):
+                    hyph = self._hyphen_pair_binding(i)
+                    if hyph:
+                        i += 1
+                        continue
                     for jn in (i - 1, i + 1):
                         if 0 <= jn < self.n and "/" in self.words[jn]:
                             halves = self.lows[jn].split("/", 1)
@@ -1921,6 +2137,44 @@ class SentenceExtractor:
                     self._emit_binding((i, i + 1), t1, t2, "binding-nominal")
             i += 1
 
+    def _hyphen_pair_binding(self, i: int) -> bool:
+        """'heterodimer Ku70-DNA ligase IV' (TestBindingEvents sent22): a
+        complex noun followed by a hyphen pair whose TAIL may be a
+        multi-word dictionary entry — the right half of the hyphen token
+        plus following tokens longest-match against the dictionary."""
+        jn = i + 1
+        if jn >= self.n or "-" not in self.words[jn]:
+            return False
+        left, right0 = self.lows[jn].split("-", 1)
+        if left not in self.dictionary:
+            return False
+        # longest match for the tail: right half alone, or right half +
+        # up to 3 following tokens ("dna ligase iv")
+        tail_end, tail_key = 0, None
+        for k in range(min(3, self.n - jn - 1), -1, -1):
+            key = " ".join([right0] + self.lows[jn + 1:jn + 1 + k])
+            if key in self.dictionary:
+                tail_end, tail_key = k, key
+                break
+        if tail_key is None:
+            return False
+        lab1, canon1 = self.dictionary[left]
+        fm1 = _mk(self.doc_id, self.sent_idx, "tbm", lab1, jn, jn + 1,
+                  self.words, "rule-ner-hyphen-pair", extra="0")
+        fm1["canonical"] = canon1
+        fm1["text"] = self.words[jn].split("-", 1)[0]
+        lab2, canon2 = self.dictionary[tail_key]
+        fm2 = _mk(self.doc_id, self.sent_idx, "tbm", lab2, jn,
+                  jn + 1 + tail_end, self.words, "rule-ner-hyphen-pair",
+                  extra="1")
+        fm2["canonical"] = canon2
+        fm2["text"] = " ".join(
+            [self.words[jn].split("-", 1)[1]] +
+            self.words[jn + 1:jn + 1 + tail_end])
+        self.entities.extend([fm1, fm2])
+        self._emit_binding((i, i + 1), fm1, fm2, "binding-hyphen-pair")
+        return True
+
     def _emit_binding(self, trig: tuple[int, int], t1: Mention, t2: Mention,
                       rule: str) -> None:
         """Binary binding with the same-grounding / overlap / ubiquitin
@@ -1959,7 +2213,13 @@ class SentenceExtractor:
         while j < self.n and hops < 6:
             if self.tags[j] in ("DT", "CD") or self.lows[j] in (
                     "basal", "putative", "conserved", "dose", "levels",
-                    "kinase", "catalytic", "enzymatic", "gtpase", "in"):
+                    "kinase", "catalytic", "enzymatic", "gtpase", "in") or \
+                    self.lows[j].endswith(("-mediated", "-induced",
+                                           "-driven", "-dependent")):
+                # agentive premodifier is transparent for the controlled NP:
+                # "suppresses MUC1-C-mediated activation of IKKbeta" →
+                # controlled = activation wrapper over IKKbeta
+                # (TestPolarity sen42)
                 j += 1
                 hops += 1
                 continue
@@ -1995,6 +2255,41 @@ class SentenceExtractor:
                 cands = self.conj_ents_right(j + 2)
                 if cands:
                     return cands[0], ws, "entity"
+            # demonstrative event anaphor as the CONTROLLED: 'ASPP1
+            # promotes this phosphorylation.' — resolve to the prior
+            # in-sentence simple event (its regulation wrapper if one
+            # shares the trigger), else, in emit_generic mode, a
+            # Generic_event placeholder for the doc-level simpleEventMatch
+            # sieve (DarpaLinks.scala:364-420)
+            anah = self.match_simple_event_trigger(j)
+            if anah is not None and anah[1] == "noun" and j > 0 and \
+                    self.lows[j - 1] in ("this", "that", "these",
+                                         "those") and \
+                    (j + 1 >= self.n or self.lows[j + 1] != "of"):
+                best = None
+                for ev in self.events:
+                    if ev["kind"] == "event" and ev["label"] == anah[0] \
+                            and ev["trigger_start"] is not None and \
+                            ev["trigger_start"] < j:
+                        if best is None or \
+                                ev["trigger_start"] > best["trigger_start"]:
+                            best = ev
+                if best is not None:
+                    for reg in self.events:
+                        if reg["label"] in ("Positive_regulation",
+                                            "Negative_regulation") and \
+                                reg["trigger_start"] == \
+                                best["trigger_start"]:
+                            return reg, 1, "event"
+                    return best, 1, "event"
+                if self.emit_generic:
+                    g = _mk(self.doc_id, self.sent_idx, "event",
+                            "Generic_event", j - 1, j + 1, self.words,
+                            "generic-event-anaphor", trigger=(j, j + 1))
+                    g["labels"] = ["Generic_event", anah[0]]
+                    self.events.append(g)
+                    return g, 1, "event"
+                return None, 1, "none"
             e = self.ent_starting_at(j)
             if e:
                 # embedded participle activation as the controlled:
@@ -2031,12 +2326,48 @@ class SentenceExtractor:
             return None, 1, "none"
         return None, 1, "none"
 
+    _KD_GERUNDS = frozenset({"silencing", "depleting", "inhibiting",
+                             "suppressing", "ablating", "blocking",
+                             "downregulating", "knocking"})
+    _KD_POSTFIX = frozenset({"knockdown", "knock-down", "silencing",
+                             "depletion", "ablation"})
+
+    def _kd_gerund_controller(self, pos: int) -> Mention | None:
+        """Gerund knockdown subject: 'silencing TAK1 [in ... cells]
+        suppresses ...' → controller TAK1 with sign -1 (the KD phrase IS
+        the clause subject; TestPolarity sen42). The gerund's entity wins
+        over closer entities only when those sit inside an 'in'-PP or are
+        context-labeled (dep-parse-free approximation of the nsubj path)."""
+        seen_in = False
+        for j in range(pos - 1, max(-1, pos - 15), -1):
+            lw = self.lows[j]
+            if lw in (".", ";", "which"):
+                return None
+            if lw == "in":
+                seen_in = True
+            e = self.ent_ending_at(j)
+            if e is not None and e["label"] not in R.CONTEXT_ENTITY_LABELS \
+                    and not seen_in:
+                # the closer entity IS the gerund's object when a KD
+                # gerund directly precedes it ('silencing TAK1 suppresses')
+                if e["start"] > 0 and \
+                        self.lows[e["start"] - 1] in self._KD_GERUNDS:
+                    return e
+                return None  # a plain subject entity is closer
+            if lw in self._KD_GERUNDS and j + 1 < self.n:
+                ent = self.ent_starting_at(j + 1)
+                return ent
+        return None
+
     def _controller_arg(self, pos: int,
                         max_hops: int = 8) -> tuple[Mention | None, int]:
         """Controller NP ending at/before pos: entity, wrapper-noun of
         entity ("the inhibition of X" → X with sign -1), or event (converted
         to its theme entity per convertEventToEntity,
         DarpaActions.scala:581-665)."""
+        kd = self._kd_gerund_controller(pos)
+        if kd is not None:
+            return kd, -1
         j = pos - 1
         hops = 0
         while j >= 0 and hops < max_hops:
@@ -2087,6 +2418,11 @@ class SentenceExtractor:
                 # ("Dominant negative IL-6 impaired..." → Positive_activation)
                 if k >= 0 and self.lows[k] in ("negative",
                                                "dominant-negative"):
+                    return e, -1
+                # postfix knockdown noun: "TAK1 knockdown suppresses ..."
+                # → controller TAK1 with sign -1
+                if e["end"] < self.n and \
+                        self.lows[e["end"]] in self._KD_POSTFIX:
                     return e, -1
                 return e, 1
             # bare wrapper directly: "RAS activation" handled via compound
@@ -2969,6 +3305,7 @@ class SentenceExtractor:
                                       self.dictionary)
         self.consumed_triggers |= attach_entity_mods(
             self.words, self.lows, self.entities)
+        self.resolve_mutant_anaphors()
         self.split_mutants()
         aliases = self.find_aliases()
         self.find_simple_events()
@@ -2985,8 +3322,10 @@ class SentenceExtractor:
 
 
 def extract_sentence(doc_id: str, sent_idx: int, sent_text: str,
-                     dictionary: dict[str, tuple[str, ...]]) -> tuple[dict, list[Mention]]:
+                     dictionary: dict[str, tuple[str, ...]],
+                     emit_generic: bool = False) -> tuple[dict, list[Mention]]:
     ann = annotate_sentence(sent_text)
-    ex = SentenceExtractor(doc_id, sent_idx, ann, dictionary)
+    ex = SentenceExtractor(doc_id, sent_idx, ann, dictionary,
+                           emit_generic=emit_generic)
     mentions = ex.run()
     return ann, mentions

@@ -1742,6 +1742,49 @@ def _modification_cases() -> list[tuple[str, str, str, list[tuple]]]:
 CASES.extend(_templatic_cases())
 CASES.extend(_modification_cases())
 
+# ------------- round-2 dep-fidelity gap closures -------------
+# mutantProteinMatch sieve cases (darpa/DarpaLinks.scala:77-110,
+# compatibleMutants CorefUtils.scala:105-117)
+CASES.extend([
+    ("coref_s31a", "TestCoreference.scala:344",
+     "ASPP1 K341L is common, and this mutant ASPP1 binds GTP.",
+     [("event", "Binding", ["ASPP1", "GTP"])]),
+    ("coref_s31b", "TestCoreference.scala:345",
+     "ASPP2 K341L is common, and this mutant ASPP1 binds GTP.",
+     [("event", "Binding", ["ASPP1", "GTP"])]),
+    ("coref_s32a", "TestCoreference.scala:363",
+     "ASPP1 K341L is common, and the K341L mutant binds GTP.",
+     [("event", "Binding", ["ASPP1", "GTP"])]),
+    ("coref_s32b", "TestCoreference.scala:364",
+     "ASPP1 K341M is common, and the K341L mutant binds GTP.",
+     [("count", "Binding", 0)]),
+    ("coref_s33a", "TestCoreference.scala:376",
+     "ASPP1 K341L is common, and the mutant binds GTP.",
+     [("event", "Binding", ["ASPP1", "GTP"])]),
+    ("coref_s33b", "TestCoreference.scala:377",
+     "ASPP1 is common, and the mutant binds GTP.",
+     [("count", "Binding", 0)]),
+    ("coref_s33c", "TestCoreference.scala:378",
+     "ASPP1 K341L is common, and the protein binds GTP.",
+     [("count", "Binding", 0)]),
+    ("bind_s22", "TestBindingEvents.scala:286",
+     "The heterodimer Ku70-DNA ligase IV is awesome",
+     [("event", "Binding", ["Ku70", "DNA ligase IV"])]),
+    ("pol_s42", "TestPolarity.scala:182",
+     "Moreover, the demonstration that silencing TAK1 in TNFalpha "
+     "stimulated non malignant epithelial cells suppresses MUC1-C-mediated "
+     "activation of IKKbeta and NF-kappaB, indicated that MUC1-C and TAK1 "
+     "are functionally linked in the inflammatory response.",
+     [("posact", "TAK1", "IKKbeta")]),
+    ("reg_s35", "TestRegulationEvents.scala:333",
+     "p53 can be acetylated by p300 and CBP at multiple lysine residues "
+     "( K164 , 370 , 372 , 373 , 381 , 382 and 386 ) .",
+     [("count", "Positive_regulation", 16),
+      ("count", "Acetylation", 8),
+      ("posreg", "p300", "Acetylation", ["p53"]),
+      ("posreg", "CBP", "Acetylation", ["p53"])]),
+])
+
 
 def fixture_sentences() -> list[str]:
     return [c[2] for c in CASES]

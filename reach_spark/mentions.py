@@ -41,9 +41,13 @@ def _remap_id(prefix: str, old: str) -> str:
 
 def _extract_base(sent_text: str, dictionary) -> list[dict]:
     # annotation is re-derived here (~0.04 ms/sentence) instead of being
-    # shipped as nested Arrow columns — see annotate.split_sentences_df
+    # shipped as nested Arrow columns — see annotate.split_sentences_df.
+    # emit_generic=True: the Spark path extracts per sentence, so an
+    # anaphor whose antecedent sits in a previous sentence becomes a
+    # Generic_* placeholder for the doc-level coref sieves (reach_spark
+    # .coref); unresolved placeholders are pruned at triple-build time
     ann = annotate_sentence(sent_text)
-    ex = SentenceExtractor("", 0, ann, dictionary)
+    ex = SentenceExtractor("", 0, ann, dictionary, emit_generic=True)
     base = []
     for m in ex.run():
         m.setdefault("canonical", None)

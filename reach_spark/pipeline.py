@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .annotate import annotate_sentences, media_spans, split_sentences_df
 from .canonicalize import canonical_entities
 from .context_ops import assign_context
-from .coref import coref_links
+from .coref import coref_links, resolve_mentions
 from .grounding import ground_entities, ground_map, kb_dataframe
 from .mentions import (extract_document_mentions, extract_mentions,
                        propagate_alias_instances)
@@ -74,12 +74,16 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
     # the S4 resume artifact only — it is NOT on the triples hot path
     sentences = annotate_sentences(documents)
 
-    ents = mentions.where(F.col("kind") == "tbm")
+    # Generic_* placeholders (unresolved anaphors awaiting doc-level coref)
+    # are never grounded or canonicalized — they carry no KB identity
+    ents = (mentions.where(F.col("kind") == "tbm")
+            .where(~F.col("label").startswith("Generic")))
     kb = kb_dataframe(spark)
     gmap = ground_map(ents, kb).persist()
     grounded_ents = ground_entities(ents, kb, gmap=gmap)
     grounded = grounded_ents.unionByName(
-        mentions.where(F.col("kind") != "tbm")
+        mentions.where((F.col("kind") != "tbm") |
+                       F.col("label").startswith("Generic"))
         .withColumn("g_ns", F.lit(None).cast("string"))
         .withColumn("g_id", F.lit(None).cast("string"))
         .withColumn("g_species", F.lit(None).cast("string")))
@@ -88,12 +92,23 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
 
     links = coref_links(grounded) if with_coref else None
     context = assign_context(grounded)
-    occurrences = build_triple_occurrences(grounded, context, gmap=gmap)
+    if with_coref:
+        # Coref.resolve rewrite: generic args → antecedent content; the
+        # triple log is built from the RESOLVED mentions (cross-sentence
+        # anaphora materialize as triples; unresolved generics are pruned)
+        resolved = resolve_mentions(grounded, links)
+        if persist:
+            resolved = resolved.persist()
+        occurrences = build_triple_occurrences(resolved, context, gmap=gmap)
+    else:
+        resolved = grounded
+        occurrences = build_triple_occurrences(grounded, context, gmap=gmap)
     triples = assemble_triples(occurrences)
     canon = canonical_entities(grounded, links)
     return {
         "sentences": sentences,
         "mentions": grounded,
+        "resolved_mentions": resolved,
         "entities": grounded_ents,
         "coref_links": links,
         "context": context,

@@ -271,7 +271,7 @@ _GGP_NAMES = [
     "EGF receptor", "Hand2", "CDK5",
     # TestBindingEvents.scala entities
     "PLC", "Afadin", "Calmodulin", "Tubulin", "p32", "GST", "DNA-PKcs",
-    "LigIII", "DNA polbeta", "AFT", "neuregulin", "NRG",
+    "LigIII", "DNA polbeta", "DNA ligase IV", "AFT", "neuregulin", "NRG",
     # protein-fragments KB entries (TestEntities.scala:172-215; reference
     # bioresources protein fragment ontology)
     "p13 BID", "Abeta", "inactivated P-factor",

@@ -76,6 +76,14 @@ def build_triple_occurrences(mentions: DataFrame,
            activation outputs).
     """
     events = mentions.where(F.col("kind") == "event")
+    # argsComplete pruning (Coref.scala:92-100): an event still carrying an
+    # UNRESOLVED Generic_* argument (emitted by the per-sentence extractor
+    # for doc-level coref, but never rewritten — e.g. with_coref=False, or
+    # no antecedent found) contributes no triples
+    no_generic = F.size(F.filter(
+        "args", lambda a: a["target_label"].startswith("Generic"))) == 0
+    events = events.where(F.col("label") != "Generic_event") \
+                   .where(no_generic)
 
     # --- regulations / activations: one row each -------------------------
     regs = events.where(F.col("label").rlike("regulation|activation"))

@@ -103,6 +103,8 @@ def main() -> None:
     id_node = F.concat(F.lit("id:"), "g_ns", F.lit(":"), "g_id")
     e1 = (g.where(F.col("kind") == "tbm")
           .where(F.col("label") != "Site")
+          .where(~F.col("label").startswith("Generic"))
+          .where(F.col("g_ns").isNotNull())
           .select("doc_id", key_node.alias("src"), id_node.alias("dst"))
           .distinct())
     rel = (g.where(F.col("kind") == "relation")
