@@ -134,18 +134,75 @@ NEG_AGENT_NOUNS = ("inhibitor", "suppressor", "repressor", "blocker",
                    "antagonist")
 
 # simple-event (PTM) verb/noun stems: event label -> (verb stem, noun stem)
-SIMPLE_EVENT_STEMS: dict[str, tuple[str, str]] = {
-    "Phosphorylation": ("phosphorylat", "phosphorylation"),
-    "Ubiquitination": ("ubiquitinat", "ubiquitination"),
-    "Sumoylation": ("sumoylat", "sumoylation"),
-    "Glycosylation": ("glycosylat", "glycosylation"),
-    "Acetylation": ("acetylat", "acetylation"),
-    "Farnesylation": ("farnesylat", "farnesylation"),
-    "Ribosylation": ("ribosylat", "ribosylation"),
-    "Methylation": ("methylat", "methylation"),
-    "Hydroxylation": ("hydroxylat", "hydroxylation"),
-    "Hydrolysis": ("hydrolyz", "hydrolysis"),
-}
+# ---------------------------------------------------------------------------
+# [O5] Data-driven simple-event rules: the families are DATA, loaded from
+# reach_spark/rules/simple_events.yml — the analog of the reference's Odin
+# master-file template instantiation (events_master.yml:60-180 instantiates
+# simple-event_template.yml once per family with vars; loader
+# RuleReader.scala:12-53). Adding an event family is a YAML edit or a
+# register_event_family() call — no code change.
+# ---------------------------------------------------------------------------
+
+def load_simple_event_rules(path: str | None = None
+                            ) -> tuple[dict[str, tuple[str, str]],
+                                       dict[str, str]]:
+    """Parse the declarative rule file → (stems, ptm_suffixes).
+
+    stems:  eventName -> (verbal trigger stem, nominal trigger stem)
+    ptm_suffixes: eventName (and its De- counterpart) -> Arizona-export
+    output suffix (AssemblyExporter event-type abbreviations).
+
+    The default file is read through pkgutil so it loads identically from
+    a checkout AND from reach_spark.zip under spark-submit --py-files
+    (plain open() cannot read inside a zipimport package)."""
+    import yaml
+    if path is None:
+        import pkgutil
+        raw = pkgutil.get_data(__package__ or "reach_spark",
+                               "rules/simple_events.yml")
+        doc = yaml.safe_load(raw)
+    else:
+        with open(path) as f:
+            doc = yaml.safe_load(f)
+    stems: dict[str, tuple[str, str]] = {}
+    suffixes: dict[str, str] = {}
+    for rule in doc["rules"]:
+        v = rule["vars"]
+        name = v["eventName"]
+        stems[name] = (v["verbalTriggerStem"], v["nominalTriggerStem"])
+        sfx = v.get("ptmSuffix")
+        if sfx:
+            suffixes[name] = sfx
+            # De-events derive mechanically: Dephosphorylation -> dephos
+            suffixes["De" + name.lower()] = "de" + sfx
+    return stems, suffixes
+
+
+SIMPLE_EVENT_STEMS, PTM_SUFFIXES = load_simple_event_rules()
+
+
+def register_event_family(event_name: str, verbal_stem: str,
+                          nominal_stem: str,
+                          ptm_suffix: str | None = None) -> None:
+    """Runtime registration of a NEW simple-event family (the user-facing
+    half of O5): extends the trigger tables and invalidates the extractor's
+    per-token trigger memo so the cascade picks the family up immediately.
+    Sentence-local semantics (verbal/nominal/passive/De-/auto- forms, PTM
+    modifiers, regulations over the event) all follow from the stems."""
+    SIMPLE_EVENT_STEMS[event_name] = (verbal_stem, nominal_stem)
+    if ptm_suffix:
+        PTM_SUFFIXES[event_name] = ptm_suffix
+        PTM_SUFFIXES["De" + event_name.lower()] = "de" + ptm_suffix
+    from . import extract
+    extract._match_trigger_cached.cache_clear()
+
+
+def unregister_event_family(event_name: str) -> None:
+    SIMPLE_EVENT_STEMS.pop(event_name, None)
+    PTM_SUFFIXES.pop(event_name, None)
+    PTM_SUFFIXES.pop("De" + event_name.lower(), None)
+    from . import extract
+    extract._match_trigger_cached.cache_clear()
 
 BINDING_VERB_STEMS = ("bind", "bound", "interact", "associat", "complex",
                       "heterodimeriz", "dimeriz", "recruit", "ligat")

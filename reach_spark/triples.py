@@ -20,19 +20,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-# PTM output suffixes (AssemblyExporter event-type abbreviations)
-PTM_SUFFIX = {
-    "Phosphorylation": "phos", "Dephosphorylation": "dephos",
-    "Ubiquitination": "ubiq", "Deubiquitination": "deubiq",
-    "Sumoylation": "sumo", "Desumoylation": "desumo",
-    "Glycosylation": "glyc", "Deglycosylation": "deglyc",
-    "Acetylation": "acet", "Deacetylation": "deacet",
-    "Farnesylation": "farn", "Defarnesylation": "defarn",
-    "Ribosylation": "ribo", "Deribosylation": "deribo",
-    "Methylation": "meth", "Demethylation": "demeth",
-    "Hydroxylation": "hydrox", "Dehydroxylation": "dehydrox",
-    "Hydrolysis": "hydro", "Dehydrolysis": "dehydro",
-}
+# PTM output suffixes (AssemblyExporter event-type abbreviations) — loaded
+# from the declarative rule file (reach_spark/rules/simple_events.yml, the
+# O5 data-driven layer) so a family added there flows through to export
+from .resources import PTM_SUFFIXES as PTM_SUFFIX
 
 
 def _negated_col() -> F.Column:

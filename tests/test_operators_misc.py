@@ -60,6 +60,45 @@ def test_fries_frames(spark, tmp_path):
     assert spark.read.json(str(tmp_path) + "/fries_events").count() >= 2
 
 
+def test_fries_frame_linking(spark, tmp_path):
+    """S5 spec completeness (doc/fries-data-representation-spec.txt:60-151,
+    TestFriesOutput.scala analog): passage, sentence, mention and context
+    frames exist with the spec's reference structure — every sentence
+    frame points at an existing passage frame, every mention frame at an
+    existing sentence frame, and species context rides on event frames."""
+    from reach_spark.fries import (context_frames, entity_frames,
+                                   event_frames, passage_frames,
+                                   sentence_frames, write_fries)
+    from reach_spark.annotate import split_sentences_df
+    docs = spark.createDataFrame([Row(doc_id="fr1", spans=[
+        Row(kind="text", text="MEK phosphorylates Ras.", media_ref="",
+            offset=0),
+        Row(kind="text", text="This was observed in human cells.",
+            media_ref="", offset=1)])])
+    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    sents = split_sentences_df(docs)
+    passages = {r["frame_id"] for r in passage_frames(docs).collect()}
+    assert passages == {"pass-fr1-0", "pass-fr1-1"}
+    sfs = sentence_frames(sents).collect()
+    assert {s["frame_id"] for s in sfs} == {"sent-fr1-0-0", "sent-fr1-1-0"}
+    assert all(s["passage"] in passages for s in sfs)
+    sids = {s["frame_id"] for s in sfs}
+    efs = entity_frames(res["mentions"]).collect()
+    assert efs and all(e["sentence"] in sids for e in efs)
+    vfs = event_frames(res["mentions"], res["context"]).collect()
+    assert vfs and all(v["sentence"] in sids for v in vfs)
+    # species context from sentence 2 rides on the sentence-1 event frames
+    # via the ±3 window
+    assert any(v["context"] and any("taxonomy" in c for c in v["context"])
+               for v in vfs)
+    cfs = context_frames(res["context"]).collect()
+    assert cfs and all(c["scope"] in sids for c in cfs)
+    write_fries(res["mentions"], str(tmp_path), documents=docs,
+                sentences=sents, context=res["context"])
+    assert spark.read.json(str(tmp_path) + "/fries_passages").count() == 2
+    assert spark.read.json(str(tmp_path) + "/fries_sentences").count() == 2
+
+
 def test_dsv_and_plaintext_sources(spark, tmp_path):
     """S2 connectors land on the documents schema and feed the pipeline
     (reference PaperReader.scala:102-137, utils/DSVParser.scala)."""
@@ -103,6 +142,42 @@ def test_index_card_sink(spark):
     assert all(
         c["extracted_information"]["modifications"][0]["modification_type"]
         == "phosphorylation" for c in mod_cards)
+
+
+def test_simple_event_rules_are_data():
+    """[O5] The simple-event families load from the declarative rule file
+    (reach_spark/rules/simple_events.yml, the reference events_master.yml
+    template-instantiation analog) and are the single source of truth for
+    both the extractor stems and the export PTM suffixes."""
+    from reach_spark.resources import (SIMPLE_EVENT_STEMS,
+                                       load_simple_event_rules)
+    from reach_spark.triples import PTM_SUFFIX
+    stems, suffixes = load_simple_event_rules()
+    assert stems == SIMPLE_EVENT_STEMS
+    assert suffixes == PTM_SUFFIX
+    assert stems["Phosphorylation"] == ("phosphorylat", "phosphorylation")
+    assert PTM_SUFFIX["Dephosphorylation"] == "dephos"
+
+
+def test_register_event_family_runtime():
+    """[O5] A NEW event family registered as pure data is picked up by the
+    whole cascade (verbal form + regulation wrapper) with no code change."""
+    from reach_spark import resources as R
+    from reach_spark.extract import extract_sentence
+    R.register_event_family("Palmitoylation", "palmitoylat",
+                            "palmitoylation", "palm")
+    try:
+        _, ms = extract_sentence("d", 0, "MEK palmitoylates Ras.",
+                                 R.entity_dictionary())
+        labs = [m["label"] for m in ms]
+        assert "Palmitoylation" in labs
+        assert "Positive_regulation" in labs
+        assert R.PTM_SUFFIXES["Depalmitoylation"] == "depalm"
+    finally:
+        R.unregister_event_family("Palmitoylation")
+    _, ms = extract_sentence("d2", 0, "MEK palmitoylates Ras.",
+                             R.entity_dictionary())
+    assert "Palmitoylation" not in [m["label"] for m in ms]
 
 
 def test_kg_expected_not_stale():
