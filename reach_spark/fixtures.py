@@ -1776,6 +1776,28 @@ CASES.extend([
      "activation of IKKbeta and NF-kappaB, indicated that MUC1-C and TAK1 "
      "are functionally linked in the inflammatory response.",
      [("posact", "TAK1", "IKKbeta")]),
+    ("coref_s57", "TestCoreference.scala:575",
+     "It is possible that the effects of HSP20 on AKT might differ between "
+     "normal cardiomyocytes or mesenchymal stem cells and HCC cells. The "
+     "binding partner(s) of HSP20 and their interaction(s) might be "
+     "dependent on the cell types.",
+     # 'their' resolves to BOTH AKT and HSP20 (plural pronominal,
+     # DarpaLinks sent57 contract) → the interaction materializes over the
+     # resolved pair
+     [("event", "Binding", ["HSP20", "AKT"])]),
+    ("coref_s22", "TestCoreference.scala:233",
+     "Second, STAT1 accumulates and shows nuclear localization in the "
+     "cartilage of TD-affected human fetuses as well as in mice carrying "
+     "the K644E-FGFR3 mutation (homologous to human K650E)     ,     . "
+     "Finally, two experimental studies show that the loss of STAT1 "
+     "partially rescues the growth-inhibitory action of FGF signaling in "
+     "chondrocytes     ,     , both suggesting the role of STAT1 in the "
+     "growth-inhibitory FGFR3 action in cartilage.",
+     # the reference contract: never an activation whose controlled is the
+     # garbled cross-clause span (an activation-of-activation artifact)
+     [("!posact", "STAT1",
+       "STAT1 partially rescues the growth-inhibitory action of FGF"),
+      ("event", "DecreaseAmount", ["STAT1"])]),
     ("reg_s35", "TestRegulationEvents.scala:333",
      "p53 can be acetylated by p300 and CBP at multiple lysine residues "
      "( K164 , 370 , 372 , 373 , 381 , 382 and 386 ) .",
