@@ -138,15 +138,37 @@ SELECT event_id, user_id, o_orderkey FROM (
 WHERE rk = 1
 """)
 def asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sort-merge as-of via union + carry-forward window: one co-partitioned
+    # shuffle on user_id, NO row expansion. The naive shape (non-equi join
+    # on o_orderdate <= ts, then rank-1) materializes every (event, prior
+    # order) pair first — O(events × orders-per-user) rows, a blowup for
+    # long-history users at 100×. Here events and orders interleave as one
+    # time-sorted stream per user; each event reads the running argmax
+    # (o_orderdate, o_orderkey) carried forward so ties resolve exactly
+    # like the rank-1: latest date, then largest key.
     e = spark.read.parquet(f"{sf_dir}/events.parquet")
     o = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    j = e.join(o, (o["o_custkey"] == e["user_id"]) &
-                  (o["o_orderdate"] <= e["ts"]))
-    w = Window.partitionBy("event_id").orderBy(F.desc("o_orderdate"),
-                                               F.desc("o_orderkey"))
-    return (j.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") == 1)
-            .select("event_id", "user_id", "o_orderkey"))
+    orders = o.select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").alias("t"),
+        F.lit(0).alias("is_event"),
+        F.struct(F.col("o_orderdate"), F.col("o_orderkey")).alias("ostruct"),
+        F.lit(None).cast(e.schema["event_id"].dataType).alias("event_id"))
+    events = e.select(
+        "user_id",
+        F.col("ts").alias("t"),
+        F.lit(1).alias("is_event"),
+        F.lit(None).cast(orders.schema["ostruct"].dataType).alias("ostruct"),
+        "event_id")
+    # orders sort BEFORE events at equal t (is_event asc): o_orderdate <=
+    # ts is inclusive
+    w = (Window.partitionBy("user_id").orderBy("t", "is_event")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (orders.unionByName(events)
+            .withColumn("best", F.max("ostruct").over(w))
+            .where((F.col("is_event") == 1) & F.col("best").isNotNull())
+            .select("event_id", "user_id",
+                    F.col("best.o_orderkey").alias("o_orderkey")))
 
 
 # set ops: high-value customers present in 'O' orders but not 'F' orders.

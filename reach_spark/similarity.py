@@ -113,6 +113,72 @@ def ann_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "rank", "neighbor_id", "sim"))
 
 
+# multi-probe LSH: each query probes its own bucket PLUS every bucket at
+# Hamming distance 1 (9 probes for 8 planes) — recovers most of the recall
+# a single-bucket probe loses at bucket boundaries while keeping the
+# candidate count O(n_queries · probes · bucket_size), never all-pairs.
+# Probes live on the (tiny) query side: the neighbor table is still joined
+# once on bucket equality.
+def _flip_duck(i: int) -> str:
+    return (f"substr(bucket, 1, {i - 1}) || "
+            f"(CASE WHEN substr(bucket, {i}, 1) = '1' THEN '0' ELSE '1' "
+            f"END) || substr(bucket, {i + 1})")
+
+
+def _flip_spark(i: int) -> str:
+    return (f"concat(substring(bucket, 1, {i - 1}), "
+            f"(CASE WHEN substring(bucket, {i}, 1) = '1' THEN '0' ELSE '1' "
+            f"END), substring(bucket, {i + 1}))")
+
+
+_PROBES_DUCK = " UNION ALL ".join(
+    ["SELECT vec_id, e, bucket AS probe FROM qb"] +
+    [f"SELECT vec_id, e, {_flip_duck(i)} AS probe FROM qb"
+     for i in range(1, _N_PLANES + 1)])
+_PROBES_SPARK = ("array(bucket, " +
+                 ", ".join(_flip_spark(i)
+                           for i in range(1, _N_PLANES + 1)) + ")")
+
+
+@_register("ann_lsh_multiprobe", f"""
+WITH b AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {_BUCKET_DUCK} AS bucket
+  FROM embeddings
+), qb AS (
+  SELECT vec_id, e, bucket FROM b WHERE vec_id < {_N_QUERIES}
+), probes AS (
+  {_PROBES_DUCK}
+), pairs AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         round(list_cosine_similarity(p.e, c.e), 6) AS sim
+  FROM probes p JOIN b c ON p.probe = c.bucket AND p.vec_id <> c.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= {_TOP_K}
+""")
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("e"),
+                   F.expr(_BUCKET_SPARK).alias("bucket"))
+    probes = (b.where(F.col("vec_id") < _N_QUERIES)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("e").alias("qa"),
+                      F.explode(F.expr(_PROBES_SPARK)).alias("bucket")))
+    c = b.select(F.col("vec_id").alias("neighbor_id"),
+                 F.col("e").alias("na"), "bucket")
+    pairs = (F.broadcast(probes).join(c, "bucket")
+             .where(F.col("query_id") != F.col("neighbor_id"))
+             .withColumn("sim", F.expr(_COS_SPARK)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "rank", "neighbor_id", "sim"))
+
+
 @_register("embedding_stats", """
 SELECT label,
        count(*) AS n,
