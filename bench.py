@@ -33,6 +33,7 @@ HEADLINE = [
     "dedup_exact",
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
+    "ann_lsh_multiprobe",
     "q1_pricing_summary",
     "q3_topk_revenue",
     "asof_latest_order",
