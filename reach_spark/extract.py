@@ -500,6 +500,45 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
             m["canonical"] = " ".join(words[i - 1:i + 1])
             out.append(m)
         i += 1
+    # [N5] shape NER: the deterministic stand-in for the reference's CRF
+    # recall on UNSEEN protein names (CRFNER.scala + BioNERPostProcessor
+    # shape features) — dictionary-only NER would miss novel gene symbols
+    # entirely. Conservative token shapes: uppercase-initial alphanumeric
+    # WITH a digit ("ZZANK9", "GRK5L2") or camel-case with an internal
+    # uppercase run ("hemAT"-like, "AktTR"-like); sites/mutants/refs and
+    # anything overlapping a dictionary/site mention are excluded. These
+    # entities ground via the uaz failsafe, exactly like CRF-found
+    # unknowns in the reference.
+    covered = set()
+    for e in out:
+        covered.update(range(e["start"], e["end"]))
+    for i, w in enumerate(words):
+        if i in covered or len(w) < 3 or len(w) > 12:
+            continue
+        if "-" in w or "/" in w or "." in w or "," in w or "_" in w:
+            continue
+        if w.lower() in R.NER_STOPLIST or w.lower() in dictionary:
+            continue
+        if _SITE_AA_RE.match(w) or _MUTANT_RE.match(w) or _AA3_RE.match(w):
+            continue
+        if i > 0 and lows[i - 1].rstrip(".") in (
+                "figure", "figures", "fig", "table", "tables"):
+            continue
+        if w.endswith("RNA") or w.endswith("DNA"):
+            continue  # mRNA/shRNA/tRNA/cDNA — nucleic acids, not proteins
+        low2 = w[:2].lower() if len(w) > 3 else ""
+        shape_digit = (w[0].isupper() and any(c.isdigit() for c in w) and
+                       sum(c.isalpha() for c in w) >= 2 and
+                       not w.isdigit())
+        shape_camel = (w[0].islower() and w.isalpha() and
+                       sum(c.isupper() for c in w) >= 2 and
+                       low2 not in ("sh", "si", "sg", "mi"))
+        if not (shape_digit or shape_camel):
+            continue
+        m = _mk(doc_id, sent_idx, "tbm", "Gene_or_gene_product", i, i + 1,
+                words, "shape-ner")
+        m["canonical"] = R.canonical_key(w)
+        out.append(m)
     return out
 
 
@@ -3150,11 +3189,18 @@ class SentenceExtractor:
                 # grounding share (coref/Coref.scala:381-413): the
                 # poorly-grounded member inherits the partner's canonical
                 # key, so the broadcast grounding join gives both the
-                # same id
-                if t["found_by"] == "alias-instance":
+                # same id. Weakly grounded = alias-minted OR shape-NER'd
+                # (both land on the uaz failsafe, like CRF-found unknowns
+                # in the reference)
+                weak = ("alias-instance", "shape-ner")
+                if t["found_by"] in weak and \
+                        anchor["found_by"] not in weak:
                     t["canonical"] = anchor["canonical"]
-                elif anchor["found_by"] == "alias-instance":
+                elif anchor["found_by"] in weak and \
+                        t["found_by"] not in weak:
                     anchor["canonical"] = t["canonical"]
+                elif t["found_by"] in weak and anchor["found_by"] in weak:
+                    t["canonical"] = anchor["canonical"]
             out.append(_mk(self.doc_id, self.sent_idx, "relation",
                            "Alias", anchor["start"], t["end"],
                            self.words, rule,

@@ -1776,6 +1776,14 @@ CASES.extend([
      "activation of IKKbeta and NF-kappaB, indicated that MUC1-C and TAK1 "
      "are functionally linked in the inflammatory response.",
      [("posact", "TAK1", "IKKbeta")]),
+    ("ner_shape_unseen", "CRFNER.scala (N5 shape recall)",
+     "ZZANK9 phosphorylates Ras, and hemQT is ubiquitinated.",
+     # names NOT in any dictionary: the shape NER must still yield
+     # entities that participate in events (the CRF recall function)
+     [("entity", "ZZANK9"), ("entity", "hemQT"),
+      ("event", "Phosphorylation", ["Ras"]),
+      ("posreg", "ZZANK9", "Phosphorylation", ["Ras"]),
+      ("event", "Ubiquitination", ["hemQT"])]),
     ("coref_s57", "TestCoreference.scala:575",
      "It is possible that the effects of HSP20 on AKT might differ between "
      "normal cardiomyocytes or mesenchymal stem cells and HCC cells. The "
