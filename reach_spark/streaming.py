@@ -32,15 +32,20 @@ def stream_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
             return
         res = extract_dataframe(spark, batch_df, with_coref=False)
         # the append-safe unit is the occurrence log (one row per event
-        # occurrence); the deduped EER table is a downstream batch rollup
-        # (pipeline.run_batch) — appending pre-aggregated EER rows per
-        # micro-batch would double-count seen
+        # occurrence); appending pre-aggregated EER rows per micro-batch
+        # would double-count seen, so the deduped table is re-rolled-up
+        # over the FULL log after each batch (same contract as
+        # pipeline.run_batch)
         (res["triple_occurrences"]
          .write.mode("append").partitionBy("pred")
          .parquet(f"{out_dir}/triples"))
         (res["entities"]
          .write.mode("append")
          .parquet(f"{out_dir}/entities"))
+        from .triples import assemble_triples
+        (assemble_triples(spark.read.parquet(f"{out_dir}/triples"))
+         .write.mode("overwrite").partitionBy("pred")
+         .parquet(f"{out_dir}/triples_eer"))
 
     writer = (src.writeStream
               .foreachBatch(process_batch)

@@ -186,6 +186,28 @@ def test_uniprot_overrides(spark):
         assert got.get(name) == ("uniprot", acc), (name, got.get(name))
 
 
+def test_az_failsafe_grounding(spark):
+    """TestAzFailsafeKB.scala contract: an unknown surface form grounds to
+    a deterministic UAZ id — stable across case variants of the same key,
+    distinct for distinct keys, never empty."""
+    from reach_spark.grounding import ground_map, kb_dataframe
+    ents = spark.createDataFrame(
+        [("xxxq", "Gene_or_gene_product", "XXXQ"),
+         ("xxxq", "Gene_or_gene_product", "xxxq"),
+         ("xxxxq", "Gene_or_gene_product", "XXXXQ")],
+        ["canonical", "label", "text"])
+    by_canon = {r["canonical"]: r for r in
+                ground_map(ents, kb_dataframe(spark)).collect()}
+    assert by_canon["xxxq"]["g_ns"] == "uaz"
+    assert by_canon["xxxq"]["g_id"].startswith("UAZ")
+    assert by_canon["xxxxq"]["g_ns"] == "uaz"
+    assert by_canon["xxxq"]["g_id"] != by_canon["xxxxq"]["g_id"]
+    # repeat resolution returns the identical id (pure content hash)
+    again = {r["canonical"]: r["g_id"] for r in
+             ground_map(ents, kb_dataframe(spark)).collect()}
+    assert again["xxxq"] == by_canon["xxxq"]["g_id"]
+
+
 def test_ner_stoplist(spark):
     """Lowercase common-word collisions never become entities
     (ner_stoplist mechanism, TestNERStopList.scala)."""

@@ -77,6 +77,26 @@ def test_textops_no_python_udf(spark, qname):
     assert "FlatMapGroupsInPandas" not in plan
 
 
+def test_asof_no_expanding_join(spark):
+    """The as-of join must be the union + carry-forward window (ONE
+    co-partitioned exchange), never a non-equi join that expands to all
+    prior orders per event (BroadcastNestedLoopJoin / CartesianProduct)."""
+    from reach_spark.relational import asof_latest_order
+    plan = _plan(asof_latest_order(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_multiprobe_no_cartesian(spark):
+    """Multi-probe ANN joins probe buckets against neighbor buckets — a
+    hash join on the bucket key, never an all-pairs product."""
+    from reach_spark.similarity import ann_lsh_multiprobe
+    plan = _plan(ann_lsh_multiprobe(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_streaming_availablenow(spark, tmp_path):
     """Structured Streaming wrapper: one availableNow micro-batch over the
     documents dir produces the same triples as the batch pipeline."""
@@ -90,6 +110,11 @@ def test_streaming_availablenow(spark, tmp_path):
     q.awaitTermination(120)
     triples = spark.read.parquet(out_dir + "/triples")
     assert triples.count() > 0
+    # the per-batch EER rollup exists and deduplicates the log
+    eer = spark.read.parquet(out_dir + "/triples_eer")
+    assert 0 < eer.count() <= triples.count()
+    assert eer.groupBy("subj", "pred", "obj", "negated").count() \
+        .where(F.col("count") > 1).count() == 0
     from reach_spark.pipeline import extract_dataframe
     batch = extract_dataframe(
         spark, spark.read.parquet(docs_dir),
