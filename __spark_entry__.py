@@ -9,8 +9,12 @@ queries() covers the SURVEY.md §2 operator inventory three ways:
     multimodal metadata plumbing
   - relational checklist: TPC-H-style agg/join/window/anti-join/as-of/set
     ops (SURVEY §2.11)
-The full extraction pipeline (not SQL-expressible) is `kg_triples_flagship`
-(rows-only check) and is additionally gated by the pytest fixture corpus
+The full extraction pipeline's cascade is not SQL-expressible, but its
+OUTPUT on the deterministic fixture corpus is: `kg_triples_flagship` and
+`kg_canonical_entities` carry full DuckDB oracles built from per-fixture
+expected outputs (see `_flagship_oracle` / `_canonical_oracle` and
+tools/gen_kg_oracle.py) — every `queries()` entry has a rows+schema+hash
+oracle. The cascade is additionally gated by the pytest fixture corpus
 (P/R ≥ 0.95, tests/test_extract_core.py).
 """
 
