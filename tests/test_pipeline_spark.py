@@ -186,6 +186,25 @@ def test_uniprot_overrides(spark):
         assert got.get(name) == ("uniprot", acc), (name, got.get(name))
 
 
+def test_namespace_routing_by_label(spark):
+    """Test{Protein,Family,Organ}Resolutions analog: each entity label
+    routes to its KB namespace (G1 label→KB routing,
+    ReachEntityLookup.scala:56-92)."""
+    sent = ("MEK and the Ras family in the liver of a mouse with apoptosis "
+            "and GTP in HeLa cells.")
+    docs = spark.createDataFrame([Row(doc_id="ns1", spans=[
+        Row(kind="text", text=sent, media_ref="", offset=0)])])
+    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    ns_by_text = {r["text"]: r["g_ns"] for r in res["entities"].collect()}
+    assert ns_by_text["MEK"] == "uniprot"
+    assert ns_by_text["Ras family"] == "pfam"
+    assert ns_by_text["liver"] == "uberon"
+    assert ns_by_text["mouse"] == "taxonomy"
+    assert ns_by_text["apoptosis"] == "go"
+    assert ns_by_text["GTP"] == "pubchem"
+    assert ns_by_text["HeLa"] == "cellosaurus"
+
+
 def test_az_failsafe_grounding(spark):
     """TestAzFailsafeKB.scala contract: an unknown surface form grounds to
     a deterministic UAZ id — stable across case variants of the same key,
