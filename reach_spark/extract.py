@@ -530,7 +530,7 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
         shape_digit = (w[0].isupper() and any(c.isdigit() for c in w) and
                        sum(c.isalpha() for c in w) >= 2 and
                        not w.isdigit())
-        shape_camel = (w[0].islower() and w.isalpha() and
+        shape_camel = (w[0].islower() and w.isalnum() and
                        sum(c.isupper() for c in w) >= 2 and
                        low2 not in ("sh", "si", "sg", "mi"))
         if not (shape_digit or shape_camel):

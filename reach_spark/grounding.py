@@ -31,11 +31,22 @@ def kb_dataframe(spark: SparkSession) -> DataFrame:
 
 
 def _candidate_keys() -> list[tuple[str, F.Column]]:
-    """Ordered key transforms (rank = reference try-order):
+    """Ordered key transforms (rank = reference try-order,
+    ReachKBKeyTransforms.scala:20-164):
     0: dictionary canonical, 1: lowered text, 2: strip '_human' suffix,
-    3: strip PTM prefixes p-/u- (ReachKBKeyTransforms stripPTMPrefixes),
-    4: hyphens→nothing, 5: strip post-attributive words (protein|gene|
-       fragment|mutant)."""
+    3: strip PTM prefixes p-/u- (stripPTMPrefixes),
+    4: hyphens→nothing, 5: strip post-attributive words
+       (stripProteinPostAttributives),
+    6: strip experimental-construct tag prefixes 'FLAG-Akt1'/'GFP-Ras'
+       (stripGeneNameAffixes over the geneNameAffixes lookup set),
+    7: strip species prefix 'hASPP2'→'aspp2' (GeneNamePrefixes h/m/r),
+    8: strip family/subfamily suffix (stripFamilyPostAttributives),
+    9: strip organ post-attributives 'liver tissue'→'liver'
+       (stripOrganPostAttributives),
+    10: strip protein-domain hyphen suffix 'Ras-SH2'→'ras'
+       (stripProteinDomain over a common-domain subset).
+    A worse-ranked candidate only wins when no better-ranked key matches
+    the KB, so adding transforms never changes an existing grounding."""
     low = F.lower(F.col("text"))
     base = F.coalesce(F.col("canonical"), low)
     return [
@@ -46,6 +57,20 @@ def _candidate_keys() -> list[tuple[str, F.Column]]:
         ("strip_hyphen", F.regexp_replace(low, "-", "")),
         ("strip_attributive",
          F.regexp_replace(low, " (protein|gene|fragment|mutant|proteins)$", "")),
+        ("strip_construct_prefix",
+         F.regexp_replace(base,
+                          "^(e?gfp|mcherry|flag|gst|ha|myc|mbp|myr|dn|"
+                          "phospho(r(ylated)?)?|activated|lenti|lv|luc)-",
+                          "")),
+        ("strip_species_prefix",
+         F.when(base.rlike("^[hmr][a-z]{2,}[0-9]*$"),
+                F.substring(base, 2, 100)).otherwise(F.lit(""))),
+        ("strip_family_suffix",
+         F.regexp_replace(low, " (family|subfamily)$", "")),
+        ("strip_organ_postattr",
+         F.regexp_replace(low, " (tissues?|cells?)$", "")),
+        ("strip_domain_hyphen",
+         F.regexp_replace(low, "-(sh2|sh3|ptb|ph|rbd|gap|gef|bd)$", "")),
     ]
 
 

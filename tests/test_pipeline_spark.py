@@ -205,6 +205,21 @@ def test_namespace_routing_by_label(spark):
     assert ns_by_text["HeLa"] == "cellosaurus"
 
 
+def test_key_transform_breadth(spark):
+    """G2 transforms beyond the basic six (ReachKBKeyTransforms.scala
+    :28-95): construct-tag prefixes (FLAG-Akt1 → Akt1's accession) and
+    species prefixes (hASPP2, caught by the shape NER, → ASPP2's
+    accession)."""
+    docs = spark.createDataFrame([Row(doc_id="kt1", spans=[
+        Row(kind="text", text="FLAG-Akt1 binds hASPP2.", media_ref="",
+            offset=0)])])
+    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    got = {r["text"]: (r["g_ns"], r["g_id"])
+           for r in res["entities"].collect()}
+    assert got["FLAG-Akt1"] == ("uniprot", "P31749")
+    assert got["hASPP2"] == ("uniprot", "Q13625")
+
+
 def test_az_failsafe_grounding(spark):
     """TestAzFailsafeKB.scala contract: an unknown surface form grounds to
     a deterministic UAZ id — stable across case variants of the same key,
