@@ -159,6 +159,32 @@ def test_simple_event_rules_are_data():
     assert PTM_SUFFIX["Dephosphorylation"] == "dephos"
 
 
+def test_rule_file_covers_reference_families():
+    """[O5 parity] Every simple-event family the reference master file
+    instantiates (events_master.yml simple-event_template imports) is
+    covered by our declarative rule file — De- families derive from the
+    base stems (the extractor's de-prefix handling + mechanical De-
+    suffixes), so De-X counts as covered when X is."""
+    import os
+    ref = ("/root/reference/main/src/main/resources/org/clulab/reach/"
+           "biogrammar/events_master.yml")
+    if not os.path.exists(ref):
+        import pytest
+        pytest.skip("reference checkout not available")
+    import yaml
+    with open(ref) as f:
+        doc = yaml.safe_load(f)
+    fams = {r["vars"]["eventName"] for r in doc.get("rules", [])
+            if isinstance(r, dict) and
+            "simple-event_template" in str(r.get("import", "")) and
+            "eventName" in r.get("vars", {})}
+    from reach_spark.resources import SIMPLE_EVENT_STEMS
+    covered = set(SIMPLE_EVENT_STEMS) | {
+        "De" + k.lower() for k in SIMPLE_EVENT_STEMS}
+    missing = fams - covered
+    assert not missing, f"reference families not in our rule file: {missing}"
+
+
 def test_register_event_family_runtime():
     """[O5] A NEW event family registered as pure data is picked up by the
     whole cascade (verbal form + regulation wrapper) with no code change."""
