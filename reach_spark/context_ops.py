@@ -21,17 +21,28 @@ CONTEXT_LABELS = ["Species", "CellLine", "Organ", "CellType", "TissueType",
                   "Cellular_component"]
 
 
-def assign_context(mentions: DataFrame) -> DataFrame:
+def assign_context(mentions: DataFrame, padding: int = 3,
+                   policy: str = "padded") -> DataFrame:
     """mentions → (doc_id, sent_idx, context_species, context_all).
 
-    context_all is a sorted array of 'Type=ns:id' strings from the ±3
-    sentence window; context_species keeps just species for the triple
-    columns (Arizona context columns, AssemblyExporter.scala:307-341).
+    context_all is a sorted array of 'Type=ns:id' strings from the policy
+    window; context_species keeps just species for the triple columns
+    (Arizona context columns, AssemblyExporter.scala:307-341).
+
+    Policies (context/Policies.scala:11-98, application.conf:52-57):
+      'padded'    — Policy4/BoundedPaddingContext, the production default:
+                    the symmetric [sent-padding, sent+padding] window;
+      'preceding' — bounded forward influence only: a context mention
+                    reaches the next `padding` sentences ([sent-padding,
+                    sent]);
+      'fill'      — FillingContext: context carries forward from anywhere
+                    earlier in the document (unbounded preceding).
+    The dummy engine (C3) is passing context_df=None downstream.
 
     Shape: ONE shuffle by doc_id feeds both windows — per-sentence context
     arrays are pre-aggregated in the same pass (map-side combine), then
-    dense_rank + rangeBetween(-3,+3) windows share the partitioning. No
-    distinct / dropDuplicates stages.
+    dense_rank + range windows share the partitioning. No distinct /
+    dropDuplicates stages.
     """
     is_ctx = F.col("kind") == F.lit("tbm")
     ckey = F.when(is_ctx & F.col("label").isin(CONTEXT_LABELS),
@@ -46,8 +57,15 @@ def assign_context(mentions: DataFrame) -> DataFrame:
              F.collect_set(skey).alias("skeys"))
     )
     wo = Window.partitionBy("doc_id").orderBy("sent_idx")
-    w = (Window.partitionBy("doc_id").orderBy("sent_ord")
-         .rangeBetween(-3, 3))
+    base = Window.partitionBy("doc_id").orderBy("sent_ord")
+    if policy == "padded":
+        w = base.rangeBetween(-padding, padding)
+    elif policy == "preceding":
+        w = base.rangeBetween(-padding, 0)
+    elif policy == "fill":
+        w = base.rangeBetween(Window.unboundedPreceding, 0)
+    else:
+        raise ValueError(f"unknown context policy: {policy!r}")
     return (
         per_sent
         .withColumn("sent_ord", F.dense_rank().over(wo))

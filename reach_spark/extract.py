@@ -725,6 +725,14 @@ def _match_trigger_cached(lw: str) -> tuple[str, str, bool] | None:
     if lw in ("level", "levels", "amount", "amounts", "quantity",
               "loss"):
         return "Amount", "noun", False
+    # secretion_events.yml (triggerLemma secret|exocyt; label Secretion,
+    # a child of IncreaseAmount in taxonomy.yml:35). 'release' stays a
+    # Translocation trigger here — in the reference both rules fire and
+    # priorities arbitrate; surface-grammar divergence, documented.
+    if lw.startswith(("secretion", "exocytosis")):
+        return "Secretion", "noun", False
+    if lw.startswith("secret") and not lw.startswith("secretar"):
+        return "Secretion", "verb", False
     if lw.startswith("degrad"):
         form = "noun" if lw.startswith("degradation") else "verb"
         return "Degradation" if False else "DecreaseAmount", form, False
@@ -1467,7 +1475,10 @@ class SentenceExtractor:
         k = i + 1
         while k < min(self.n, i + 12):
             if self.lows[k] == "by":
-                cands = self.conj_ents_right(k + 1)
+                # context entities never control events ("secreted by HeLa
+                # cells" — mkRegulation bioprocess guard)
+                cands = [c for c in self.conj_ents_right(k + 1)
+                         if c["label"] not in R.CONTEXT_ENTITY_LABELS]
                 if cands:
                     # ALL coordinated agents: "acetylated by p300 and CBP"
                     # → every cause regulates every event
@@ -1605,6 +1616,17 @@ class SentenceExtractor:
                         self.consumed_triggers.add(i)
                         if mod_sign != 0 and self.lows[i] != "loss":
                             self.consumed_triggers.add(i - 1)
+            return
+        if label == "Secretion" and not (
+                i + 1 < self.n and self.lows[i + 1] == "of"):
+            # genitive theme: 'INF-gamma secretion' — the left compound is
+            # the THEME, not a cause (secretion_events.yml secretion_1)
+            left = self.conj_ents_left(i)
+            if left and left[-1]["label"] not in R.CONTEXT_ENTITY_LABELS:
+                self.events.append(
+                    self._event("Secretion", trig, left[-1],
+                                "secretion-genitive"))
+                self.consumed_triggers.add(i)
             return
         # "TRIGGER of ENT (by ENT)?" — compound entity directly before the
         # trigger is the cause ("Ras phosphorylation of ASPP2")

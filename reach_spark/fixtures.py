@@ -1776,6 +1776,16 @@ CASES.extend([
      "activation of IKKbeta and NF-kappaB, indicated that MUC1-C and TAK1 "
      "are functionally linked in the inflammatory response.",
      [("posact", "TAK1", "IKKbeta")]),
+    ("secr_1", "secretion_events.yml:5 ('INF-gamma secretion' shape)",
+     "EGF secretion is observed in tumor cells.",
+     [("event", "Secretion", ["EGF"])]),
+    ("secr_2", "secretion_events.yml:5",
+     "The secretion of EGF increased.",
+     [("event", "Secretion", ["EGF"])]),
+    ("secr_3", "secretion_events.yml (passive verbal form)",
+     "EGF is secreted by HeLa cells.",
+     [("event", "Secretion", ["EGF"]),
+      ("count", "Positive_regulation", 0)]),
     ("ner_shape_unseen", "CRFNER.scala (N5 shape recall)",
      "ZZANK9 phosphorylates Ras, and hemQT is ubiquitinated.",
      # names NOT in any dictionary: the shape NER must still yield

@@ -60,6 +60,39 @@ def test_fries_frames(spark, tmp_path):
     assert spark.read.json(str(tmp_path) + "/fries_events").count() >= 2
 
 
+def test_context_policies(spark):
+    """[C2/C3] The three context policies (Policies.scala:11-98): padded
+    sees species from a FOLLOWING sentence, preceding does not, fill
+    carries context forward unboundedly."""
+    from reach_spark.context_ops import assign_context
+    sents = ["This was observed in human cells.",
+             "MEK phosphorylates Ras.",
+             "AKT1 binds ASPP2.",
+             "ERK1 binds ASPP1.",
+             "MEK binds GTP.",
+             "p53 binds MDM2.",
+             "EGFR is acetylated."]
+    # species ONLY in sentence 0; sentence 6 is > 3 sentences away
+    docs = spark.createDataFrame([Row(doc_id="cp", spans=[
+        Row(kind="text", text=t, media_ref="", offset=i)
+        for i, t in enumerate(sents)])])
+    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    m = res["mentions"]
+
+    def species_at(policy):
+        ctx = assign_context(m, policy=policy).collect()
+        return {r["sent_idx"]: list(r["context_species"] or []) for r in ctx}
+
+    padded = species_at("padded")
+    assert padded[1000] and not padded[6000]  # ±3 reaches s1, not s6
+    fill = species_at("fill")
+    assert fill[6000]  # carries forward unboundedly
+    prec = species_at("preceding")
+    assert prec[3000] and not prec[6000]
+    # 'preceding' at the species sentence itself still sees it
+    assert prec[0]
+
+
 def test_fries_frame_linking(spark, tmp_path):
     """S5 spec completeness (doc/fries-data-representation-spec.txt:60-151,
     TestFriesOutput.scala analog): passage, sentence, mention and context
