@@ -116,7 +116,6 @@ def tokenize(sent: str) -> tuple[list[str], list[int], list[int]]:
         s = m.start()
         # split trailing sentence punctuation glued to a word
         while len(w) > 1 and w[-1] in ".,;:":
-            words.append(w[:-1]) if False else None
             w2 = w[:-1]
             words.append(w2)
             starts.append(s)

@@ -79,7 +79,12 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
     ents = (mentions.where(F.col("kind") == "tbm")
             .where(~F.col("label").startswith("Generic")))
     kb = kb_dataframe(spark)
-    gmap = ground_map(ents, kb).persist()
+    gmap = ground_map(ents, kb)
+    if persist:
+        # exposed as results["grounding_map"] so batch callers can
+        # unpersist when the batch is done (no leaked cache blocks in
+        # long-lived sessions)
+        gmap = gmap.persist()
     grounded_ents = ground_entities(ents, kb, gmap=gmap)
     grounded = grounded_ents.unionByName(
         mentions.where((F.col("kind") != "tbm") |
@@ -115,6 +120,7 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
         "triple_occurrences": occurrences,
         "triples": triples,
         "canonical_entities": canon,
+        "grounding_map": gmap,
         "media": media_spans(documents),
     }
 
@@ -180,4 +186,8 @@ def run_batch(spark: SparkSession, documents: DataFrame, out_dir: str,
     todo.select("doc_id").write.mode("append").parquet(ckpt_path)
     counts["docs"] = n_docs
     todo.unpersist()
+    # release the per-batch caches (mentions / resolved / grounding map):
+    # repeated run_batch calls in one session must not accumulate blocks
+    for key in ("mentions", "resolved_mentions", "grounding_map"):
+        results[key].unpersist()
     return counts

@@ -125,10 +125,13 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.concat(F.col(f"mh{2*b}"), F.col(f"mh{2*b+1}"))
                   .alias("bkey"))
         for b in range(_N_PERM // _BAND_ROWS)])
+    # localCheckpoint (not persist): computed once for both join sides and
+    # the blocks are reclaimed by the ContextCleaner when the plan is GC'd —
+    # no leaked cache across repeated calls in a long-lived session
     bands = (sig.select("doc_id", F.explode(band_arr).alias("bb"))
              .select("doc_id", F.col("bb.band").alias("band"),
                      F.col("bb.bkey").alias("bkey"))
-             .persist())
+             .localCheckpoint(eager=False))
     a = bands.alias("a")
     b = bands.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band")) &
