@@ -2,103 +2,159 @@
 against the KB union table → rank-1 selection → failsafe IDs.
 
 Reference semantics (SURVEY §2.6): [G1] label→KB routing with priorities
-(ReachEntityLookup.scala:56-92), [G2] key transforms
-(ReachKBKeyTransforms.scala:20-164), [G3] first-hit ordering
+(ReachEntityLookup.scala:56-92, bioresources application.conf:3-264),
+[G2] key transforms (ReachKBKeyTransforms.scala:20-164) — each aux transform
+group is only applicable to its KB class (ProteinAuxKeyTransforms /
+FamilyAuxKeyTransforms / OrganAuxKeyTransforms), [G3] first-hit ordering
 (InMemoryKB.scala:121-143) with failsafe uaz IDs (AzFailsafeKBML.scala),
 [G4] candidate ordering (Grounding.scala:49-54), [G5] species preference
 human > none > other (ReachGrounder.scala:28-102). [G6-G7] alias
 canonization + grounding share live in canonicalize.py / extract.py
 find_aliases.
 
+The KB union = the inline override tier (resources.kb_rows — the analog of
+the reference's NER-Grounding-Override curated KB, priorities 1-8) plus the
+public bioresources dictionary tier (reach_spark/kb.py, ~356k rows,
+priorities 11+). An inline entry always outranks a bioresources entry for
+the same key; the bioresources tier grounds the long tail that used to fall
+through to uaz failsafe ids.
+
 Spark shape: all key transforms are built-in string expressions (JVM,
-codegen); the KB is a broadcast DataFrame; first-hit = row_number over
-(transform_rank, label_match, kb_priority, species_rank) — one broadcast
-hash join, no shuffle of the big side.
+codegen); the KB is a broadcast DataFrame; first-hit = one hash aggregation
+over (transform_rank, label_match, kb_priority, species_rank) — one
+broadcast hash join, no shuffle of the big side, at any corpus scale.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
+from .kb import (canon_expr, gene_name_affixes, load_bioresources,
+                 protein_domain_suffix_pattern)
 from .resources import kb_rows
 
 KB_COLUMNS = ["kb_label", "key", "ns", "id", "species", "kb_priority",
               "is_protein_kb", "is_family_kb"]
 
 
-def kb_dataframe(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(kb_rows(), KB_COLUMNS)
+def kb_dataframe(spark: SparkSession,
+                 bioresources: bool = True) -> DataFrame:
+    """Inline override tier + (when the kb_data directory is available) the
+    public bioresources dictionary tier, as one broadcastable union."""
+    inline = spark.createDataFrame(kb_rows(), KB_COLUMNS).withColumn(
+        "tclass",
+        F.when(F.col("is_protein_kb"), F.lit("protein"))
+         .when(F.col("is_family_kb"), F.lit("family"))
+         .when(F.col("ns") == "uberon", F.lit("organ"))
+         .otherwise(F.lit("default")))
+    if bioresources:
+        bio = load_bioresources(spark)
+        if bio is not None:
+            inline = inline.unionByName(bio)
+    return inline
 
 
-def _candidate_keys() -> list[tuple[str, F.Column]]:
-    """Ordered key transforms (rank = reference try-order,
-    ReachKBKeyTransforms.scala:20-164):
-    0: dictionary canonical, 1: lowered text, 2: strip '_human' suffix,
-    3: strip PTM prefixes p-/u- (stripPTMPrefixes),
-    4: hyphens→nothing, 5: strip post-attributive words
-       (stripProteinPostAttributives),
-    6: strip experimental-construct tag prefixes 'FLAG-Akt1'/'GFP-Ras'
-       (stripGeneNameAffixes over the geneNameAffixes lookup set),
-    7: strip species prefix 'hASPP2'→'aspp2' (GeneNamePrefixes h/m/r),
-    8: strip family/subfamily suffix (stripFamilyPostAttributives),
-    9: strip organ post-attributives 'liver tissue'→'liver'
-       (stripOrganPostAttributives),
-    10: strip protein-domain hyphen suffix 'Ras-SH2'→'ras'
-       (stripProteinDomain over a common-domain subset).
+def _candidate_keys() -> list[tuple[str, Column, str]]:
+    """Ordered key transforms — (name, key expression, required KB class).
+    rank = reference try-order; 'any' candidates match every KB, the rest
+    only KBs loaded with the matching aux-transform class
+    (ReachKBKeyTransforms.scala:143-165 transform groups; e.g.
+    'pthr2 family' must NOT resolve against a protein KB —
+    TestProteinResolutions.scala:44-52).
+
+    Every candidate is canonicalized (canonicalKey) after its transform, the
+    same normalization applied to KB keys at load — so 'EGF receptor
+    protein' → 'egfreceptor' meets the KB's 'egfreceptor'.
+
     A worse-ranked candidate only wins when no better-ranked key matches
     the KB, so adding transforms never changes an existing grounding."""
-    low = F.lower(F.col("text"))
+    raw = F.trim(F.col("text"))
+    low = F.lower(raw)
     base = F.coalesce(F.col("canonical"), low)
+
+    # stripGeneNameAffixesKT (ReachKBKeyTransforms.scala:39-57): strip
+    # trailing (e)GFP suffixes, then drop every hyphen-part that is a known
+    # gene-name affix (geneNameAffixes.txt); all-affix inputs fall back to
+    # the last part as candidate stem; unchanged inputs yield no candidate.
+    affix_arr = F.array(*[F.lit(a) for a in gene_name_affixes()])
+    desuf = F.regexp_replace(low, "(-?e?gfp)+$", "")
+    parts = F.split(desuf, "-")
+    nonaff = F.filter(parts, lambda p: ~F.array_contains(affix_arr, p))
+    gene_affix = (
+        F.when(F.size(nonaff) == F.size(parts),
+               F.when(desuf != low, desuf).otherwise(F.lit("")))
+        .when(F.size(nonaff) == 0, F.element_at(parts, -1))
+        .otherwise(F.array_join(nonaff, "-")))
+
+    # stripMutantProteinKT: phosphor-mutation phrase, trailing '<x> <y>
+    # mutant', then leading 'mutant-<x>' (ReachKBKeyTransforms.scala:60-66)
+    mutant = F.coalesce(
+        F.nullif(F.regexp_extract(
+            low, r"^phosphorylated\s+(.*?)\s+\w+\s+mutant$", 1), F.lit("")),
+        F.nullif(F.regexp_extract(low, r"^(.*?)\s+\w+\s+mutant$", 1),
+                 F.lit("")),
+        F.nullif(F.regexp_extract(low, r"^mutant[\s-]+(.*)$", 1),
+                 F.lit("")),
+        F.lit(""))
+
     return [
-        ("canonical", base),
-        ("lower", low),
-        ("strip_human", F.regexp_replace(low, "_human$", "")),
-        ("strip_ptm_prefix", F.regexp_replace(low, "^(p|u)-", "")),
-        ("strip_hyphen", F.regexp_replace(low, "-", "")),
-        ("strip_attributive",
-         F.regexp_replace(low, " (protein|gene|fragment|mutant|proteins)$", "")),
-        ("strip_construct_prefix",
-         F.regexp_replace(base,
-                          "^(e?gfp|mcherry|flag|gst|ha|myc|mbp|myr|dn|"
-                          "phospho(r(ylated)?)?|activated|lenti|lv|luc)-",
-                          "")),
-        ("strip_species_prefix",
+        ("canonical", canon_expr(base), "any"),
+        ("lower", canon_expr(low), "any"),
+        # AllKeysSuffixPat '_human' applies to every KB
+        ("strip_human",
+         canon_expr(F.regexp_replace(low, "_human$", "")), "any"),
+        # PTMPrefixPat is CASE-SENSITIVE on the raw text: p/u + an
+        # uppercase/digit start ('pSTAT1' → STAT1; 'pstat1' must fail —
+        # TestProteinResolutions.scala:97-118)
+        ("ptm_prefix",
+         canon_expr(F.regexp_extract(
+             raw, r"^(?:p|u)([A-Z0-9_-][A-Za-z0-9_-]*)$", 1)), "protein"),
+        ("protein_postattr",
+         canon_expr(F.regexp_replace(
+             low, r"( mutant)? proteins?$| gene$| fragment$| mutant$", "")),
+         "protein"),
+        ("mutant_strip", canon_expr(mutant), "protein"),
+        # stripProteinDomainKT: single-hyphen name whose RHS is a known
+        # short protein-domain name (proteinDomains-short.txt)
+        ("domain_strip",
+         canon_expr(F.regexp_extract(
+             low, protein_domain_suffix_pattern(), 1)), "protein"),
+        ("gene_affixes", canon_expr(gene_affix), "protein"),
+        # species prefix 'hASPP2' → 'aspp2' (GeneNamePrefixes h/m/r)
+        ("species_prefix",
          F.when(base.rlike("^[hmr][a-z]{2,}[0-9]*$"),
-                F.substring(base, 2, 100)).otherwise(F.lit(""))),
-        ("strip_family_suffix",
-         F.regexp_replace(low, " (family|subfamily)$", "")),
-        ("strip_organ_postattr",
-         F.regexp_replace(low, " (tissues?|cells?)$", "")),
-        ("strip_domain_hyphen",
-         F.regexp_replace(low, "-(sh2|sh3|ptb|ph|rbd|gap|gef|bd)$", "")),
+                F.substring(base, 2, 100)).otherwise(F.lit("")), "protein"),
+        ("family_suffix",
+         canon_expr(F.regexp_replace(low, r"( protein)? family$", "")),
+         "family"),
+        ("organ_postattr",
+         canon_expr(F.regexp_replace(
+             low, r"( cells?| tissues?| fluids?)+$", "")), "organ"),
     ]
 
 
-def ground_map(entities: DataFrame, kb: DataFrame) -> DataFrame:
-    """(canonical, label, text) DISTINCT → (canonical, g_ns, g_id,
-    g_species).
-
-    Grounding is a pure function of the canonical key + label, so the map
-    is bounded by the distinct surface vocabulary (≪ mention count — the
-    dictionary + sites + failsafe terms), never by corpus size. This is
-    what makes the join-back a cheap broadcast at any scale.
-    """
-    base = (entities
-            .select(F.coalesce("canonical", F.lower("text"))
-                    .alias("canonical"),
-                    "label", F.lower("text").alias("text"))
-            .distinct())
+def _best_hits(base: DataFrame, kb: DataFrame,
+               species: str | None = None) -> DataFrame:
+    """(canonical, label, text) → best (g_ns, g_id, g_species) among KB
+    matches; rows with no match are absent (no failsafe here)."""
     keys = F.array(*[
-        F.struct(F.lit(i).alias("t_rank"), expr.alias("key"))
-        for i, (_, expr) in enumerate(_candidate_keys())
+        F.struct(F.lit(i).alias("t_rank"), expr.alias("key"),
+                 F.lit(req).alias("req"))
+        for i, (_, expr, req) in enumerate(_candidate_keys())
     ])
     cand = (base
-            .select("canonical", "label", F.explode(keys).alias("k"))
-            .select("canonical", "label",
+            .select("canonical", "label", "text",
+                    F.explode(keys).alias("k"))
+            .select("canonical", "label", "text",
                     F.col("k.t_rank").alias("t_rank"),
-                    F.col("k.key").alias("key"))
+                    F.col("k.key").alias("key"),
+                    F.col("k.req").alias("req"))
             .where(F.col("key") != ""))
-    joined = cand.join(F.broadcast(kb), "key", "inner")
+    joined = (cand.join(F.broadcast(kb), "key", "inner")
+              .where((F.col("req") == "any") |
+                     (F.col("req") == F.col("tclass"))))
+    if species is not None:
+        joined = joined.where(F.col("species") == species.lower())
     # routing: exact label match first, then protein KBs, then family KBs
     # (ReachEntityLookup label→KB sequences)
     label_rank = (
@@ -114,22 +170,41 @@ def ground_map(entities: DataFrame, kb: DataFrame) -> DataFrame:
     )
     # first hit = min over the composite rank — one hash aggregation with
     # map-side partial combine (vs row_number window: shuffle + full sort)
-    best = (
+    return (
         joined
-        .groupBy("canonical", "label")
+        .groupBy("canonical", "label", "text")
         .agg(F.min(F.struct(
             F.col("t_rank"), label_rank.alias("label_rank"),
             F.col("kb_priority"), species_rank.alias("species_rank"),
             F.col("id"), F.col("ns"), F.col("species"))).alias("b"))
-        .select("canonical", "label", F.col("b.ns").alias("g_ns"),
+        .select("canonical", "label", "text",
+                F.col("b.ns").alias("g_ns"),
                 F.col("b.id").alias("g_id"),
-                F.col("b.species").alias("g_species"))
-    )
+                F.col("b.species").alias("g_species")))
+
+
+def ground_map(entities: DataFrame, kb: DataFrame) -> DataFrame:
+    """(canonical, label, text) DISTINCT → (canonical, label, text, g_ns,
+    g_id, g_species).
+
+    Grounding is a pure function of the (canonical key, label, surface
+    text) triple, so the map is bounded by the distinct surface vocabulary
+    (≪ mention count — the dictionary + sites + failsafe terms), never by
+    corpus size. This is what makes the join-back a cheap broadcast at any
+    scale. The raw surface text is part of the key because one transform
+    (PTM prefix) is case-sensitive.
+    """
+    base = (entities
+            .select(F.coalesce("canonical", F.lower("text"))
+                    .alias("canonical"),
+                    "label", "text")
+            .distinct())
+    best = _best_hits(base, kb)
     # failsafe (AzFailsafeKBML): deterministic uaz id from the canonical key
     uaz = F.concat(F.lit("UAZ"),
                    F.upper(F.substring(F.sha1(F.col("canonical")), 1, 8)))
-    return (base.select("canonical", "label").distinct()
-            .join(F.broadcast(best), ["canonical", "label"], "left")
+    return (base
+            .join(F.broadcast(best), ["canonical", "label", "text"], "left")
             .withColumn("g_ns", F.coalesce(F.col("g_ns"), F.lit("uaz")))
             .withColumn("g_id", F.coalesce(F.col("g_id"), uaz))
             .withColumn("g_species",
@@ -148,4 +223,24 @@ def ground_entities(entities: DataFrame, kb: DataFrame,
     return (entities
             .withColumn("canonical",
                         F.coalesce("canonical", F.lower("text")))
-            .join(F.broadcast(gmap), ["canonical", "label"], "left"))
+            .join(F.broadcast(gmap), ["canonical", "label", "text"],
+                  "left"))
+
+
+def kb_resolve(spark: SparkSession, kb: DataFrame, queries: list[str],
+               label: str = "", species: str | None = None
+               ) -> dict[str, tuple[str, str] | None]:
+    """IMKBLookup.resolve / resolveByASpecies analog for the ported
+    Test{Protein,Family,Organ}Resolutions contracts: each query text →
+    best (ns, id) through the full transform+routing engine, or None when
+    no KB entry matches (NO failsafe — 'should be empty' is observable)."""
+    ents = (spark.createDataFrame([(q,) for q in queries], "text string")
+            .select(F.lit(None).cast("string").alias("canonical"),
+                    F.lit(label).alias("label"), "text"))
+    base = (ents
+            .select(F.coalesce("canonical", F.lower("text"))
+                    .alias("canonical"), "label", "text")
+            .distinct())
+    hits = {r["text"]: (r["g_ns"], r["g_id"])
+            for r in _best_hits(base, kb, species=species).collect()}
+    return {q: hits.get(q) for q in queries}

@@ -1,0 +1,221 @@
+"""Bioresources KB tier: public dictionary TSV loader + label routing.
+
+Reference parity: the reference grounds against ~27 public dictionary TSVs
+(bioresources/src/main/resources/org/clulab/reach/kb/) routed by
+`bioresources/src/main/resources/application.conf:3-264` — per-KB namespace,
+entity label, priority and key-transform class (DefaultKeyTransforms vs
+Protein/Family/OrganAuxKeyTransforms). Column layout per
+`grounding/TsvIMKBFactory.scala:34-53`: text <TAB> id [<TAB> species]
+(override KBs add <TAB> namespace <TAB> label).
+
+Spark shape: one `spark.read.csv` scan per file (tab-separated, quoting
+off), normalized to the grounding KB schema and unioned — ~356k rows / a few
+MB of strings, loaded once per session and BROADCAST into the grounding
+join. The big mention side never shuffles; at 100 TB the KB directory lives
+on shared storage (HDFS/S3) and the same loader reads it there
+(SPARK_GRAFT_KB_DIR).
+
+The shipped files are public dictionary DATA (see kb_data/PROVENANCE.md) —
+they are loaded, never imported or executed.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+# characters removed by the canonical key, mirrored JVM-side; MUST stay in
+# sync with resources.canonical_key (test_kb.py asserts the mirror)
+_CANON_CHARS = "'\"/.- "
+
+
+def canon_expr(col: F.Column) -> F.Column:
+    """JVM mirror of resources.canonical_key: lower, trim, strip ' \" / . -
+    and spaces (reference canonicalKey, ReachKBKeyTransforms.scala:20-24)."""
+    return F.translate(F.lower(F.trim(col)), _CANON_CHARS, "")
+
+
+# ---------------------------------------------------------------------------
+# Routing table — application.conf:3-264 re-expressed as data.
+# (file, ns, label, conf_priority, has_species_col, is_protein, is_family,
+#  tclass) — tclass selects which aux key transforms may match this KB:
+#  'default' | 'protein' | 'family' | 'organ'.
+# Override KBs (5-column, per-row ns+label) are listed with ns=None.
+# ---------------------------------------------------------------------------
+_S = dict
+KB_SOURCES: list[dict] = [
+    # override tier (reference adHoc/override KBs, consulted before statics)
+    _S(file="NER-Grounding-Override.tsv", ns=None, label=None, priority=1,
+       species=True, protein=False, family=False, tclass="default",
+       override=True),
+    _S(file="Phase3-Override.tsv", ns=None, label=None, priority=2,
+       species=True, protein=False, family=False, tclass="default",
+       override=True),
+    # static tier — conf priorities 1..24 (application.conf order)
+    _S(file="bio_process.tsv", ns="go", label="BioProcess", priority=11),
+    _S(file="biopax-cellular_component.tsv", ns="uaz",
+       label="Cellular_component", priority=12),
+    _S(file="GO-subcellular-locations.tsv", ns="go",
+       label="Cellular_component", priority=13),
+    _S(file="uniprot-subcellular-locations.tsv", ns="uniprot",
+       label="Cellular_component", priority=14),
+    _S(file="uniprot-proteins-sample.tsv", ns="uniprot",
+       label="Gene_or_gene_product", priority=15, species=True,
+       protein=True, tclass="protein"),
+    _S(file="protein-ontology-fragments.tsv", ns="proonto",
+       label="Gene_or_gene_product", priority=18, protein=True,
+       tclass="protein"),
+    _S(file="biopax-gene_or_gene_product.tsv", ns="uaz",
+       label="Gene_or_gene_product", priority=19, family=True),
+    _S(file="PFAM-families.tsv", ns="pfam", label="Family", priority=20,
+       family=True, tclass="family"),
+    _S(file="ProteinFamilies.tsv", ns="interpro", label="Family",
+       priority=21, species=True, family=True, tclass="family"),
+    _S(file="famplex.tsv", ns="fplx", label="Family", priority=22,
+       family=True),
+    _S(file="biopax-simple_chemical.tsv", ns="uaz", label="Simple_chemical",
+       priority=23),
+    _S(file="hms-drugs.tsv", ns="pubchem", label="Simple_chemical",
+       priority=25),
+    _S(file="InterPro-protein-domains.tsv", ns="uaz", label="Site",
+       priority=27),
+    _S(file="mesh-disease.tsv", ns="mesh", label="Disease", priority=28),
+    _S(file="Cellosaurus.tsv", ns="cellosaurus", label="CellLine",
+       priority=29, species=True),
+    _S(file="atcc.tsv", ns="atcc", label="CellLine", priority=30,
+       species=True),
+    _S(file="CellOntology.tsv", ns="cl", label="CellType", priority=31),
+    _S(file="Uberon.tsv", ns="uberon", label="Organ", priority=32,
+       tclass="organ"),
+    _S(file="Species.tsv", ns="taxonomy", label="Species", priority=33),
+    _S(file="tissue-type.tsv", ns="tissuelist", label="TissueType",
+       priority=34),
+]
+# static-tier priorities sit ABOVE the inline override KB (priorities 1-8 in
+# resources.kb_rows — the fixture-pinned analog of the reference's override
+# tier), so an inline entry always outranks a bioresources entry for the
+# same key; bioresources fill the space the inline KB never covered.
+KB_PRIORITY_OFFSET = 10
+
+
+def kb_data_dir() -> str | None:
+    """Resolve the KB directory: $SPARK_GRAFT_KB_DIR, else the packaged
+    kb_data/ next to this module (repo checkout), else ./reach_spark/kb_data
+    (spark-submit with --py-files zip, cwd = repo root). None → bioresources
+    tier unavailable (engine falls back to the inline KB only)."""
+    cands = [os.environ.get("SPARK_GRAFT_KB_DIR"),
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "kb_data"),
+             os.path.join(os.getcwd(), "reach_spark", "kb_data")]
+    for c in cands:
+        if c and os.path.isdir(c):
+            return c
+    return None
+
+
+_READ_SCHEMA = ("c0 string, c1 string, c2 string, c3 string, c4 string")
+
+
+def _norm_species(col: F.Column) -> F.Column:
+    s = F.lower(F.trim(F.coalesce(col, F.lit(""))))
+    return F.when(s.isin("human", "homo sapiens"), F.lit("human")) \
+            .otherwise(s)
+
+
+def load_bioresources(spark: SparkSession,
+                      kb_dir: str | None = None) -> DataFrame | None:
+    """All routed dictionary files → one KB DataFrame
+    (kb_label, key, ns, id, species, kb_priority, is_protein_kb,
+    is_family_kb, tclass). ~356k rows; callers broadcast it."""
+    kb_dir = kb_dir or kb_data_dir()
+    if kb_dir is None:
+        return None
+    parts = []
+    for src in KB_SOURCES:
+        path = os.path.join(kb_dir, src["file"])
+        if not os.path.exists(path):        # sample KBs are optional
+            continue
+        raw = (spark.read.schema(_READ_SCHEMA)
+               .options(sep="\t", quote="", mode="PERMISSIVE")
+               .csv(path))
+        # some upstream files have CRLF endings: strip \r everywhere
+        cols = {c: F.regexp_replace(F.col(c), "\r", "") for c in
+                ("c0", "c1", "c2", "c3", "c4")}
+        if src.get("override"):
+            ns = F.lower(F.trim(F.coalesce(cols["c3"], F.lit("uaz"))))
+            label = F.trim(F.coalesce(cols["c4"], F.lit("BioEntity")))
+        else:
+            ns = F.lit(src["ns"])
+            label = F.lit(src["label"])
+        species = (_norm_species(cols["c2"]) if src.get("species")
+                   else F.lit(""))
+        parts.append(raw.select(
+            label.alias("kb_label"),
+            canon_expr(cols["c0"]).alias("key"),
+            ns.alias("ns"),
+            F.trim(cols["c1"]).alias("id"),
+            species.alias("species"),
+            F.lit(src["priority"] + KB_PRIORITY_OFFSET)
+             .alias("kb_priority"),
+            F.lit(bool(src.get("protein"))).alias("is_protein_kb"),
+            F.lit(bool(src.get("family"))).alias("is_family_kb"),
+            F.lit(src.get("tclass", "default")).alias("tclass"),
+        ).where((F.col("key") != "") & F.col("id").isNotNull()
+                & (F.col("id") != "")))
+    if not parts:
+        return None
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# lookup sets for the aux key transforms (reference KBLookupSet.scala +
+# ReachKBConstants.scala filenames)
+# ---------------------------------------------------------------------------
+
+def _read_lookup(name: str) -> list[str]:
+    d = kb_data_dir()
+    if d is None:
+        return []
+    path = os.path.join(d, name)
+    if not os.path.exists(path):
+        return []
+    with open(path, encoding="utf-8") as fh:
+        return [ln.strip().lower() for ln in fh
+                if ln.strip() and not ln.startswith("#")]
+
+
+@lru_cache(maxsize=1)
+def gene_name_affixes() -> tuple[str, ...]:
+    """geneNameAffixes.txt (isGeneNamePrefix lookup, KBLookupSet.scala:67-73)
+    — falls back to the subset exercised by the ported tests when the data
+    dir is absent."""
+    got = _read_lookup("geneNameAffixes.txt")
+    if got:
+        return tuple(sorted(set(got)))
+    return ("activated", "egfp", "flag", "gfp", "gst", "ha", "kd", "lent",
+            "lenti", "lentivirus", "luc", "mchy", "myc", "myr", "phospho",
+            "phosphorylated", "raav", "sh", "shrna", "wt", "yfp")
+
+
+@lru_cache(maxsize=1)
+def protein_domain_suffix_pattern() -> str:
+    """'(?i)^(\\w+)-(dom|dom|...)$' over proteinDomains-short.txt — the
+    stripProteinDomainKT gate (HyphenatedNamePat + isProteinDomain,
+    ReachKBKeyTransforms.scala:75-79): single-hyphen names only, RHS must be
+    a known short domain name."""
+    domains = _read_lookup("proteinDomains-short.txt") or \
+        ["sh2", "sh3", "ptb", "ph", "rbd", "gap", "gef", "bd", "zu5"]
+    alts = "|".join(sorted(re.escape(d) for d in set(domains)))
+    return r"(?i)^(\w+)-(?:" + alts + r")$"
+
+
+@lru_cache(maxsize=1)
+def ner_stoplist() -> frozenset[str]:
+    """ner_stoplist.txt — surface forms never emitted as entity mentions."""
+    return frozenset(_read_lookup("ner_stoplist.txt"))

@@ -534,7 +534,26 @@ def kb_rows() -> list[tuple[str, str, str, str, str, int, bool, bool]]:
     return rows
 
 
-def entity_dictionary() -> dict[str, tuple[str, ...]]:
+class EntityDict(dict):
+    """NER dictionary + its multi-word first-token index: the longest-match
+    scanner probes n-grams (n>1) only at tokens that START some multi-word
+    entry, which drops the per-token probe count from max_ngram joins to
+    one set lookup — the property that keeps the scan flat when the
+    dictionary grows to bioresources scale."""
+
+    __slots__ = ("first_words",)
+
+    def __init__(self, *args, **kw):
+        super().__init__(*args, **kw)
+        self.reindex()
+
+    def reindex(self) -> "EntityDict":
+        self.first_words = frozenset(
+            k.split(" ", 1)[0] for k in self if " " in k)
+        return self
+
+
+def entity_dictionary() -> EntityDict:
     """key (lowercased, possibly multi-word) -> (label, canonical key).
 
     The broadcast longest-match dictionary for rule NER (reference
@@ -544,4 +563,4 @@ def entity_dictionary() -> dict[str, tuple[str, ...]]:
     for label, names in ENTITY_DICT_LABELS.items():
         for name in names:
             d[name.lower()] = (label, canonical_key(name))
-    return d
+    return EntityDict(d)

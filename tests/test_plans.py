@@ -121,3 +121,30 @@ def test_streaming_availablenow(spark, tmp_path):
         with_coref=False)["triple_occurrences"]
     cols = ["doc_id", "sent_idx", "event_id", "subj", "pred", "obj"]
     assert triples.select(cols).exceptAll(batch.select(cols)).count() == 0
+
+
+def test_kb_bioresources_join_broadcasts(spark):
+    """The ≥300k-row bioresources KB join must broadcast the KB side: the
+    document/term side streams through a BroadcastHashJoin (no shuffle of
+    the big side, no nested-loop fallback) — the property that keeps
+    grounding viable when the corpus side is 100 TB."""
+    from reach_spark.kg_queries import QUERIES
+    fn, _ = QUERIES["g1_kb_bioresources"]
+    plan = _plan(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ground_map_broadcasts_full_kb(spark):
+    """ground_map against the full inline+bioresources union stays a
+    broadcast join chain (the 356k-row KB is the build side)."""
+    from reach_spark.grounding import ground_map, kb_dataframe
+    ents = spark.createDataFrame(
+        [(None, "Gene_or_gene_product", "KRAS")],
+        "canonical string, label string, text string")
+    plan = _plan(ground_map(ents, kb_dataframe(spark)))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
