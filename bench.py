@@ -56,6 +56,15 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], int]:
         if name == "kg_triples_flagship":
             n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
             timings["_kg_triples_rows"] = n
+            # steady-state number: the cold timing above carries the
+            # session's one-time costs (whole-stage codegen, Python worker
+            # spawn, first KB scan) because the flagship runs first; the
+            # warm repeat is what a long-lived batch driver sees per batch
+            # (same rationale as the --scaling-level codegen warmup)
+            spark.catalog.clearCache()
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            timings["kg_triples_flagship_warm"] = round(time.time() - t0, 3)
     return timings, n_docs
 
 
@@ -184,9 +193,10 @@ def main():
 
     spark = get_spark(app_name="bench", cores=cpus,
                       shuffle_partitions=max(cpus, 8))
-    t0 = time.time()
     timings, n_docs = run_suite(spark, sf_dir)
-    total = round(time.time() - t0, 3)
+    # suite total = the headline queries only (the auxiliary warm repeat
+    # of the flagship is reported separately, not double-counted)
+    total = round(sum(timings[n] for n in HEADLINE), 3)
     kg_docs_per_sec = round(
         n_docs / max(timings["kg_triples_flagship"], 1e-9), 2)
     print(json.dumps({

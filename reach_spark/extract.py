@@ -172,74 +172,97 @@ _KNOWN_VERBS = {
 }
 
 
+# per-token memo tables: both taggers are pure functions of the token, and
+# corpus vocabulary is Zipfian — on real text the dict probe replaces the
+# suffix/set cascade for ~99% of tokens. Bounded so adversarial vocab can't
+# grow worker memory unboundedly.
+_POS_MEMO: dict[str, str] = {}
+_LEMMA_MEMO: dict[str, str] = {}
+_MEMO_MAX = 1_000_000
+
+
 def pos_tag(words: list[str]) -> list[str]:
     """POS-lite: IN / DT / CC / MD-aux (AUX) / V* / CD / NN / punctuation.
     Coarse but sufficient for the surface grammar (reference uses CoreNLP
     MaxEnt tags, BioNLPProcessor.scala:46-53 — deliberate simplification)."""
-    tags = []
+    memo = _POS_MEMO
+    out = []
     for w in words:
-        lw = w.lower()
-        if not any(c.isalnum() for c in w):
-            tags.append(".")
-        elif lw in _PREPS:
-            tags.append("IN")
-        elif lw in _DETS:
-            tags.append("DT")
-        elif lw in _CONJ:
-            tags.append("CC")
-        elif lw in _AUX or lw.endswith("n't"):
-            tags.append("AUX")
-        elif lw in _KNOWN_VERBS or lw.endswith(_VERB_SUFFIXES):
-            if lw.endswith(("ed", "en")):
-                tags.append("VBN")
-            elif lw.endswith("ing"):
-                tags.append("VBG")
-            elif lw.endswith("s"):
-                tags.append("VBZ")
-            else:
-                tags.append("VB")
-        elif w.replace(".", "").replace(",", "").isdigit():
-            tags.append("CD")
-        else:
-            tags.append("NN")
-    return tags
+        t = memo.get(w)
+        if t is None:
+            t = _pos_one(w)
+            if len(memo) < _MEMO_MAX:
+                memo[w] = t
+        out.append(t)
+    return out
+
+
+def _pos_one(w: str) -> str:
+    lw = w.lower()
+    if not any(c.isalnum() for c in w):
+        return "."
+    if lw in _PREPS:
+        return "IN"
+    if lw in _DETS:
+        return "DT"
+    if lw in _CONJ:
+        return "CC"
+    if lw in _AUX or lw.endswith("n't"):
+        return "AUX"
+    if lw in _KNOWN_VERBS or lw.endswith(_VERB_SUFFIXES):
+        if lw.endswith(("ed", "en")):
+            return "VBN"
+        if lw.endswith("ing"):
+            return "VBG"
+        if lw.endswith("s"):
+            return "VBZ"
+        return "VB"
+    if w.replace(".", "").replace(",", "").isdigit():
+        return "CD"
+    return "NN"
 
 
 def lemmatize(words: list[str]) -> list[str]:
     """Suffix-rule lemmatizer. Trigger matching is prefix-stem based, so
     near-miss lemmas are harmless (reference uses CoreNLP's lemmatizer)."""
+    memo = _LEMMA_MEMO
     out = []
     for w in words:
-        lw = w.lower()
-        if lw in _AUX or len(lw) <= 3:
-            out.append(lw)
-            continue
-        if lw.endswith("ies") and len(lw) > 4:
-            out.append(lw[:-3] + "y")
-        elif lw.endswith("sses"):
-            out.append(lw[:-2])
-        elif lw.endswith("es") and lw[-3] in "sxzo":
-            out.append(lw[:-2])
-        elif lw.endswith("s") and not lw.endswith(("ss", "us", "is")):
-            out.append(lw[:-1])
-        elif lw.endswith("ied"):
-            out.append(lw[:-3] + "y")
-        elif lw.endswith("ed") and len(lw) > 4:
-            stem = lw[:-2]
-            if stem.endswith(("at", "iz", "uc", "as", "ot", "ut", "ir",
-                              "ag", "in", "ok", "ar", "or", "ul")):
-                out.append(stem + "e")
-            else:
-                out.append(stem)
-        elif lw.endswith("ing") and len(lw) > 5:
-            stem = lw[:-3]
-            if stem.endswith(("at", "iz", "uc", "as")):
-                out.append(stem + "e")
-            else:
-                out.append(stem)
-        else:
-            out.append(lw)
+        lm = memo.get(w)
+        if lm is None:
+            lm = _lemma_one(w)
+            if len(memo) < _MEMO_MAX:
+                memo[w] = lm
+        out.append(lm)
     return out
+
+
+def _lemma_one(w: str) -> str:
+    lw = w.lower()
+    if lw in _AUX or len(lw) <= 3:
+        return lw
+    if lw.endswith("ies") and len(lw) > 4:
+        return lw[:-3] + "y"
+    if lw.endswith("sses"):
+        return lw[:-2]
+    if lw.endswith("es") and lw[-3] in "sxzo":
+        return lw[:-2]
+    if lw.endswith("s") and not lw.endswith(("ss", "us", "is")):
+        return lw[:-1]
+    if lw.endswith("ied"):
+        return lw[:-3] + "y"
+    if lw.endswith("ed") and len(lw) > 4:
+        stem = lw[:-2]
+        if stem.endswith(("at", "iz", "uc", "as", "ot", "ut", "ir",
+                          "ag", "in", "ok", "ar", "or", "ul")):
+            return stem + "e"
+        return stem
+    if lw.endswith("ing") and len(lw) > 5:
+        stem = lw[:-3]
+        if stem.endswith(("at", "iz", "uc", "as")):
+            return stem + "e"
+        return stem
+    return lw
 
 
 def annotate_sentence(sent_text: str) -> dict[str, Any]:
@@ -338,10 +361,17 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
     lows = [w.lower() for w in words]
     n = len(words)
     out: list[Mention] = []
+    # multi-word probes only fire at tokens that START some multi-word
+    # entry (EntityDict.first_words) — drops the scan from max_ngram
+    # dictionary probes per token to ~1, the property that keeps this flat
+    # as the dictionary grows to bioresources scale
+    first_words = getattr(dictionary, "first_words", None)
     i = 0
     while i < n:
         hit = None
-        for k in range(min(max_ngram, n - i), 0, -1):
+        top = min(max_ngram, n - i) \
+            if first_words is None or lows[i] in first_words else 1
+        for k in range(top, 0, -1):
             key = " ".join(lows[i:i + k])
             if key in dictionary:
                 hit = (k, dictionary[key])

@@ -104,34 +104,106 @@ def matches(labels: list[str] | tuple[str, ...], label: str) -> bool:
 # biogrammar/events/*). Stored as stem lists; matching is prefix-on-lemma.
 # ---------------------------------------------------------------------------
 
-# positive / negative regulation-and-activation trigger stems
-POS_TRIGGER_STEMS = (
-    "acceler accept activat aid allow augment cataly caus contribut direct "
-    "driv elev elicit enabl enhanc increas induc initi interconvert lead led "
-    "mediat modul necess overexpress potenti produc prolong promot rais "
-    "reactivat re-express rescu restor retent signal stimul support synerg "
-    "synthes trigger underli up-regul upregul"
-).split()
+# positive / negative regulation-and-activation trigger lexicons and the
+# binding/translocation/transcription/degradation/conversion family
+# vocabularies are DATA: loaded below from rules/complex_events.yml (the
+# analog of events_master.yml:3-15 vars + per-family grammar imports).
+# Python-side assignment happens in _install_complex_event_rules().
 
-NEG_TRIGGER_STEMS = (
-    "attenu abolish abrog antagon arrest block deactiv decreas degrad deplet "
-    "deregul diminish disrupt down-reg downreg dysregul elimin impair imped "
-    "inactiv inhibit knockdown limit loss lower negat nullifi perturb prevent "
-    "reduc reliev repress resist restrict revers sequester shutdown slow "
-    "starv suppress supress"
-).split()
 
-# nouns that denote activation-controller wrappers ("the inhibition of X ...")
-POS_NOUN_WRAPPERS = ("activation", "overexpression", "expression", "addition",
-                     "increase", "induction", "stimulation", "accumulation")
-NEG_NOUN_WRAPPERS = ("inhibition", "suppression", "loss", "knockdown",
-                     "depletion", "silencing", "decrease", "reduction",
-                     "removal", "deletion", "absence", "blockade")
+def _load_rule_yaml(name: str, path: str | None = None) -> dict:
+    """Read a rules/*.yml file through pkgutil so it loads identically
+    from a checkout AND from reach_spark.zip under spark-submit
+    --py-files (plain open() cannot read inside a zipimport package)."""
+    import yaml
+    if path is None:
+        import pkgutil
+        raw = pkgutil.get_data(__package__ or "reach_spark",
+                               f"rules/{name}")
+        return yaml.safe_load(raw)
+    with open(path) as f:
+        return yaml.safe_load(f)
 
-# "ASPP1 is an activator of ASPP2" — agent-noun triggers
-POS_AGENT_NOUNS = ("activator", "inducer", "stimulator", "enhancer")
-NEG_AGENT_NOUNS = ("inhibitor", "suppressor", "repressor", "blocker",
-                   "antagonist")
+
+def load_complex_event_rules(path: str | None = None) -> dict:
+    """Parse rules/complex_events.yml → {regulation: {...}, families:
+    {...}} with every list normalized to a tuple of lowered strings."""
+    doc = _load_rule_yaml("complex_events.yml", path)
+
+    def tup(seq):
+        return tuple(str(s).lower() for s in seq)
+
+    reg = {k: tup(v) for k, v in doc["regulation"].items()}
+    fams = {name: {k: tup(v) for k, v in spec.items()}
+            for name, spec in doc["families"].items()}
+    return {"regulation": reg, "families": fams}
+
+
+def _install_complex_event_rules(rules: dict) -> None:
+    """Bind the loaded rule data to the module-level lexicon names the
+    cascade consumes, and drop the extractor's per-token memo caches that
+    derive from them (runtime re-registration support)."""
+    g = globals()
+    reg = rules["regulation"]
+    g["POS_TRIGGER_STEMS"] = reg["posTriggerStems"]
+    g["NEG_TRIGGER_STEMS"] = reg["negTriggerStems"]
+    g["POS_NOUN_WRAPPERS"] = reg["posNounWrappers"]
+    g["NEG_NOUN_WRAPPERS"] = reg["negNounWrappers"]
+    g["POS_AGENT_NOUNS"] = reg["posAgentNouns"]
+    g["NEG_AGENT_NOUNS"] = reg["negAgentNouns"]
+    fams = rules["families"]
+    g["BINDING_VERB_STEMS"] = fams["Binding"]["verbalStems"]
+    g["BINDING_NOUNS"] = fams["Binding"]["nominalTriggers"]
+    g["TRANSLOCATION_STEMS"] = fams["Translocation"]["verbalStems"]
+    g["TRANSCRIPTION_STEMS"] = fams["Transcription"]["verbalStems"]
+    g["DEGRADATION_STEMS"] = fams["Degradation"]["verbalStems"]
+    g["CONVERSION_STEMS"] = fams["Conversion"]["verbalStems"]
+    import sys
+    extract = sys.modules.get("reach_spark.extract")
+    # invalidate stem-derived memo caches; getattr-guarded because during
+    # the initial circular import (extract → resources) the extract module
+    # exists in sys.modules but its caches are not defined yet (and there
+    # is nothing to invalidate then)
+    for cache_name in ("_sign_of_stem", "_is_binding_verb",
+                       "_match_trigger_cached", "_ptm_participle_label"):
+        fn = getattr(extract, cache_name, None)
+        if fn is not None:
+            fn.cache_clear()
+
+
+_COMPLEX_EVENT_RULES = load_complex_event_rules()
+_install_complex_event_rules(_COMPLEX_EVENT_RULES)
+
+
+def register_trigger_stems(kind: str, stems: list[str]) -> None:
+    """Runtime extension of a complex-event lexicon as pure data — `kind`
+    is a rules/complex_events.yml key path: 'posTriggerStems',
+    'negTriggerStems', 'posNounWrappers', 'negNounWrappers',
+    'posAgentNouns', 'negAgentNouns', or '<Family>.verbalStems' /
+    '<Family>.nominalTriggers' (e.g. 'Binding.verbalStems')."""
+    rules = _COMPLEX_EVENT_RULES
+    add = tuple(s.lower() for s in stems)
+    if "." in kind:
+        fam, key = kind.split(".", 1)
+        spec = rules["families"][fam]
+        spec[key] = tuple(dict.fromkeys(spec[key] + add))
+    else:
+        reg = rules["regulation"]
+        reg[kind] = tuple(dict.fromkeys(reg[kind] + add))
+    _install_complex_event_rules(rules)
+
+
+def unregister_trigger_stems(kind: str, stems: list[str]) -> None:
+    rules = _COMPLEX_EVENT_RULES
+    drop = {s.lower() for s in stems}
+    if "." in kind:
+        fam, key = kind.split(".", 1)
+        spec = rules["families"][fam]
+        spec[key] = tuple(s for s in spec[key] if s not in drop)
+    else:
+        reg = rules["regulation"]
+        reg[kind] = tuple(s for s in reg[kind] if s not in drop)
+    _install_complex_event_rules(rules)
 
 # simple-event (PTM) verb/noun stems: event label -> (verb stem, noun stem)
 # ---------------------------------------------------------------------------
@@ -155,15 +227,7 @@ def load_simple_event_rules(path: str | None = None
     The default file is read through pkgutil so it loads identically from
     a checkout AND from reach_spark.zip under spark-submit --py-files
     (plain open() cannot read inside a zipimport package)."""
-    import yaml
-    if path is None:
-        import pkgutil
-        raw = pkgutil.get_data(__package__ or "reach_spark",
-                               "rules/simple_events.yml")
-        doc = yaml.safe_load(raw)
-    else:
-        with open(path) as f:
-            doc = yaml.safe_load(f)
+    doc = _load_rule_yaml("simple_events.yml", path)
     stems: dict[str, tuple[str, str]] = {}
     suffixes: dict[str, str] = {}
     for rule in doc["rules"]:
@@ -204,23 +268,15 @@ def unregister_event_family(event_name: str) -> None:
     from . import extract
     extract._match_trigger_cached.cache_clear()
 
-BINDING_VERB_STEMS = ("bind", "bound", "interact", "associat", "complex",
-                      "heterodimeriz", "dimeriz", "recruit", "ligat")
-BINDING_NOUNS = ("binding", "interaction", "association", "complex",
-                 "heterodimer", "dimerization", "co-immunoprecipitation")
-
-TRANSLOCATION_STEMS = ("translocat", "relocaliz", "relocat", "migrat",
-                       "export", "import", "redistribut", "transport",
-                       "recruit", "release")
+# BINDING_VERB_STEMS / BINDING_NOUNS / TRANSLOCATION_STEMS /
+# TRANSCRIPTION_STEMS / DEGRADATION_STEMS / CONVERSION_STEMS are loaded
+# from rules/complex_events.yml by _install_complex_event_rules above.
 
 # entity labels that denote context, never PTM-event themes
 # (taxonomy.yml: context branch vs BioChemicalEntity branch)
 CONTEXT_ENTITY_LABELS = frozenset({
     "Cellular_component", "Species", "Organ", "CellLine", "CellType",
     "TissueType"})
-TRANSCRIPTION_STEMS = ("transcrib", "transcription", "express")
-DEGRADATION_STEMS = ("degrad",)
-CONVERSION_STEMS = ("convert", "recycl", "epimeriz", "isomeriz")
 
 # Single-token surface forms never marked as entities when lowercase —
 # common-English collisions with KB synonyms (mechanism mirror of the
@@ -539,18 +595,21 @@ class EntityDict(dict):
     scanner probes n-grams (n>1) only at tokens that START some multi-word
     entry, which drops the per-token probe count from max_ngram joins to
     one set lookup — the property that keeps the scan flat when the
-    dictionary grows to bioresources scale."""
+    dictionary grows to bioresources scale.
 
-    __slots__ = ("first_words",)
+    The index is computed lazily so it survives the pickle boundary into
+    mapInPandas workers (dict-subclass pickling restores items but not
+    slot state — each worker process rebuilds the frozenset once)."""
 
-    def __init__(self, *args, **kw):
-        super().__init__(*args, **kw)
-        self.reindex()
+    __slots__ = ("_fw",)
 
-    def reindex(self) -> "EntityDict":
-        self.first_words = frozenset(
-            k.split(" ", 1)[0] for k in self if " " in k)
-        return self
+    @property
+    def first_words(self) -> frozenset:
+        fw = getattr(self, "_fw", None)
+        if fw is None:
+            fw = frozenset(k.split(" ", 1)[0] for k in self if " " in k)
+            self._fw = fw
+        return fw
 
 
 def entity_dictionary() -> EntityDict:

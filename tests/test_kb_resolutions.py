@@ -227,6 +227,36 @@ def test_kb_scale_and_namespaces(kb):
             "tissuelist", "proonto", "uaz"} <= ns
 
 
+def test_kb_parquet_fresh():
+    """kb_union.parquet (the derived load-format cache) must match the
+    TSVs it was built from — rerun tools/build_kb_parquet.py after any
+    kb_data change."""
+    import os
+    from reach_spark.kb import kb_data_dir, kb_tsv_sha
+    d = kb_data_dir()
+    pq = os.path.join(d, "kb_union.parquet")
+    if not os.path.isdir(pq):
+        return                      # no cache → loader uses the CSV path
+    with open(os.path.join(d, "kb_union.TSV_SHA")) as fh:
+        assert fh.read().strip() == kb_tsv_sha(d), \
+            "kb_union.parquet is stale: python tools/build_kb_parquet.py"
+
+
+def test_parquet_csv_paths_agree(spark):
+    """The parquet fast path and the CSV fallback produce identical KB
+    unions (count + per-namespace counts)."""
+    from reach_spark.kb import (kb_data_dir, load_bioresources,
+                                load_bioresources_csv)
+    d = kb_data_dir()
+    a = load_bioresources(spark, d)
+    b = load_bioresources_csv(spark, d)
+    rows_a = {tuple(r) for r in
+              a.groupBy("ns").count().collect()}
+    rows_b = {tuple(r) for r in
+              b.groupBy("ns").count().collect()}
+    assert rows_a == rows_b
+
+
 def test_canon_expr_mirrors_python(spark):
     """canon_expr (JVM) ≡ resources.canonical_key (Python) — the KB load
     key and the lookup key must normalize identically."""

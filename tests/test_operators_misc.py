@@ -218,6 +218,95 @@ def test_rule_file_covers_reference_families():
     assert not missing, f"reference families not in our rule file: {missing}"
 
 
+def test_complex_event_rules_are_data():
+    """[O5] Regulation/activation/binding/translocation/transcription/
+    degradation/conversion trigger lexicons load from
+    rules/complex_events.yml — the declared single source of truth for
+    the complex-event cascade vocabulary."""
+    from reach_spark import resources as R
+    rules = R.load_complex_event_rules()
+    assert rules["regulation"]["posTriggerStems"] == R.POS_TRIGGER_STEMS
+    assert rules["regulation"]["negTriggerStems"] == R.NEG_TRIGGER_STEMS
+    assert rules["families"]["Binding"]["verbalStems"] == \
+        R.BINDING_VERB_STEMS
+    assert rules["families"]["Translocation"]["verbalStems"] == \
+        R.TRANSLOCATION_STEMS
+    assert "inhibit" in R.NEG_TRIGGER_STEMS
+    assert "activat" in R.POS_TRIGGER_STEMS
+
+
+def test_complex_rule_file_covers_reference_triggers():
+    """[O5 parity] Our pos/neg regulation stem lists cover the reference
+    master grammar's posTriggers/negTriggers vars verbatim
+    (events_master.yml:6-7) — the vocabulary the pos-reg/neg-reg templates
+    instantiate."""
+    import os
+    import re
+    ref = ("/root/reference/main/src/main/resources/org/clulab/reach/"
+           "biogrammar/events_master.yml")
+    if not os.path.exists(ref):
+        import pytest
+        pytest.skip("reference checkout not available")
+    import yaml
+    with open(ref) as f:
+        doc = yaml.safe_load(f)
+    ref_pos = set(doc["vars"]["posTriggers"].split("|"))
+    ref_neg = set(doc["vars"]["negTriggers"].split("|"))
+    from reach_spark import resources as R
+    assert ref_pos <= set(R.POS_TRIGGER_STEMS), \
+        ref_pos - set(R.POS_TRIGGER_STEMS)
+    assert ref_neg <= set(R.NEG_TRIGGER_STEMS), \
+        ref_neg - set(R.NEG_TRIGGER_STEMS)
+    # binding vocabulary: the reference bind_events.yml trigger words are
+    # prefix-covered by our binding stems
+    bind = ("/root/reference/main/src/main/resources/org/clulab/reach/"
+            "biogrammar/events/bind_events.yml")
+    with open(bind) as f:
+        text = f.read()
+    words = set(re.findall(
+        r"\b(bind\w*|bound|interact\w*|associat\w*|heterodimer\w*|"
+        r"dimeriz\w*|ligat\w*|complex\w*)\b", text.lower()))
+    stems = R.BINDING_VERB_STEMS + R.BINDING_NOUNS
+    uncovered = {w for w in words
+                 if not any(w.startswith(s) for s in stems)}
+    assert not uncovered, uncovered
+
+
+def test_register_trigger_stems_runtime():
+    """[O5] Extending a complex-event lexicon at runtime is pure data: a
+    new negative-regulation stem and a new binding verbal stem are picked
+    up by the cascade immediately, and unregistration restores the prior
+    vocabulary."""
+    from reach_spark import resources as R
+    from reach_spark.extract import extract_sentence
+    d = R.entity_dictionary()
+    # nonsense stems that are not in any shipped lexicon
+    def neg_labels(ms):
+        return [m["label"] for m in ms
+                if m["label"].startswith("Negative_")]
+    _, ms = extract_sentence("d", 0, "MEK obliterxates Ras.", d)
+    assert not neg_labels(ms)
+    R.register_trigger_stems("negTriggerStems", ["obliterx"])
+    try:
+        _, ms = extract_sentence("d", 0, "MEK obliterxates Ras.", d)
+        # controlled is a plain entity -> Negative_activation (reference
+        # activation-vs-regulation routing)
+        assert neg_labels(ms) == ["Negative_activation"]
+    finally:
+        R.unregister_trigger_stems("negTriggerStems", ["obliterx"])
+    _, ms = extract_sentence("d", 0, "MEK obliterxates Ras.", d)
+    assert not neg_labels(ms)
+
+    _, ms = extract_sentence("d", 0, "MEK conjoinxates with Ras.", d)
+    assert "Binding" not in [m["label"] for m in ms]
+    R.register_trigger_stems("Binding.verbalStems", ["conjoinx"])
+    try:
+        _, ms = extract_sentence("d", 0, "MEK conjoinxates with Ras.", d)
+        assert "Binding" in [m["label"] for m in ms]
+    finally:
+        R.unregister_trigger_stems("Binding.verbalStems", ["conjoinx"])
+
+
 def test_register_event_family_runtime():
     """[O5] A NEW event family registered as pure data is picked up by the
     whole cascade (verbal form + regulation wrapper) with no code change."""
