@@ -49,6 +49,35 @@ REWRITE_SIEVES = frozenset({"mutantProteinMatch", "strictHeadMatch",
 
 _PRONOUNS = frozenset(PRONOUNS_SINGULAR) | frozenset(PRONOUNS_PLURAL)
 
+# PossibleController gate (taxonomy.yml:25-80): pronominal/NP anaphors only
+# take antecedents from the Event ∪ BioEntity subtree — context-type
+# entities (Species, CellLine, Organ, Cellular_component, ...) and Sites
+# are never antecedents (DarpaLinks.scala:206-234 m.matches(
+# "PossibleController") candidate filter)
+_POSSIBLE_CONTROLLER_LABELS = frozenset({
+    "Gene_or_gene_product", "Protein", "Family", "Complex", "GENE",
+    "Simple_chemical", "BioProcess", "Disease"})
+
+# PRP$ possessive pronouns keep the event's co-arguments as candidates
+# ("its own degradation" — 'its' may corefer with the theme's possessor);
+# non-possessives exclude them (DarpaLinks.scala:198-204 gTag != "PRP$"
+# guard on extending excludeThese)
+_POSSESSIVES = frozenset({"its", "their"})
+
+# nounPhraseMatch label compatibility: the anaphor's head constrains the
+# antecedent's label (the surface analog of DarpaLinks.scala:309-327
+# g.labels.forall(m.labels.contains) over the taxonomy)
+_MACROMOLECULE_LABELS = frozenset({"Gene_or_gene_product", "Protein",
+                                   "Family", "Complex", "GENE"})
+_NP_HEAD_LABELS: dict[str, frozenset] = {
+    h: _MACROMOLECULE_LABELS
+    for h in ("protein", "proteins", "enzyme", "enzymes", "kinase",
+              "kinases", "receptor", "receptors", "factor", "factors",
+              "gene", "genes", "complex")}
+_NP_HEAD_LABELS.update({
+    "molecule": _POSSIBLE_CONTROLLER_LABELS,
+    "molecules": _POSSIBLE_CONTROLLER_LABELS})
+
 
 
 def _lst(v) -> list:
@@ -215,12 +244,26 @@ def _doc_links(pdf: pd.DataFrame) -> pd.DataFrame:
         if not is_pron and txt not in GENERIC_NP_HEADS:
             continue
         parent = arg_parent.get(g["mention_id"])
-        exclude = {a["mention_id"] for a in _lst(parent.get("args"))} \
-            if parent else set()
+        # PRP$ possessives do NOT exclude the parent event's co-arguments
+        # (DarpaLinks.scala:198-204); other anaphors do
+        if txt in _POSSESSIVES or parent is None:
+            exclude: set = set()
+        else:
+            exclude = {a["mention_id"] for a in _lst(parent.get("args"))}
+        head_labels = (_POSSIBLE_CONTROLLER_LABELS if is_pron
+                       else _NP_HEAD_LABELS.get(
+                           txt.split()[-1], _POSSIBLE_CONTROLLER_LABELS))
         cands = [m for m in tbms
                  if precedes(m, g) and not _is_generic(m) and
-                 m["label"] not in ("Site",) and
-                 m["mention_id"] not in exclude]
+                 m["label"] in head_labels and
+                 m["mention_id"] not in exclude and
+                 # pronominal antecedents: same or previous sentence only
+                 # (DarpaLinks.scala:209 g.sentence - m.sentence < 2);
+                 # _ord is the dense per-doc sentence rank
+                 (not is_pron or g["_ord"] - m["_ord"] < 2) and
+                 # NP anaphors respect mutant compatibility
+                 # (DarpaLinks.scala:313 compatibleMutants)
+                 (is_pron or _compatible_mutants(m, g))]
         link(g, _linear_select(g, cands, _number(g)),
              "pronominalMatch" if is_pron else "nounPhraseMatch")
 

@@ -1008,6 +1008,21 @@ class SentenceExtractor:
         return 0 <= pos < self.n and (self.lows[pos] in self._PRON_SG or
                                       self.lows[pos] in self._PRON_PL)
 
+    def _np_anaphor_head(self, pos: int) -> int | None:
+        """Demonstrative generic-NP anaphor head at `pos` ('this protein',
+        'these proteins') — nounPhraseMatch material for the doc-level
+        sieves. Definite-article NPs ('the protein') are NOT anaphoric
+        (generic_blocked, TestCoreference sent33c) and named NPs ('this
+        ASPP1 protein') resolve by other rules."""
+        if 0 < pos < self.n and \
+                self.lows[pos] in R.GENERIC_NP_HEADS and \
+                self.lows[pos - 1] in ("this", "that", "these", "those") \
+                and pos not in self.generic_blocked and \
+                self.ent_starting_at(pos) is None and \
+                self.site_at(pos) is None:
+            return pos
+        return None
+
     _ANA_DETS = frozenset({"this", "the", "that", "these", "those"})
 
     def resolve_mutant_anaphors(self) -> None:
@@ -1117,7 +1132,10 @@ class SentenceExtractor:
         m = _mk(self.doc_id, self.sent_idx, "tbm", "Generic_entity", pos,
                 min(pos + 1, self.n), self.words, "generic-anaphor")
         m["canonical"] = None
-        num = "plural" if self.lows[pos] in self._PRON_PL else "singular"
+        lw = self.lows[pos]
+        num = "plural" if (lw in self._PRON_PL or
+                           (lw in R.GENERIC_NP_HEADS and
+                            lw.endswith("s"))) else "singular"
         m["mods"].append(_mod("Generic", num, self.words[pos]))
         if mods:
             m["mods"].extend(mods)
@@ -1300,6 +1318,13 @@ class SentenceExtractor:
             # plural pronoun subject: "they phosphorylate ASPP2" → one
             # event, one regulation per resolved controller
             resolved = self.resolve_pronoun(i - 1)
+            if not resolved and self.emit_generic:
+                # cross-sentence controller ('MEK is common. It
+                # phosphorylates Ras.'): generic controller for the
+                # doc-level pronominalMatch sieve; if it never resolves,
+                # only the regulation is pruned (the inner event row
+                # re-emerges un-regulated, triples.py surviving-reg gate)
+                resolved = [self._mint_generic_entity(i - 1)]
             subj = resolved[0] if resolved else None
             extra_subjs = resolved[1:]
         elif self._indefinite_np_before(i):
@@ -1308,6 +1333,12 @@ class SentenceExtractor:
             subj = None
         else:
             subj = self.nearest_ent_left(i)
+            if subj is None and self.emit_generic and \
+                    self._np_anaphor_head(i - 1) is not None:
+                # demonstrative-NP subject with no in-sentence antecedent
+                # ('ASPP2 is common. This protein phosphorylates Ras.') —
+                # nounPhraseMatch material (DarpaLinks.scala:240-354)
+                subj = self._mint_generic_entity(i - 1)
         if is_auto:
             if subj is not None:
                 sites = self.sites_near(i + 1, min(self.n, i + 10))
@@ -1530,14 +1561,17 @@ class SentenceExtractor:
                 k -= 1
             if self._indefinite_np_before(k + 1):
                 return  # "a protein is phosphorylated" — unresolvable
-            if self._pronoun_at(k):
+            if self._pronoun_at(k) or (self.emit_generic and
+                                       self._np_anaphor_head(k) is not None):
                 excl = frozenset({by_ent["mention_id"]}) if by_ent \
                     else frozenset()
-                resolved = self.resolve_pronoun(k, excl)
+                resolved = self.resolve_pronoun(k, excl) \
+                    if self._pronoun_at(k) else []
                 if not resolved and self.emit_generic:
-                    # 'It is phosphorylated.' with the antecedent in a
-                    # previous sentence: emit with a generic theme for the
-                    # doc-level pronominalMatch sieve
+                    # 'It is phosphorylated.' / 'This protein is
+                    # phosphorylated.' with the antecedent in a previous
+                    # sentence: emit with a generic theme for the
+                    # doc-level pronominalMatch/nounPhraseMatch sieves
                     resolved = [self._mint_generic_entity(k)]
                 for t in resolved:
                     if label == "Translocation":
@@ -2050,8 +2084,9 @@ class SentenceExtractor:
                                                       "subsequently")):
                         k -= 1
                     subjs = self.resolve_pronoun(k)
-                    if not subjs and self._pronoun_at(k) and \
-                            self.emit_generic:
+                    if not subjs and self.emit_generic and \
+                            (self._pronoun_at(k) or
+                             self._np_anaphor_head(k) is not None):
                         subjs = [self._mint_generic_entity(k)]
                 j = i + 1
                 while j < self.n and (self.lows[j] in ("to", "with",

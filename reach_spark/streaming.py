@@ -46,6 +46,11 @@ def stream_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
         (assemble_triples(spark.read.parquet(f"{out_dir}/triples"))
          .write.mode("overwrite").partitionBy("pred")
          .parquet(f"{out_dir}/triples_eer"))
+        # release per-batch caches — a long-lived stream must not
+        # accumulate blocks across micro-batches (same contract as
+        # pipeline.run_batch)
+        for key in ("mentions", "resolved_mentions", "grounding_map"):
+            res[key].unpersist()
 
     writer = (src.writeStream
               .foreachBatch(process_batch)

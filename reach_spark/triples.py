@@ -113,10 +113,22 @@ def build_triple_occurrences(mentions: DataFrame,
             "found_by"))
 
     # --- un-regulated simple events --------------------------------------
-    # is_controlled was stamped sentence-locally at extraction time, so no
-    # corpus-wide anti-join is needed here — a pure filter
+    # "un-regulated" = not the controlled arg of a SURVIVING regulation.
+    # The sentence-local is_controlled stamp is not sufficient: a
+    # regulation whose generic controller never resolved was pruned above
+    # (no_generic), and its inner event must re-emerge as an un-regulated
+    # triple ('It phosphorylates Ras.' with no antecedent keeps the
+    # Phosphorylation and loses only the regulation — reference Coref
+    # pruning semantics, TestCoreference sent6). Doc-scoped left_anti
+    # join; both sides are the already-filtered event subset, so the
+    # exchange carries event rows only, never the corpus.
+    controlled_ids = (
+        regs.select("doc_id", F.explode(F.filter(
+            "args", lambda a: a["role"] == F.lit("controlled"))).alias("a"))
+        .select("doc_id", F.col("a.mention_id").alias("mention_id"))
+        .distinct())
     simple = (events.where(~F.col("label").rlike("regulation|activation"))
-              .where(~F.col("is_controlled")))
+              .join(controlled_ids, ["doc_id", "mention_id"], "left_anti"))
 
     bind = simple.where(F.col("label") == "Binding")
     # themes ordered by CONTENT (text, canonical) — sorting the raw arg

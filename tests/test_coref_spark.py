@@ -95,6 +95,66 @@ def test_plural_pronoun_expands(spark):
     assert ubiq == ["ASPP2", "MEK"]
 
 
+def test_cross_sentence_pronoun_controller(spark):
+    """'MEK is common. It phosphorylates Ras.' — the pronoun SUBJECT mints
+    a generic controller that pronominalMatch resolves to MEK; the
+    regulation triple materializes. Standalone 'It phosphorylates Ras.'
+    (sent6 semantics) keeps the Phosphorylation and drops only the
+    regulation."""
+    docs = _doc(spark, "ctl1", ["MEK is common.", "It phosphorylates Ras."])
+    res = extract_dataframe(spark, docs, with_coref=True, persist=False)
+    occ = res["triple_occurrences"].collect()
+    regs = [t for t in occ
+            if t["pred"] == "Positive_regulation->Phosphorylation"]
+    assert len(regs) == 1 and regs[0]["subj"].startswith("MEK::")
+    docs2 = _doc(spark, "ctl2", ["It phosphorylates Ras."])
+    res2 = extract_dataframe(spark, docs2, with_coref=True, persist=False)
+    occ2 = res2["triple_occurrences"].collect()
+    assert [t["pred"] for t in occ2] == ["Phosphorylation"]
+    assert occ2[0]["obj"].startswith("Ras::")
+
+
+def test_pronoun_skips_context_entities(spark):
+    """PossibleController gating (DarpaLinks.scala:206-234 +
+    taxonomy.yml:25-80): a context-type entity (Species/CellLine/...) is
+    never a pronominal antecedent. With only 'human' (Species) preceding,
+    'It' stays unresolved and the generic-theme event is pruned; with a
+    GGP preceding, the same shape resolves."""
+    docs = _doc(spark, "pc1",
+                ["This was observed in human cells.",
+                 "It is phosphorylated."])
+    res = extract_dataframe(spark, docs, with_coref=True, persist=False)
+    occ = res["triple_occurrences"].collect()
+    assert not [t for t in occ if t["pred"] == "Phosphorylation"], occ
+    # positive control: identical structure, GGP antecedent resolves
+    docs2 = _doc(spark, "pc2",
+                 ["MEK is overexpressed in cells.",
+                  "It is phosphorylated."])
+    res2 = extract_dataframe(spark, docs2, with_coref=True, persist=False)
+    occ2 = res2["triple_occurrences"].collect()
+    phos = [t for t in occ2 if t["pred"] == "Phosphorylation"]
+    assert len(phos) == 1 and phos[0]["obj"].startswith("MEK::")
+
+
+def test_np_anaphor_label_compatibility(spark):
+    """nounPhraseMatch label gating (DarpaLinks.scala:309-327 label-subset
+    analog): 'this protein' requires a MacroMolecule-class antecedent —
+    a preceding Simple_chemical (GTP) does not qualify, a GGP does."""
+    docs = _doc(spark, "np1",
+                ["GTP was added to the culture.",
+                 "This protein is phosphorylated."])
+    res = extract_dataframe(spark, docs, with_coref=True, persist=False)
+    occ = res["triple_occurrences"].collect()
+    assert not [t for t in occ if t["pred"] == "Phosphorylation"], occ
+    docs2 = _doc(spark, "np2",
+                 ["ASPP2 was added to the culture.",
+                  "This protein is phosphorylated."])
+    res2 = extract_dataframe(spark, docs2, with_coref=True, persist=False)
+    occ2 = res2["triple_occurrences"].collect()
+    phos = [t for t in occ2 if t["pred"] == "Phosphorylation"]
+    assert len(phos) == 1 and phos[0]["obj"].startswith("ASPP2::")
+
+
 def test_coref_off_prunes_generics(spark):
     """with_coref=False: generic placeholders are pruned, never emitted
     as triples (the flagship configuration stays deterministic)."""

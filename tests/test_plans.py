@@ -123,6 +123,42 @@ def test_streaming_availablenow(spark, tmp_path):
     assert triples.select(cols).exceptAll(batch.select(cols)).count() == 0
 
 
+def test_streaming_multibatch_seen_accumulates(spark, tmp_path):
+    """Two micro-batches (same checkpoint): the EER rollup's SEEN counts
+    accumulate across batches — the overwrite-from-full-log contract —
+    and equal the batch pipeline over the union of both inputs. The
+    checkpoint must also prevent reprocessing of batch-A files."""
+    from reach_spark.streaming import stream_pipeline
+    from reach_spark.synth import make_documents
+    from reach_spark.pipeline import extract_dataframe
+    from reach_spark.triples import assemble_triples
+    docs_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    # batch A and batch B share content (seed-offset ranges overlap) so
+    # some EER classes gain evidence in batch B
+    make_documents(spark, n_docs=6, skew_every=3, skew_repeat=2) \
+        .write.mode("append").parquet(docs_dir)
+    q = stream_pipeline(spark, docs_dir, out_dir, ck_dir)
+    q.awaitTermination(180)
+    occ_a = spark.read.parquet(out_dir + "/triples").count()
+    make_documents(spark, n_docs=12, skew_every=3, skew_repeat=2) \
+        .where("doc_id like '%1'") \
+        .write.mode("append").parquet(docs_dir)
+    q = stream_pipeline(spark, docs_dir, out_dir, ck_dir)
+    q.awaitTermination(180)
+    occ_ab = spark.read.parquet(out_dir + "/triples")
+    assert occ_ab.count() > occ_a        # batch B appended, A not redone
+    eer = spark.read.parquet(out_dir + "/triples_eer")
+    expected = assemble_triples(
+        extract_dataframe(spark, spark.read.parquet(docs_dir),
+                          with_coref=False,
+                          persist=False)["triple_occurrences"])
+    cols = ["subj", "pred", "obj", "negated", "seen"]
+    assert eer.select(cols).exceptAll(expected.select(cols)).count() == 0
+    assert expected.select(cols).exceptAll(eer.select(cols)).count() == 0
+
+
 def test_kb_bioresources_join_broadcasts(spark):
     """The ≥300k-row bioresources KB join must broadcast the KB side: the
     document/term side streams through a BroadcastHashJoin (no shuffle of
