@@ -161,7 +161,8 @@ def annotate_sentences(documents: DataFrame,
                             "tags": ann["tags"],
                             "lemmas": ann["lemmas"],
                             "entities": ["O"] * len(ann["words"]),
-                            "deps": [],
+                            "deps": [{"src": s, "dst": d, "label": lbl}
+                                     for s, d, lbl in ann["deps"]],
                         })
                     if len(cache) < 100_000:
                         cache[text] = base

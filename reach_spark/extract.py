@@ -271,13 +271,19 @@ def annotate_sentence(sent_text: str) -> dict[str, Any]:
         words, starts, ends = (words[:MAX_SENT_TOKENS],
                                starts[:MAX_SENT_TOKENS],
                                ends[:MAX_SENT_TOKENS])
+    tags = pos_tag(words)
+    lemmas = lemmatize(words)
+    from .deps import light_deps
     return {
         "sent_text": sent_text,
         "words": words,
         "start_offsets": starts,
         "end_offsets": ends,
-        "tags": pos_tag(words),
-        "lemmas": lemmatize(words),
+        "tags": tags,
+        "lemmas": lemmas,
+        # light deterministic dependency layer (N7 down-payment):
+        # grammar-relevant UD subset, reach_spark.deps
+        "deps": light_deps(words, tags, lemmas),
     }
 
 
@@ -790,6 +796,7 @@ class SentenceExtractor:
         self.lows = [w.lower() for w in self.words]
         self.tags: list[str] = ann["tags"]
         self.lemmas: list[str] = ann["lemmas"]
+        self.deps: list = ann.get("deps") or []
         self.n = len(self.words)
         self.dictionary = dictionary
         self.entities: list[Mention] = []
@@ -3065,18 +3072,25 @@ class SentenceExtractor:
                     self.lows[i + 1] in ("to", "not") or
                     self.tags[i + 1].startswith("V")):
                 neg_positions.append(i)
-        if not neg_positions:
+        deps = self.deps
+        if not neg_positions and not deps:
             return
+        from .deps import neg_cues_for_trigger
         for ev in self.events:
             ts = ev["trigger_start"]
             if ts is None:
                 continue
-            in_scope = [p for p in neg_positions
-                        if p < ts and ts - p <= 4 and not any(
-                            q in self.consumed_triggers
-                            for q in range(p + 1, ts))]
+            # primary source: neg edges from the trigger token in the
+            # light dependency layer (NegationHandler.scala:18-41
+            # outgoing-edge check); the surface window is the fallback for
+            # cues the chunker could not attach
+            in_scope = set(neg_cues_for_trigger(deps, ts))
+            in_scope |= {p for p in neg_positions
+                         if p < ts and ts - p <= 4 and not any(
+                             q in self.consumed_triggers
+                             for q in range(p + 1, ts))}
             if len(in_scope) % 2 == 1:  # parity rule F4
-                self._attach_negation(ev, self.words[in_scope[0]])
+                self._attach_negation(ev, self.words[min(in_scope)])
 
     def _attach_negation(self, ev: Mention, cue: str) -> None:
         """Negation lands on the outermost event over this trigger: if a
