@@ -109,8 +109,7 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
         resolved = grounded
         occurrences = build_triple_occurrences(grounded, context, gmap=gmap)
     triples = assemble_triples(occurrences)
-    canon = canonical_entities(grounded, links)
-    return {
+    return LazyResults({
         "sentences": sentences,
         "mentions": grounded,
         "resolved_mentions": resolved,
@@ -119,10 +118,40 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
         "context": context,
         "triple_occurrences": occurrences,
         "triples": triples,
-        "canonical_entities": canon,
         "grounding_map": gmap,
         "media": media_spans(documents),
-    }
+    }, {
+        # connected-components label propagation runs driver-side actions
+        # per iteration at CONSTRUCTION time (canonicalize.py) — it must
+        # not execute unless the caller actually consumes this table (the
+        # triples-only flagship path would otherwise pay the whole CC loop)
+        "canonical_entities": lambda: canonical_entities(grounded, links),
+    })
+
+
+class LazyResults(dict):
+    """extract_dataframe results: plain DataFrames plus entries whose
+    construction is itself expensive (iterative algorithms that execute
+    actions while building their plan). Lazy entries materialize on first
+    access and are then cached like any other key."""
+
+    def __init__(self, eager: dict, lazy: dict):
+        super().__init__(eager)
+        self._lazy = dict(lazy)
+
+    def __getitem__(self, key):
+        if not super().__contains__(key) and key in self._lazy:
+            self[key] = self._lazy.pop(key)()
+        return super().__getitem__(key)
+
+    def __contains__(self, key):
+        return super().__contains__(key) or key in self._lazy
+
+    def get(self, key, default=None):
+        try:
+            return self[key]
+        except KeyError:
+            return default
 
 
 def partition_metrics(df: DataFrame, stage: str) -> DataFrame:
