@@ -436,6 +436,10 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
             pre = words[i].rsplit("-", 1)[0]
             if _MUTANT_RE.match(pre):
                 m["canonical"] = lows[i].rsplit("-", 1)[-1]
+                # the mention text is the protein alone — the reference
+                # bio tokenizer splits "R399Q-XRCC1" so downstream args
+                # read "XRCC1" (TestTemplaticSimpleEvents.scala:428-438)
+                m["text"] = words[i].rsplit("-", 1)[-1]
                 m["mods"].append(
                     _mod("Mutant", "SubstitutionMutant", pre))
             out.append(m)
@@ -494,12 +498,30 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
                     out.append(m)
                 i = k
                 continue
-        if lw in R.AMINO_ACIDS and i + 1 < n and words[i + 1].isdigit():
+        if (lw in R.AMINO_ACIDS or lw in R.AA_SHORT) and i + 1 < n and \
+                words[i + 1].isdigit():
+            # "serine 125" / "Ser 253" (site rule aa-name + number;
+            # entities.yml site patterns cover both long and 3-letter forms)
+            aa = R.AMINO_ACIDS.get(lw) or R.AA_SHORT[lw]
             m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 2, words,
                     "site-aa-num")
-            m["canonical"] = f"{R.AMINO_ACIDS[lw]}{words[i+1]}"
+            m["canonical"] = f"{aa}{words[i+1]}"
             out.append(m)
             i += 2
+            # trailing bare-number enumeration inherits the amino-acid
+            # prefix: "serine 125, 126, and 127" → three Sites
+            # (TestTemplaticSimpleEvents.scala:348)
+            while i < n:
+                if lows[i] in (",", "and", "or"):
+                    i += 1
+                elif words[i].isdigit():
+                    m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 1,
+                            words, "site-aa-num-list")
+                    m["canonical"] = f"{aa}{words[i]}"
+                    out.append(m)
+                    i += 1
+                else:
+                    break
             continue
         if lw in R.AMINO_ACIDS:
             m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 1, words,
@@ -722,10 +744,17 @@ def _wrapper_sign(lw: str) -> int:
 @lru_cache(maxsize=65536)
 def _match_trigger_cached(lw: str) -> tuple[str, str, bool] | None:
     """token -> (event_label, form verb|noun, is_auto); memoized - the per-token trigger match is a pure function of the lowered token and the hot path of the cascade. De-prefix guard: deubiquitination must NOT match Ubiquitination (simple-event_template.yml triggerPrefix !word=/^(de|auto)/)."""
+    # alias spellings from the rule file (the reference's lemma-regex
+    # alternation ubiquit(in|yl)ate, events_master.yml:93-94):
+    # 'ubiquitylates' normalizes to the canonical stem before matching
+    for alt, canon in R.ALT_TRIGGER_STEMS.items():
+        if alt in lw:
+            lw = lw.replace(alt, canon, 1)
+            break
     # mono-/di-/poly- prefixes keep the base event type
     # ("monoubiquitination" is still a Ubiquitination)
     core = lw
-    for pre in ("mono", "poly", "di-", "di"):
+    for pre in ("mono-", "poly-", "multi-", "mono", "poly", "di-", "di"):
         if lw.startswith(pre) and len(lw) > len(pre) + 4:
             stripped = lw[len(pre):]
             if any(stripped.startswith(s) for pair in
@@ -884,13 +913,39 @@ class SentenceExtractor:
                             continue
                     break
                 return out
-            if self.tags[j] in {"DT", "CD"} or self.lows[j] in {
+            lj = self.lows[j]
+            if self.tags[j] in {"DT", "CD"} or lj in {
                     "basal", "putative", "conserved", "free", "total",
                     "endogenous", "tyrosine", "serine", "threonine",
                     "two", "three", "four", "five", "several", "multiple",
                     "wild-type", "nucleotide", "mutant", "active",
-                    "linear"} or \
-                    self._is_ptm_participle(self.lows[j]):
+                    "linear", "kinase", "dead", "substrate", "substrates",
+                    ","} or \
+                    self._is_ptm_participle(lj):
+                j += 1
+                hops += 1
+                continue
+            if lj.endswith("ed") and _match_trigger_cached(lj) is None:
+                # generic participle premodifier: "by the
+                # co-immunoprecipitated DNA-PK" — transparent unless the
+                # token is itself an event trigger
+                # (TestTemplaticSimpleEvents.scala:449)
+                j += 1
+                hops += 1
+                continue
+            if lj == "of" and j > i and self.lows[j - 1] in {
+                    "mutant", "mutants", "form", "forms", "fragment",
+                    "fragments", "variant", "variants", "version",
+                    "versions"}:
+                # relational NP head: "a kinase dead mutant of ERK5" →
+                # the object is ERK5 (TestTemplaticSimpleEvents.scala:584)
+                j += 1
+                hops += 1
+                continue
+            if j + 1 < self.n and self.lows[j + 1].startswith("substrate"):
+                # suppressed attributive entity: "the mTOR substrate,
+                # 4EBP1" — hop the attributive token, the appositive is
+                # the mention (TestTemplaticSimpleEvents.scala:413)
                 j += 1
                 hops += 1
                 continue
@@ -1264,6 +1319,36 @@ class SentenceExtractor:
                                 "simple-hyphen-cause")
                         i += 1
                         continue
+                    if hh is not None:
+                        # genitive compound: "p53-acetylation" without a
+                        # following "of" — the head IS the theme
+                        # (TestTemplaticSimpleEvents.scala:495)
+                        labh, canonh = self.dictionary[head]
+                        theme = _mk(self.doc_id, self.sent_idx, "tbm", labh,
+                                    i, i + 1, self.words, "rule-ner-hyphen")
+                        theme["canonical"] = canonh
+                        theme["text"] = self.words[i].partition("-")[0]
+                        self.entities.append(theme)
+                        self._split_event_and_reg(
+                            hh, (i, i + 1), theme, None,
+                            "simple-hyphen-genitive")
+                        i += 1
+                        continue
+            if lw in ("ligated", "conjugated") and i + 1 < self.n and \
+                    self.lows[i + 1] == "to":
+                # "Ras ligated to Ubiquitin" → Ubiquitination(Ras)
+                # (modification-grammar ligate rule,
+                # TestTemplaticSimpleEvents.scala:97)
+                ub = self.ent_starting_at(i + 2)
+                if ub is not None and ub["canonical"] == "ubiquitin":
+                    th = self.nearest_ent_left(i)
+                    if th is not None:
+                        self.events.append(self._event(
+                            "Ubiquitination", (i, i + 1), th,
+                            "ligated-to-ubiquitin"))
+                        self.consumed_triggers.add(i)
+                        i += 1
+                        continue
             hit = self.match_simple_event_trigger(i)
             if not hit:
                 i += 1
@@ -1610,6 +1695,14 @@ class SentenceExtractor:
                     self._emit_translocations(trig, theme,
                                               "transloc-passive")
                     return
+                if site is None and not sites and theme["start"] >= 2 and \
+                        self.lows[theme["start"] - 1] == "of":
+                    # site-headed subject NP: "The BRCT1 domain of XRCC1
+                    # is phosphorylated" → the head is the event's site
+                    # (TestTemplaticSimpleEvents.scala:441)
+                    s_pre = self.site_at(theme["start"] - 2)
+                    if s_pre is not None:
+                        site = s_pre
                 causes: list[Mention | None] = [by_ent] + by_extra
                 rsgn = 1
                 if by_ent is None:
@@ -1621,14 +1714,21 @@ class SentenceExtractor:
                 # a site LIST splits into one event per site ("acetylated
                 # at multiple lysine residues (K164, 370, ...)" →
                 # 8 acetylations; each further cause regulates each event
-                # → |causes| × |sites| regulations, sent35's 16)
+                # → |causes| × |sites| regulations, sent35's 16); a
+                # mutant-split theme ("The K650M, K660M, and K650E-FGFR3
+                # mutants are phosphorylated") emits per F8 copy
+                themes_all = [e for e in self.entities
+                              if e["start"] == theme["start"] and
+                              e["end"] == theme["end"] and
+                              e["label"] == theme["label"]] or [theme]
                 evs = []
-                for s in (sites if len(sites) > 1 else [site]):
-                    ev = self._split_event_and_reg(
-                        lbl, trig, theme, causes[0], "simple-passive",
-                        site=s, reg_sign=rsgn)
-                    if ev is not None:
-                        evs.append(ev)
+                for th in themes_all:
+                    for s in (sites if len(sites) > 1 else [site]):
+                        ev = self._split_event_and_reg(
+                            lbl, trig, th, causes[0], "simple-passive",
+                            site=s, reg_sign=rsgn)
+                        if ev is not None:
+                            evs.append(ev)
                 rl = ("Positive_regulation" if rsgn > 0
                       else "Negative_regulation")
                 for c in causes[1:]:
@@ -1637,6 +1737,15 @@ class SentenceExtractor:
                     for ev in evs:
                         self.events.append(self._reg(
                             rl, trig, c, ev, "simple-passive-split"))
+            return
+        # simple-past active: "MEK5D phosphorylated a kinase dead mutant
+        # of ERK5" — subject entity ends DIRECTLY before the verb, object
+        # NP right, no aux/agent (TestTemplaticSimpleEvents.scala:584-605);
+        # anything between subject and trigger (a DT, a preposition as in
+        # "to hydroxylated RAS-GTP") means participle premodifier instead
+        if i > 0 and self.ent_ending_at(i - 1) is not None and \
+                self.conj_ents_right(i + 1):
+            self._active_verbal(label, trig, is_auto)
             return
         # bare participle postmodifier: "the levels of MCL-1 and BIM
         # expressed in ..." → one Transcription per NP-chain entity
@@ -1843,7 +1952,10 @@ class SentenceExtractor:
                 e = self.ent_ending_at(j)
                 if e is not None:
                     if crossed and e["label"] not in R.CONTEXT_ENTITY_LABELS:
-                        themes = [e]
+                        # full subject conjunction: "K-Ras and H-Ras
+                        # underwent mono-ubiquitination" → one event per
+                        # conjunct (TestTemplaticSimpleEvents.scala:479)
+                        themes = self.conj_ents_left(e["end"]) or [e]
                         rule = "simple-nominal-lightverb"
                     break
                 j -= 1
@@ -3016,9 +3128,11 @@ class SentenceExtractor:
                 cands = self.conj_ents_right(j + 2)
                 if cands:
                     return cands[0], 1
-            e = self.ent_starting_at(j)
-            if e:
-                return e, 1
+            # entity with adjective premodifiers: "by wild-type FGFR3"
+            # (conj_ents_right carries the premodifier skip set)
+            cands = self.conj_ents_right(j)
+            if cands:
+                return cands[0], 1
             return None, 1
         return None, 1
 

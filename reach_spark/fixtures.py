@@ -267,6 +267,147 @@ CASES: list[tuple[str, str, str, list[tuple]]] = [
      [("event", "Phosphorylation", ["ASPP2"]),
       ("posreg", "Ras", "Phosphorylation", ["ASPP2"])]),
 
+    # --------- TestTemplaticSimpleEvents.scala sent10-sent44 tail ---------
+    ("se_s10", "TestTemplaticSimpleEvents.scala:93 sent10",
+     "We measured the rate of GAP-mediated GTP hydrolysis and observed "
+     "that the response of Ras ligated to Ubiquitin was identical",
+     [("!event", "Binding", ["Ras", "Ubiquitin"]),
+      ("event", "Ubiquitination", ["Ras"])]),
+    ("se_s15", "TestTemplaticSimpleEvents.scala:335 sent15",
+     "ASPP2 phosphorylates p53 at serine 125 and serine 126.",
+     [("count", "Phosphorylation", 2),
+      ("count", "Positive_regulation", 2),
+      ("event", "Phosphorylation", ["p53"]),
+      ("posreg", "ASPP2", "Phosphorylation", ["p53"])]),
+    ("se_s16", "TestTemplaticSimpleEvents.scala:348 sent16",
+     "ASPP2 phosphorylates p53 at serine 125, 126, and 127.",
+     [("count", "Phosphorylation", 3),
+      ("count", "Positive_regulation", 3),
+      ("event", "Phosphorylation", ["p53"]),
+      ("posreg", "ASPP2", "Phosphorylation", ["p53"])]),
+    ("se_s17", "TestTemplaticSimpleEvents.scala:361 sent17",
+     "Its many abnormal phenotypes can be rescued via Pde2, which does "
+     "not hydrolyze Ras-GDP.",
+     [("count", "Hydrolysis", 1),
+      ("event", "Hydrolysis", ["Ras-GDP"]),
+      ("posreg", "Pde2", "Hydrolysis", ["Ras-GDP"])]),
+    ("se_s18", "TestTemplaticSimpleEvents.scala:370 sent18",
+     "Ras does not phosphorylate ASPP2.",
+     [("count", "Phosphorylation", 1),
+      ("event", "Phosphorylation", ["ASPP2"]),
+      ("posreg", "Ras", "Phosphorylation", ["ASPP2"])]),
+    ("se_s20", "TestTemplaticSimpleEvents.scala:388 sent20",
+     "We measured transcription activation in the presence of ASPP2, "
+     "which is not ubiquitinated by Ras.",
+     [("count", "Ubiquitination", 1),
+      ("event", "Ubiquitination", ["ASPP2"]),
+      ("posreg", "Ras", "Ubiquitination", ["ASPP2"])]),
+    ("se_s21", "TestTemplaticSimpleEvents.scala:397 sent21",
+     "phosphorylation of HuR at Y200 influences the response of immune "
+     "cells to cytokines",
+     [("count", "Phosphorylation", 1),
+      ("event", "Phosphorylation", ["HuR", "Y200"])]),
+    ("se_s22", "TestTemplaticSimpleEvents.scala:405 sent22",
+     "CK2 phosphorylation of XRCC1 stimulates binding to either PNK or "
+     "aprataxin",
+     [("event", "Phosphorylation", ["XRCC1"]),
+      ("!event", "Phosphorylation", ["CK2"]),
+      ("posreg", "CK2", "Phosphorylation", ["XRCC1"])]),
+    ("se_s23", "TestTemplaticSimpleEvents.scala:413 sent23",
+     "Shown in Figure     is a Western blot detecting the phosphorylation "
+     "of the mTOR substrate, 4EBP1.",
+     [("event", "Phosphorylation", ["4EBP1"]),
+      ("!event", "Phosphorylation", ["mTOR"])]),
+    ("se_s24", "TestTemplaticSimpleEvents.scala:421 sent24",
+     "We found that XRCC1 can be phosphorylated on S371 by DNA-PK",
+     [("event", "Phosphorylation", ["XRCC1", "S371"]),
+      ("posreg", "DNA-PK", "Phosphorylation", ["XRCC1", "S371"])]),
+    ("se_s25", "TestTemplaticSimpleEvents.scala:428 sent25",
+     "We found that XRCC1 R399Q can be phosphorylated on S371 by DNA-PK",
+     [("event", "Phosphorylation", ["XRCC1", "S371"]),
+      ("!event", "Phosphorylation", ["XRCC1", "R399Q"])]),
+    ("se_s25b", "TestTemplaticSimpleEvents.scala:435 sent25b",
+     "We found that R399Q-XRCC1 mutant can be phosphorylated on S371 by "
+     "DNA-PK",
+     [("event", "Phosphorylation", ["XRCC1", "S371"]),
+      ("!event", "Phosphorylation", ["XRCC1", "R399Q"])]),
+    ("se_s26", "TestTemplaticSimpleEvents.scala:442 sent26",
+     "The BRCT1 domain of XRCC1 is phosphorylated in vitro by DNA-PK",
+     [("event", "Phosphorylation", ["XRCC1", "BRCT1 domain"]),
+      ("posreg", "DNA-PK", "Phosphorylation", ["XRCC1", "BRCT1 domain"])]),
+    ("se_s27", "TestTemplaticSimpleEvents.scala:449 sent27",
+     "The study reveals that XRCC1 is phosphorylated by the "
+     "co-immunoprecipitated DNA-PK.",
+     [("event", "Phosphorylation", ["XRCC1"]),
+      ("posreg", "DNA-PK", "Phosphorylation", ["XRCC1"])]),
+    ("se_s29", "TestTemplaticSimpleEvents.scala:465 sent29",
+     "Figure 5 shows that only the K650M and K650E mutants caused "
+     "significant STAT5(Y694) phosphorylation",
+     [("event", "Phosphorylation", ["STAT5", "Y694"])]),
+    ("se_s30", "TestTemplaticSimpleEvents.scala:472 sent30",
+     "we found slight STAT1(Y701) phosphorylation induced by wild-type "
+     "FGFR3.",
+     [("event", "Phosphorylation", ["STAT1", "Y701"]),
+      ("posreg", "FGFR3", "Phosphorylation", ["STAT1", "Y701"])]),
+    ("se_s31", "TestTemplaticSimpleEvents.scala:479 sent31",
+     "We found that endogenous K-Ras and H-Ras underwent "
+     "mono-ubiquitination in HEK293T cells.",
+     [("event", "Ubiquitination", ["K-Ras"]),
+      ("event", "Ubiquitination", ["H-Ras"])]),
+    ("se_s32", "TestTemplaticSimpleEvents.scala:486 sent32",
+     "The K650M, K660M, and K650E-FGFR3 mutants are phosphorylated on "
+     "Y123 and T546",
+     [("count", "Phosphorylation", 6),
+      ("event", "Phosphorylation", ["FGFR3", "Y123"]),
+      ("event", "Phosphorylation", ["FGFR3", "T546"])]),
+    ("se_s33", "TestTemplaticSimpleEvents.scala:494 sent33",
+     "blot analysis of in vitro p53-acetylation",
+     [("entcount", "Gene_or_gene_product", 1),
+      ("count", "Acetylation", 1),
+      ("event", "Acetylation", ["p53"])]),
+    ("se_s34", "TestTemplaticSimpleEvents.scala:502 sent34",
+     "p35 regulation of GSK3betaser9 phosphorylation",
+     [("!event", "Phosphorylation", ["p35"])]),
+    ("se_s35a", "TestTemplaticSimpleEvents.scala:509 sent35a",
+     "E3 ubiquitin ligase ubiquitinates beta-catenin.",
+     [("posreg", "E3 ubiquitin ligase", "Ubiquitination",
+       ["beta-catenin"])]),
+    ("se_s35b", "TestTemplaticSimpleEvents.scala:515 sent35b",
+     "Beta-catenin ubiquitinates E3 ubiquitin ligase.",
+     [("posreg", "Beta-catenin", "Ubiquitination",
+       ["E3 ubiquitin ligase"])]),
+    ("se_s35c", "TestTemplaticSimpleEvents.scala:521 sent35c",
+     "Ubiquitin ubiquitinates beta-catenin.",
+     [("!posreg", "E3 ubiquitin ligase", "Ubiquitination",
+       ["beta-catenin"])]),
+    ("se_s35d", "TestTemplaticSimpleEvents.scala:527 sent35d",
+     "Beta-catenin ubiquitinates ubiquitin.",
+     [("!posreg", "Beta-catenin", "Ubiquitination",
+       ["E3 ubiquitin ligase"])]),
+    ("se_s39", "TestTemplaticSimpleEvents.scala:580 sent39",
+     "However, while MEK5D phosphorylated a kinase dead mutant of ERK5 "
+     "(ERK5-KD) at its TEY site",
+     [("!event", "Phosphorylation", ["MEK5D"])]),
+    ("se_s40", "TestTemplaticSimpleEvents.scala:585 sent40",
+     "MEK5D phosphorylated ERK5.",
+     [("event", "Phosphorylation", ["ERK5"]),
+      ("posreg", "MEK5D", "Phosphorylation", ["ERK5"])]),
+    ("se_s41", "TestTemplaticSimpleEvents.scala:591 sent41",
+     "However, while MEK5D phosphorylated a kinase dead ERK5.",
+     [("!event", "Phosphorylation", ["MEK5D"])]),
+    ("se_s42", "TestTemplaticSimpleEvents.scala:597 sent42",
+     "Expression of SIRT1, SIRT2, and acetylated (Ac)-p53 in gastric "
+     "cancer cell lines.",
+     [("!event", "Acetylation", ["SIRT1"])]),
+    ("se_s43", "TestTemplaticSimpleEvents.scala:603 sent43",
+     "SIRT1 ubiquitylates MEK5D",
+     [("event", "Ubiquitination", ["MEK5D"])]),
+    ("se_s44", "TestTemplaticSimpleEvents.scala:609 sent44",
+     "Activated Akt phosphorylates FoxO3a protein at Ser-318 and Ser-321 "
+     "and Ser 253",
+     [("count", "Phosphorylation", 3),
+      ("count", "Positive_regulation", 3)]),
+
     # ------------- auto events (TestTemplaticAutoEvents-style) -------------
     ("auto1", "TestTemplaticAutoEvents-style",
      "EGFR autophosphorylates upon ligand binding.",

@@ -230,6 +230,7 @@ def load_simple_event_rules(path: str | None = None
     doc = _load_rule_yaml("simple_events.yml", path)
     stems: dict[str, tuple[str, str]] = {}
     suffixes: dict[str, str] = {}
+    alts: dict[str, str] = {}
     for rule in doc["rules"]:
         v = rule["vars"]
         name = v["eventName"]
@@ -239,10 +240,16 @@ def load_simple_event_rules(path: str | None = None
             suffixes[name] = sfx
             # De-events derive mechanically: Dephosphorylation -> dephos
             suffixes["De" + name.lower()] = "de" + sfx
-    return stems, suffixes
+        # alias spellings (the reference writes these as lemma-regex
+        # alternations, e.g. ubiquit(in|yl)ate, events_master.yml:93):
+        # alias stem substring -> canonical stem, normalized on the
+        # lowered token before trigger matching
+        alts.update(v.get("altStems") or {})
+    return stems, suffixes, alts
 
 
-SIMPLE_EVENT_STEMS, PTM_SUFFIXES = load_simple_event_rules()
+SIMPLE_EVENT_STEMS, PTM_SUFFIXES, ALT_TRIGGER_STEMS = \
+    load_simple_event_rules()
 
 
 def register_event_family(event_name: str, verbal_stem: str,
@@ -355,7 +362,8 @@ _GGP_NAMES = [
     "p53", "TP53", "NF-kappaB", "p65", "RelA", "CREB", "mTOR", "PTEN",
     "STAT3", "SMAD2", "SMAD3", "SMAD4", "TGFBR2", "GSK3", "GSK3beta",
     "IGF-1R", "IRS-1", "Sos", "SOS1", "Grb2", "SHC", "cortactin", "CTTN",
-    "Gab1", "PIK3CA", "S6K", "S6K1", "4E-BP1", "eIF4E", "Bcl-2", "Bax",
+    "Gab1", "PIK3CA", "S6K", "S6K1", "4E-BP1", "4EBP1", "EIF4EBP1",
+    "eIF4E", "Bcl-2", "Bax",
     "caspase-3", "PARP", "Rho", "RhoA", "Rac1", "Cdc42", "PKC", "PKA",
     "CaMKII", "cyclin D1", "CDK4", "CDK6", "Rb", "E2F1", "Myc", "c-Myc",
     "Jun", "c-Jun", "Fos", "c-Fos", "ATF2", "Elk-1", "beta-catenin",
@@ -407,7 +415,7 @@ _FAMILY_NAMES = ["Ras family", "MAPK family", "AKT family", "ERK family",
                  "GLHYDRLASE27", "Ras guanyl-releasing protein 1",
                  "Jiraiya", "ERBB receptors",
                  "PI3K family", "STAT family", "caspase family",
-                 "Rho family", "14-3-3"]
+                 "Rho family", "14-3-3", "E3 ubiquitin ligase"]
 _CHEMICAL_NAMES = ["GTP", "GDP", "ATP", "ADP", "AMP", "cAMP", "NADPH",
                    "ubiquitin", "polyubiquitin", "rapamycin", "Rapamycin",
                    "diacylglycerol", "Diacylglycerol",

@@ -185,11 +185,13 @@ def test_simple_event_rules_are_data():
     from reach_spark.resources import (SIMPLE_EVENT_STEMS,
                                        load_simple_event_rules)
     from reach_spark.triples import PTM_SUFFIX
-    stems, suffixes = load_simple_event_rules()
+    stems, suffixes, alts = load_simple_event_rules()
     assert stems == SIMPLE_EVENT_STEMS
     assert suffixes == PTM_SUFFIX
     assert stems["Phosphorylation"] == ("phosphorylat", "phosphorylation")
     assert PTM_SUFFIX["Dephosphorylation"] == "dephos"
+    # alias spellings (ubiquit(in|yl)ate, events_master.yml:93) are data too
+    assert alts["ubiquitylat"] == "ubiquitinat"
 
 
 def test_rule_file_covers_reference_families():
