@@ -169,6 +169,7 @@ _KNOWN_VERBS = {
     "impaired", "restores", "restore", "restored", "triggers",
     "triggered", "drives", "drive", "driven", "represses", "repress",
     "repressed", "deactivates", "deactivate", "deactivated",
+    "depletes", "deplete", "depleted", "depleting",
 }
 
 
@@ -1365,6 +1366,10 @@ class SentenceExtractor:
                     # POS-lite misses infinitives ("to release p53 to the
                     # cytosol"); the from/to argument shape disambiguates
                     self._active_verbal(label, trig, is_auto)
+                elif label == "Translocation":
+                    # noun usage of a verb-form trigger: "its release from
+                    # the plasma membrane", "insulin release"
+                    self._nominal_translocation(trig)
             elif label == "Translocation":
                 self._nominal_translocation(trig)
             else:
@@ -1446,17 +1451,17 @@ class SentenceExtractor:
                     if o["label"] not in R.CONTEXT_ENTITY_LABELS]
             if objs:
                 theme = objs[0]
-                source, dests, cause = self._scan_from_to_by(theme["end"])
+                sources, dests, cause = self._scan_from_to_by(theme["end"])
                 if self.lows[i].startswith(("recruit", "release")) and \
-                        source is None and not dests:
+                        not sources and not dests:
                     return  # "recruit Shp2" alone is not a translocation
                 if subj is not None and \
                         subj["label"] in R.CONTEXT_ENTITY_LABELS:
-                    source = source or subj
+                    sources = sources or [subj]
                 elif subj is not None and cause is None:
                     cause = subj
                 self._emit_translocations(trig, theme, "transloc-verbal-obj",
-                                          source=source, dests=dests,
+                                          sources=sources, dests=dests,
                                           cause=cause)
             elif subj is not None and \
                     subj["label"] not in R.CONTEXT_ENTITY_LABELS:
@@ -1507,21 +1512,24 @@ class SentenceExtractor:
                             "simple-verbal-split"))
 
     def _scan_from_to_by(self, start: int, limit: int = 16) -> tuple[
-            Mention | None, list[Mention], Mention | None]:
-        """Scan right of `start` for 'from SRC', 'to/into DST (and DST)*'
-        and 'by CAUSE' (translocation_events.yml argument shapes)."""
-        source = None
+            list[Mention], list[Mention], Mention | None]:
+        """Scan right of `start` for 'from SRC (and SRC)*', 'to/into DST
+        (and DST)*' and 'by CAUSE' (translocation_events.yml argument
+        shapes). Sources conj-distribute like destinations ("release from
+        the plasma membrane and nuclear membrane" → one event per source,
+        TestTranslocationEvents sent3b)."""
+        sources: list[Mention] = []
         dests: list[Mention] = []
         cause = None
         j = start
         stop = min(self.n, start + limit)
         while j < stop:
             lw = self.lows[j]
-            if lw == "from" and source is None:
+            if lw == "from" and not sources:
                 cands = self.conj_ents_right(j + 1)
                 if cands:
-                    source = cands[0]
-                    j = cands[0]["end"]
+                    sources.extend(cands)
+                    j = sources[-1]["end"]
                     continue
             if lw in ("to", "into") and not dests:
                 cands = self.conj_ents_right(j + 1)
@@ -1538,35 +1546,50 @@ class SentenceExtractor:
             if lw in (".", ";"):
                 break
             j += 1
-        return source, dests, cause
+        return sources, dests, cause
 
     def _emit_translocations(self, trig: tuple[int, int], theme: Mention,
-                             rule: str, source: Mention | None = None,
+                             rule: str, sources: list[Mention] | None = None,
                              dests: list[Mention] | None = None,
                              cause: Mention | None = None) -> None:
-        """Translocation with source ('from ENT') and destination(s)
-        ('to ENT (and ENT)*') — one event per destination (reference
-        translocation_events.yml shape). A cause splits into a
-        Positive_regulation wrapper (splitSimpleEvents, A16)."""
+        """Translocation with source(s) ('from ENT (and ENT)*') and
+        destination(s) ('to ENT (and ENT)*') — one event per source×dest
+        combination (reference translocation_events.yml shape;
+        TestTranslocationEvents sent3b/c). A cause splits into a
+        Positive_regulation wrapper (splitSimpleEvents, A16). Recruitment
+        to a *promoter* NP is transcription-factor binding, not transport
+        (bind_events.yml recruitment rules; TestBindingEvents sent34)."""
         i = trig[0]
-        if source is None and dests is None and cause is None:
-            source, dests, cause = self._scan_from_to_by(i + 1)
+        if sources is None and dests is None and cause is None:
+            sources, dests, cause = self._scan_from_to_by(i + 1)
         dests = dests or []
+        sources = sources or []
+        if dests and dests[-1]["end"] < self.n and \
+                self.lows[dests[-1]["end"]] in ("promoter", "promoters"):
+            for d in dests:
+                self._emit_binding(trig, theme, d,
+                                   "binding-promoter-recruit")
+            return
         emitted: list[Mention] = []
-        for d in dests:
-            ev = self._event("Translocation", trig, theme, rule,
-                             cause_text_extra=d["mention_id"])
-            ev["args"].append(_arg("destination", d))
-            if source is not None:
-                ev["args"].append(_arg("source", source))
-            self.events.append(ev)
-            emitted.append(ev)
-        if not emitted:
-            ev = self._event("Translocation", trig, theme, rule)
-            if source is not None:
-                ev["args"].append(_arg("source", source))
-            self.events.append(ev)
-            emitted.append(ev)
+        for s in (sources or [None]):
+            for d in dests:
+                ev = self._event(
+                    "Translocation", trig, theme, rule,
+                    cause_text_extra=d["mention_id"] +
+                    (s["mention_id"] if s else ""))
+                ev["args"].append(_arg("destination", d))
+                if s is not None:
+                    ev["args"].append(_arg("source", s))
+                self.events.append(ev)
+                emitted.append(ev)
+            if not dests:
+                ev = self._event(
+                    "Translocation", trig, theme, rule,
+                    cause_text_extra=s["mention_id"] if s else "")
+                if s is not None:
+                    ev["args"].append(_arg("source", s))
+                self.events.append(ev)
+                emitted.append(ev)
         if cause is not None and cause["mention_id"] != theme["mention_id"]:
             for ev in emitted:
                 ev["is_direct"] = True
@@ -1590,13 +1613,33 @@ class SentenceExtractor:
             left = self.conj_ents_left(i)
             if left and left[-1]["label"] not in R.CONTEXT_ENTITY_LABELS:
                 theme = left[-1]
+        if theme is None and i > 0 and self.lows[i - 1] in ("its", "their"):
+            # possessive anaphor theme: "... and its release from the
+            # plasma membrane" → the sentence subject
+            # (TestTranslocationEvents sent3a-c)
+            resolved = self.resolve_pronoun(i - 1)
+            if resolved:
+                theme = resolved[0]
         if theme is None:
             return
-        source, dests, cause = self._scan_from_to_by(scan_from)
-        if not source and not dests:
+        sources, dests, cause = self._scan_from_to_by(scan_from)
+        if not sources and not dests:
+            if self.lows[i].startswith(("release", "secretion")):
+                # bare nominal 'release' with a genitive theme is a
+                # Secretion, not a transport ("insulin release" —
+                # secretion_events.yml triggerLemma secret|release|exocyt,
+                # events_master.yml:41-44; TestRegulationEvents sent63)
+                left = self.conj_ents_left(i)
+                th = left[-1] if left else None
+                if th is not None and \
+                        th["label"] not in R.CONTEXT_ENTITY_LABELS:
+                    self.events.append(
+                        self._event("Secretion", trig, th,
+                                    "secretion-genitive"))
+                    self.consumed_triggers.add(i)
             return
         self._emit_translocations(trig, theme, "transloc-nominal",
-                                  source=source, dests=dests, cause=cause)
+                                  sources=sources, dests=dests, cause=cause)
 
     def _passive_or_participle(self, label: str, trig: tuple[int, int],
                                is_auto: bool) -> None:
@@ -2157,9 +2200,44 @@ class SentenceExtractor:
                                            "binding-hyphen")
                 i += 1
                 continue
+            # participle premodifier pair: "the fraction of GTP-bound Ras"
+            # → Binding(GTP, Ras) (bind_events.yml bound-premod rules;
+            # TestBindingEvents sent32)
+            if lw.endswith("-bound"):
+                prefix = lw[:-len("-bound")]
+                theme2 = self.ent_starting_at(i + 1)
+                if prefix in self.dictionary and theme2 is not None:
+                    labb, canonb = self.dictionary[prefix]
+                    fakeb = _mk(self.doc_id, self.sent_idx, "tbm", labb,
+                                i, i + 1, self.words, "rule-ner-hyphen")
+                    fakeb["canonical"] = canonb
+                    fakeb["text"] = self.words[i].rsplit("-", 1)[0]
+                    self.entities.append(fakeb)
+                    self._emit_binding((i, i + 1), fakeb, theme2,
+                                       "binding-bound-premod")
+                i += 1
+                continue
+            # reduced relative: "Ras that is GTP bound is phosphorylated"
+            # → Binding(Ras, GTP) (TestBindingEvents sent37b)
+            if lw == "bound":
+                e2 = self.ent_ending_at(i - 1)
+                if e2 is not None and e2["start"] >= 2 and \
+                        self.lows[e2["start"] - 1] in ("is", "was") and \
+                        self.lows[e2["start"] - 2] in ("that", "which"):
+                    e1 = self.ent_ending_at(e2["start"] - 3)
+                    if e1 is not None:
+                        self._emit_binding((i, i + 1), e1, e2,
+                                           "binding-that-is-bound")
+                        i += 1
+                        continue
             is_verb = _is_binding_verb(lw) \
                 and self.tags[i].startswith(("V", "N")) and lw not in R.BINDING_NOUNS
-            is_noun = lw in R.BINDING_NOUNS
+            is_noun = lw in R.BINDING_NOUNS or (
+                # "Complex formation between Gab1 and ... Shp2"
+                # (bind_events.yml formation rules; TestBindingEvents
+                # sent40/41)
+                lw == "formation" and i > 0 and
+                self.lows[i - 1] == "complex")
             # passive: "ASPP1 and ASPP2 are bound by RAS-GTP"
             # ("bound" participle + following "by CAUSE-as-theme")
             if is_verb and lw.endswith(("ed", "en", "und")):
@@ -2190,7 +2268,25 @@ class SentenceExtractor:
                         (i - 2) in self.generic_blocked:
                     i += 1
                     continue
-                subjs = self.conj_ents_left(i, across_clause=True)
+                # ability light-verb chain is transparent for the subject
+                # series: "Smad3LC and Smad3C were able to bind APC10" /
+                # "... exhibited the ability to bind" (bind_events.yml
+                # xcomp subject inheritance; TestBindingEvents sent38/39)
+                subj_from = i
+                if i >= 3 and self.lows[i - 1] == "to":
+                    k, seen_ability = i - 1, False
+                    chain = {"to", "able", "unable", "ability", "capacity",
+                             "capable", "the", "exhibited", "exhibit",
+                             "exhibits", "showed", "had", "has", "have",
+                             "were", "was", "are", "is", "of"}
+                    while k >= 0 and self.lows[k] in chain:
+                        if self.lows[k] in ("able", "unable", "ability",
+                                            "capacity", "capable"):
+                            seen_ability = True
+                        k -= 1
+                    if seen_ability:
+                        subj_from = k + 1
+                subjs = self.conj_ents_left(subj_from, across_clause=True)
                 if not subjs:
                     s = self.nearest_ent_left(i)
                     subjs = [s] if s is not None else []
@@ -2213,6 +2309,18 @@ class SentenceExtractor:
                                       or self.lows[j].endswith("ly")):
                     j += 1
                 objs = self.conj_ents_right(j)
+                # "RB1 binds the BCL2 promoter" — a promoter-headed object
+                # NP is a DNA region, not a Binding theme
+                # (TestBindingEvents sent47/48 expect no bindings)
+                objs = [o for o in objs
+                        if not (o["end"] < self.n and self.lows[o["end"]]
+                                in ("promoter", "promoters"))]
+                if not objs and subjs and self._pronoun_at(j):
+                    # pronoun object: "BEF binds it" → resolve to the
+                    # nearest non-subject antecedent (TestCoreference
+                    # sent9; DarpaLinks pronominalMatch object case)
+                    excl = frozenset(s["mention_id"] for s in subjs)
+                    objs = self.resolve_pronoun(j, excl)[:1]
                 if not subjs and objs and lw == "bound":
                     # fronted participle: "Once bound to RAD51, the DNA-PK
                     # holoenzyme facilitates ..." → subject follows the
@@ -2245,6 +2353,31 @@ class SentenceExtractor:
                     if hyph:
                         i += 1
                         continue
+                    # hyphen chain before the complex noun: "the
+                    # Mek-Ras-Akt1 complex" → one n-ary binding
+                    # (TestBindingEvents sent43)
+                    if i > 0 and "-" in self.words[i - 1]:
+                        parts = self.lows[i - 1].split("-")
+                        if len(parts) >= 2 and all(
+                                p in self.dictionary for p in parts):
+                            raw = self.words[i - 1].split("-")
+                            chain = []
+                            for off, h in enumerate(parts):
+                                lab, canon = self.dictionary[h]
+                                fm = _mk(self.doc_id, self.sent_idx, "tbm",
+                                         lab, i - 1, i, self.words,
+                                         "rule-ner-hyphen-pair",
+                                         extra=str(off))
+                                fm["canonical"] = canon
+                                fm["text"] = raw[off]
+                                self.entities.append(fm)
+                                chain.append(fm)
+                            self._emit_binding((i, i + 1), chain[0],
+                                               chain[1],
+                                               "binding-hyphen-pair",
+                                               extra_themes=chain[2:])
+                            i += 1
+                            continue
                     for jn in (i - 1, i + 1):
                         if 0 <= jn < self.n and "/" in self.words[jn]:
                             halves = self.lows[jn].split("/", 1)
@@ -2310,6 +2443,15 @@ class SentenceExtractor:
                         continue
                 if i + 1 < self.n and self.lows[i + 1] in ("between", "of"):
                     cands = self.conj_ents_right(i + 2)
+                    if self.lows[i + 1] == "between" and len(cands) == 1:
+                        # appositive descriptor between the conjuncts:
+                        # "between Gab1 and the protein tyrosine
+                        # phosphatase Shp2" (TestBindingEvents sent40)
+                        k = cands[0]["end"]
+                        if k < self.n and self.lows[k] == "and":
+                            nxt = self._np_entities_right(k + 1, max_hops=8)
+                            if nxt:
+                                cands = [cands[0], nxt[0]]
                     if self.lows[i + 1] == "between" and len(cands) >= 2:
                         t1, t2 = cands[0], cands[1]
                     elif self.lows[i + 1] == "of" and cands:
@@ -2324,25 +2466,35 @@ class SentenceExtractor:
                                     t2s = self.conj_ents_right(j + 1)
                                     break
                 else:
-                    # hyphenated pair compound: "the RAS-ASPP interaction"
+                    # hyphenated compound: "the RAS-ASPP interaction",
+                    # "the Mek-Ras-Akt1 complex" → ONE binding over all
+                    # chain members (mkBindingsFromPairs n-ary complex,
+                    # TestBindingEvents sent43 expects size 1 with 3 args)
                     if i > 0 and "-" in self.words[i - 1]:
-                        halves = self.lows[i - 1].split("-", 1)
-                        if len(halves) == 2 and all(
-                                h in self.dictionary for h in halves):
-                            pair = []
-                            for off, h in enumerate(halves):
+                        full = self.lows[i - 1].split("-")
+                        parts = (full if len(full) >= 2 and all(
+                            p in self.dictionary for p in full)
+                            else self.lows[i - 1].split("-", 1))
+                        if len(parts) >= 2 and all(
+                                p in self.dictionary for p in parts):
+                            raw = (self.words[i - 1].split("-")
+                                   if len(parts) > 2
+                                   else self.words[i - 1].split("-", 1))
+                            chain = []
+                            for off, h in enumerate(parts):
                                 lab, canon = self.dictionary[h]
                                 fm = _mk(self.doc_id, self.sent_idx, "tbm",
                                          lab, i - 1, i, self.words,
                                          "rule-ner-hyphen-pair",
                                          extra=str(off))
                                 fm["canonical"] = canon
-                                fm["text"] = self.words[i - 1].split(
-                                    "-", 1)[off]
+                                fm["text"] = raw[off]
                                 self.entities.append(fm)
-                                pair.append(fm)
-                            self._emit_binding((i, i + 1), pair[0], pair[1],
-                                               "binding-hyphen-pair")
+                                chain.append(fm)
+                            self._emit_binding((i, i + 1), chain[0],
+                                               chain[1],
+                                               "binding-hyphen-pair",
+                                               extra_themes=chain[2:])
                             i += 1
                             continue
                     left = self.conj_ents_left(i)
@@ -2420,9 +2572,11 @@ class SentenceExtractor:
         return True
 
     def _emit_binding(self, trig: tuple[int, int], t1: Mention, t2: Mention,
-                      rule: str) -> None:
-        """Binary binding with the same-grounding / overlap / ubiquitin
-        guards (mkBindingsFromPairs, DarpaActions.scala:250-289)."""
+                      rule: str,
+                      extra_themes: list[Mention] | None = None) -> None:
+        """Binding with the same-grounding / overlap / ubiquitin guards
+        (mkBindingsFromPairs, DarpaActions.scala:250-289). extra_themes
+        extends the pair to an n-ary complex ("the Mek-Ras-Akt1 complex")."""
         if t1["canonical"] == t2["canonical"]:
             return
         if "ubiquitin" in (t1["canonical"], t2["canonical"]):
@@ -2436,11 +2590,13 @@ class SentenceExtractor:
         if not same_token_pair and not (t1["end"] <= t2["start"] or
                                         t2["end"] <= t1["start"]):
             return
-        args = [_arg("theme", t1), _arg("theme", t2)]
+        themes = [t1, t2] + [t for t in (extra_themes or [])
+                             if t["label"] not in R.CONTEXT_ENTITY_LABELS]
+        args = [_arg("theme", t) for t in themes]
         ev = _mk(self.doc_id, self.sent_idx, "event", "Binding", trig[0],
                  trig[1], self.words, rule, trigger=trig, args=args,
                  is_direct=True,
-                 extra=t1["mention_id"] + t2["mention_id"])
+                 extra="".join(t["mention_id"] for t in themes))
         self.events.append(ev)
         self.consumed_triggers.add(trig[0])
 
@@ -2455,15 +2611,41 @@ class SentenceExtractor:
         j = pos
         hops = 0
         while j < self.n and hops < 6:
+            if self.lows[j].endswith(("-mediated", "-induced", "-driven",
+                                      "-dependent", "-stimulated")):
+                # "RAS1 activates [AKT-induced apoptosis]": the hyphen
+                # compound + direct entity is an EMBEDDED activation — the
+                # controlled is the inner event (mkRegulation nesting,
+                # DarpaActions.scala:166-205; TestRegulationEvents sent56).
+                # With a wrapper+of following instead ("MUC1-C-mediated
+                # activation of IKKbeta") the token stays a transparent
+                # premodifier (TestPolarity sen42).
+                pre, _, hstem = self.lows[j].rpartition("-")
+                hsign = _sign_of_stem(hstem[:-2] if hstem.endswith("ed")
+                                      else hstem)
+                nxt_ws = (_wrapper_sign(self.lows[j + 1])
+                          if j + 1 < self.n else 0)
+                inner_ent = self.ent_starting_at(j + 1)
+                if hsign != 0 and pre in self.dictionary and \
+                        inner_ent is not None and nxt_ws == 0:
+                    lab, canon = self.dictionary[pre]
+                    ctrl_in = _mk(self.doc_id, self.sent_idx, "tbm", lab,
+                                  j, j + 1, self.words, "rule-ner-hyphen")
+                    ctrl_in["canonical"] = canon
+                    ctrl_in["text"] = self.words[j].rpartition("-")[0]
+                    self.entities.append(ctrl_in)
+                    n_before = len(self.events)
+                    self._emit_reg_or_act((j, j + 1), ctrl_in, 1,
+                                          inner_ent, hsign, "entity",
+                                          "act-embedded-hyphen")
+                    if len(self.events) > n_before:
+                        return self.events[-1], 1, "event"
+                j += 1
+                hops += 1
+                continue
             if self.tags[j] in ("DT", "CD") or self.lows[j] in (
                     "basal", "putative", "conserved", "dose", "levels",
-                    "kinase", "catalytic", "enzymatic", "gtpase", "in") or \
-                    self.lows[j].endswith(("-mediated", "-induced",
-                                           "-driven", "-dependent")):
-                # agentive premodifier is transparent for the controlled NP:
-                # "suppresses MUC1-C-mediated activation of IKKbeta" →
-                # controlled = activation wrapper over IKKbeta
-                # (TestPolarity sen42)
+                    "kinase", "catalytic", "enzymatic", "gtpase", "in"):
                 j += 1
                 hops += 1
                 continue
@@ -2561,6 +2743,38 @@ class SentenceExtractor:
                             self.consumed_triggers.add(p)
                             if len(self.events) > n_before:
                                 return self.events[-1], 1, "event"
+                    elif ws == 0:
+                        # direct embedded activation: "restore [retinoic
+                        # acid induced apoptosis]" — inner activation,
+                        # outer trigger regulates it (TestRegulationEvents
+                        # sent57 expects exactly ONE activation)
+                        inner_ent = self.ent_starting_at(q)
+                        if inner_ent is not None:
+                            n_before = len(self.events)
+                            self._emit_reg_or_act(
+                                (p, p + 1), e, 1, inner_ent,
+                                _sign_of_stem(self.lows[p]), "entity",
+                                "act-embedded-direct")
+                            self.consumed_triggers.add(p)
+                            if len(self.events) > n_before:
+                                return self.events[-1], 1, "event"
+                if e["end"] < self.n:
+                    pf = self.lows[e["end"]]
+                    if pf in ("sensitivity", "resistance", "sensitization",
+                              "insensitivity"):
+                        # attribute NP head: "increases docetaxel
+                        # sensitivity" is not a control of the chemical
+                        # (TestActivationEvents sent44/45 expect none)
+                        return None, 1, "none"
+                    ws2 = _wrapper_sign(pf)
+                    if ws2 != 0 and not (
+                            e["end"] + 1 < self.n and
+                            self.lows[e["end"] + 1] == "of"):
+                        # controlled-side genitive wrapper: "ATP reduced
+                        # [GSH depletion]" → controlled GSH with the
+                        # wrapper's sign folded in (neg × neg = pos;
+                        # TestRegulationEvents sent60)
+                        return e, ws2, "entity"
                 return e, 1, "entity"
             if self._pronoun_at(j):
                 # "ASPP2 activates it" → resolve, barring the controller
@@ -2574,7 +2788,8 @@ class SentenceExtractor:
                              "suppressing", "ablating", "blocking",
                              "downregulating", "knocking"})
     _KD_POSTFIX = frozenset({"knockdown", "knock-down", "silencing",
-                             "depletion", "ablation"})
+                             "depletion", "ablation", "deletion",
+                             "knockout", "knock-out"})
 
     def _kd_gerund_controller(self, pos: int) -> Mention | None:
         """Gerund knockdown subject: 'silencing TAK1 [in ... cells]
@@ -2831,6 +3046,19 @@ class SentenceExtractor:
                     i + 1 < self.n and self.lows[i + 1] in ("of", "in"):
                 ctld, csign, ckind = None, 1, "entity"
                 cands = self.conj_ents_right(i + 2)
+                if cands and self.lows[i + 1] == "in":
+                    # an entity after 'in' inside a cell-context NP is a
+                    # location, not the controlled ("BRAF inhibition in
+                    # NF1 deficient cells" — TestActivationEvents sent46);
+                    # amount NPs stay valid ("reduction in FoxO levels")
+                    e0 = cands[0]
+                    ctx = {"deficient", "depleted", "null", "expressing",
+                           "positive", "negative", "cells", "cell",
+                           "mice", "patients", "tumors", "mutant"}
+                    if any(self.lows[k] in ctx
+                           for k in range(e0["end"],
+                                          min(self.n, e0["end"] + 3))):
+                        cands = []
                 if cands:
                     ctld = cands[0]
                 else:
@@ -2873,6 +3101,41 @@ class SentenceExtractor:
                         self._emit_reg_or_act((i, i + 1), ctrl, 1, ctld,
                                               sign * csign, ckind,
                                               "reg-nominal")
+                        i += 1
+                        continue
+            # premodifier nominal activation: "... results in subsequent
+            # MEK activation" (TestActivationEvents sent42) — the entity
+            # directly before the nominal trigger is the controlled. Does
+            # not fire when the compound is itself a right-side controller
+            # phrase ("following MEK activation", _controller_following)
+            # or when a verbal sign trigger to the left owns the relation.
+            if sign != 0 and not self.tags[i].startswith("V") and \
+                    not lw.endswith(("ed", "en", "ing")) and \
+                    (i + 1 >= self.n or self.lows[i + 1] not in
+                     ("of", "in", "by")):
+                ctld = self.ent_ending_at(i - 1)
+                if ctld is not None and (
+                        ctld["start"] == 0 or
+                        self.lows[ctld["start"] - 1] not in (
+                            "following", "upon", "after", "by", "with",
+                            "during")):
+                    ctrl = None
+                    j = ctld["start"] - 1
+                    hops = 0
+                    while j >= 0 and hops < 12:
+                        if _sign_of_stem(self.lows[j]) != 0 and \
+                                self.tags[j].startswith("V"):
+                            break  # verbal trigger owns this relation
+                        e = self.ent_ending_at(j)
+                        if e:
+                            ctrl = e
+                            break
+                        j -= 1
+                        hops += 1
+                    if ctrl is not None:
+                        self._emit_reg_or_act((i, i + 1), ctrl, 1, ctld,
+                                              sign, "entity",
+                                              "act-nominal-premod")
                         i += 1
                         continue
             verbal = self.tags[i].startswith("V") or (
@@ -3162,9 +3425,12 @@ class SentenceExtractor:
             # DarpaActions.scala:197-238): "MEK activates MEK" → nothing
             if controller.get("canonical") == controlled.get("canonical"):
                 return
-            # BioProcess cannot control an activation ("Apoptosis
-            # activated p53" → nothing; bioprocess-valid guard A10)
-            if controller["label"] == "BioProcess":
+            # a BioProcess controller is only valid over a BioProcess
+            # controlled ("Cell aging increases apoptosis" — yes;
+            # "Apoptosis activated p53" — no; bioprocessValid,
+            # DarpaActions.scala:448-453)
+            if controller["label"] == "BioProcess" and \
+                    controlled["label"] != "BioProcess":
                 return
         reg = self._reg(label, trig, controller, controlled, rule)
         self.events.append(reg)
@@ -3291,6 +3557,44 @@ class SentenceExtractor:
             if key not in seen:
                 seen[key] = ev
         kept = set(id(m) for m in seen.values())
+        # an Activation that duplicates a Regulation is dropped: same
+        # controller, same sign, and the regulation's controlled EVENT has
+        # the activation's controlled entity as a theme ("Up-regulation of
+        # MKP3 expression by Ras" keeps only Pos_reg(Ras → Transcription
+        # (MKP3)); mkActivation regulation-overlap check,
+        # DarpaActions.scala:207-238 / TestRegulationEvents sent59)
+        ev_by_id = {m["mention_id"]: m for m in self.events}
+        reg_keys = set()
+        for m in self.events:
+            if id(m) not in kept or not m["label"].endswith("regulation"):
+                continue
+            ctrl = next((a for a in m["args"]
+                         if a["role"] == "controller"), None)
+            ctld = next((a for a in m["args"]
+                         if a["role"] == "controlled"), None)
+            if ctrl is None or ctld is None:
+                continue
+            inner = ev_by_id.get(ctld["mention_id"])
+            if inner is None or inner.get("kind") != "event":
+                continue
+            sign = 1 if m["label"].startswith("Positive") else -1
+            for a in inner.get("args", []):
+                if a["role"] == "theme":
+                    reg_keys.add((ctrl["text"], sign, a["text"]))
+        if reg_keys:
+            for m in self.events:
+                if id(m) not in kept or \
+                        not m["label"].endswith("activation"):
+                    continue
+                ctrl = next((a for a in m["args"]
+                             if a["role"] == "controller"), None)
+                ctld = next((a for a in m["args"]
+                             if a["role"] == "controlled"), None)
+                if ctrl is None or ctld is None:
+                    continue
+                sign = 1 if m["label"].startswith("Positive") else -1
+                if (ctrl["text"], sign, ctld["text"]) in reg_keys:
+                    kept.discard(id(m))
         surviving_ids = {m["mention_id"] for m in self.events
                          if id(m) in kept}
         out = []

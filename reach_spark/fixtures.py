@@ -1969,3 +1969,257 @@ CASES.extend([
 
 def fixture_sentences() -> list[str]:
     return [c[2] for c in CASES]
+
+# ------------- round-3 fixture tail: activation/binding/regulation/
+# translocation/negation batches (TestActivationEvents sent30-50,
+# TestBindingEvents sent25-48, NegationTests sent15-17,
+# TestRegulationEvents sent7-64, TestTranslocationEvents sent3b/c,
+# TestEntities sent11b/c) -------------
+CASES.extend([
+ ("act_s37", "TestActivationEvents.scala:264", "Cell aging increases apoptosis",
+  [("posact", "Cell aging", "apoptosis")]),
+ ("act_s38", "TestActivationEvents.scala:270", "EGFR silencing deactivates MAPK1",
+  [("posact", "EGFR", "MAPK1")]),
+ ("act_s39", "TestActivationEvents.scala:275", "EGFR deletion deactivates MAPK1",
+  [("posact", "EGFR", "MAPK1")]),
+ ("act_s41", "TestActivationEvents.scala:288",
+  "AKT1 expression results in subsequent activation of MEK",
+  [("count", "Transcription", 1), ("count", "Positive_activation", 1)]),
+ ("act_s42", "TestActivationEvents.scala:295",
+  "AKT1 expression results in subsequent MEK activation",
+  [("count", "Transcription", 1), ("count", "Positive_activation", 1)]),
+ ("act_s43", "TestActivationEvents.scala:302",
+  "GAPDH catalyzes the conversion of glyceraldehyde-3-phosphate to 1,3-bisphosphoglycerate.",
+  [("count", "Positive_activation", 0)]),
+ ("act_s44", "TestActivationEvents.scala:308", "AR function increases docetaxel sensitivity.",
+  [("count", "Positive_activation", 0)]),
+ ("act_s45", "TestActivationEvents.scala:314",
+  "The consequences of increased AR function might then increase docetaxel resistance via increasing p21 expression.",
+  [("count", "Positive_activation", 0)]),
+ ("act_s46", "TestActivationEvents.scala:320", "BRAF inhibition in NF1 deficient cells",
+  [("count", "Negative_activation", 0)]),
+ ("act_s47", "TestActivationEvents.scala:326",
+  "Here we present a case of a patient with metastatic CMM positive for the BRAF-V600E mutation who was treated with vemurafenib.",
+  [("!posact", "vemurafenib", "BRAF")]),
+ ("act_s48", "TestActivationEvents.scala:332",
+  "Our group previously reported the case of a patient with a recurrent BRAF V600E mutant brainstem ganglioglioma successfully treated with vemurafenib and vinblastine.",
+  [("!posact", "vemurafenib", "BRAF")]),
+ ("act_s49", "TestActivationEvents.scala:338",
+  "This drug, vemurafenib, selectively targets V600E mutant BRAF and it is unknown how this drug may affect autophagic flux.",
+  [("!posact", "vemurafenib", "BRAF")]),
+ ("act_s50", "TestActivationEvents.scala:344", "the Rac1 activator TIAM1",
+  [("!posact", "Rac1", "TIAM1"), ("posact", "TIAM1", "Rac1")]),
+ ("neg_s15", "NegationTests.scala:234", "IL-6 knockdown impaired the function of ASPP2",
+  [("count", "Positive_activation", 1), ("count", "Negative_activation", 0)]),
+ ("neg_s17", "NegationTests.scala:259", "Silencing IL-6 impaired the function of ASPP2",
+  [("count", "Positive_activation", 1), ("count", "Negative_activation", 0)]),
+ ("reg_s7", "TestRegulationEvents.scala:72",
+  "The phosphorylated ASPP2 fragment by MAPK1 was digested by trypsin and fractioned on a high performance liquid chromatography.",
+  [("event", "Phosphorylation", ["ASPP2"]), ("posreg", "MAPK1", "Phosphorylation", ["ASPP2"])]),
+ ("reg_s54b", "TestRegulationEvents.scala:503",
+  "We observed the phosphorylation of AKT1 following activation by MEK.",
+  [("posreg", "MEK", "Phosphorylation", ["AKT1"])]),
+ ("reg_s56", "TestRegulationEvents.scala:525", "RAS1 activates AKT-induced apoptosis",
+  [("posreg", "RAS1", "Positive_activation", ["AKT", "apoptosis"])]),
+ ("reg_s57", "TestRegulationEvents.scala:531",
+  "Indeed, expression of RARbeta2 has been shown to restore retinoic acid induced apoptosis",
+  [("count", "Transcription", 1), ("count", "Positive_activation", 1)]),
+ ("reg_s59", "TestRegulationEvents.scala:547",
+  "Up-regulation of MKP3 expression by active Ras expression",
+  [("count", "Transcription", 2), ("count", "Positive_regulation", 1),
+   ("count", "Positive_activation", 0)]),
+ ("reg_s60", "TestRegulationEvents.scala:555", "ATP reduced GSH depletion",
+  [("count", "Positive_activation", 1)]),
+ ("reg_s61", "TestRegulationEvents.scala:561", "ATP can deplete GSH in cells",
+  [("count", "Negative_activation", 1)]),
+ ("reg_s62", "TestRegulationEvents.scala:567", "ATP depletes GSH rapidly in cells",
+  [("count", "Negative_activation", 1)]),
+ ("reg_s63", "TestRegulationEvents.scala:573", "glucose triggers insulin release",
+  [("count", "Secretion", 1)]),
+ ("reg_s64", "TestRegulationEvents.scala:579", "SRF induces TAZ transcription",
+  [("count", "Transcription", 1), ("count", "Positive_regulation", 1)]),
+ ("bind_s25", "TestBindingEvents.scala:306",
+  "Identification by mass spectroscopy of DNA-PKcs associated with XRCC1",
+  [("event", "Binding", ["DNA-PKcs", "XRCC1"])]),
+ ("bind_s26", "TestBindingEvents.scala:311",
+  "Our assumption is that DNA-PKcs is associated with  XRCC1",
+  [("event", "Binding", ["DNA-PKcs", "XRCC1"])]),
+ ("bind_s32", "TestBindingEvents.scala:356",
+  "Something increases the fraction of GTP-bound Ras",
+  [("event", "Binding", ["GTP", "Ras"])]),
+ ("bind_s34", "TestBindingEvents.scala:370",
+  "Recruitment of p53 to the p21 or PUMA promoter was normalized to input.",
+  [("count", "Binding", 2), ("event", "Binding", ["p53", "p21"]),
+   ("event", "Binding", ["p53", "PUMA"])]),
+ ("bind_s37b", "TestBindingEvents.scala:399",
+  "Ras that is GTP bound is phosphorylated by Src tyrosyl",
+  [("event", "Binding", ["Ras", "GTP"]), ("!event", "Binding", ["Src", "GTP"]),
+   ("!event", "Binding", ["Ras", "Src"])]),
+ ("bind_s38", "TestBindingEvents.scala:413", "Only Smad3LC and Smad3C were able to bind APC10.",
+  [("count", "Binding", 2), ("event", "Binding", ["Smad3LC", "APC10"]),
+   ("event", "Binding", ["Smad3C", "APC10"]), ("!event", "Binding", ["Smad3C", "Smad3LC"])]),
+ ("bind_s39", "TestBindingEvents.scala:422",
+  "Only Smad3LC and Smad3C exhibited the ability to bind APC10.",
+  [("count", "Binding", 2), ("event", "Binding", ["Smad3LC", "APC10"]),
+   ("event", "Binding", ["Smad3C", "APC10"]), ("!event", "Binding", ["Smad3C", "Smad3LC"])]),
+ ("bind_s40", "TestBindingEvents.scala:431",
+  "Complex formation between Gab1 and the protein tyrosine phosphatase Shp2 negatively regulates Gab1 phosphorylation",
+  [("count", "Binding", 1), ("event", "Binding", ["Gab1", "Shp2"])]),
+ ("bind_s42", "TestBindingEvents.scala:445",
+  "Point mutations made are listed along with their impact on binding to RAC1 and CDC42",
+  [("count", "Binding", 0)]),
+ ("bind_s43", "TestBindingEvents.scala:451", "We analyze the Mek-Ras-Akt1 complex.",
+  [("count", "Binding", 1), ("event", "Binding", ["Mek", "Ras", "Akt1"])]),
+ ("bind_s46", "TestBindingEvents.scala:472",
+  "We analyze the associations between KRAS and BRAF mutations and patients ' clinicopathological characteristics.",
+  [("count", "Binding", 0)]),
+ ("bind_s47", "TestBindingEvents.scala:478", "RB1 binds the BCL2 promoter",
+  [("count", "Binding", 0)]),
+ ("bind_s48", "TestBindingEvents.scala:484", "RB1 binds the promoter of BCL2",
+  [("count", "Binding", 0)]),
+ ("ent_s11b", "TestEntities.scala:216",
+  "In contrast, the levels of IRP2 and TfR1 were increased, whereas the level of FTH1 was decreased, by ectopic mutant p53 (Fig. 4f, compare lanes 3-4 with 1-2, respectively).",
+  [("!entity", "Fig. 4f"), ("!entity", "4f")]),
+ ("ent_s11c", "TestEntities.scala:217",
+  "In addition, knockout of IRP2 led to decreased expression of TfR1 and increased expression of FTH1 (Fig. 5a), consistent with previous report [41].",
+  [("!entity", "Fig. 5a"), ("!entity", "5a")]),
+ ("transloc_s3b", "TestTranslocationEvents.scala:37",
+  "ASPP1 is common, and its release from the plasma membrane and nuclear membrane increases with its phosphorylation.",
+  [("count", "Translocation", 2),
+   ("event", "Translocation", ["ASPP1", "plasma membrane"]),
+   ("event", "Translocation", ["ASPP1", "nuclear membrane"])]),
+ ("transloc_s3c", "TestTranslocationEvents.scala:38",
+  "ASPP1 is common, and its release from the plasma membrane and nuclear membrane to the cytosol increases with its phosphorylation.",
+  [("count", "Translocation", 2),
+   ("event", "Translocation", ["ASPP1", "plasma membrane", "cytosol"]),
+   ("event", "Translocation", ["ASPP1", "nuclear membrane", "cytosol"])]),
+])
+
+# ------------- round-3 fixture tail batch 2: De-event templates, PTM
+# frames, model entities, overrides, alias canonization
+# (TestTemplaticSimpleDeEvents, TestDeModifications head,
+# TestModelEntities, TestOverrides, TestCoreference sent9/49-53) ---------
+CASES.extend([
+ # ---- TestTemplaticSimpleDeEvents ----
+ ("sde_s1", "TestTemplaticSimpleDeEvents.scala:10",
+  "The dephosphorylation on AKT was great.",
+  [("count", "Dephosphorylation", 0)]),
+ ("sde_s2", "TestTemplaticSimpleDeEvents.scala:17",
+  "JAK3 dephosphorylates three HuR residues (Y63, Y68, Y200)",
+  [("count", "Dephosphorylation", 3), ("count", "Positive_regulation", 3)]),
+ ("sde_s3", "TestTemplaticSimpleDeEvents.scala:27",
+  "The ubiquitination of ASPP2 is promoted by optineurin.",
+  [("count", "Deubiquitination", 0)]),
+ ("sde_s4", "TestTemplaticSimpleDeEvents.scala:34",
+  "The phosphorylation of ASPP2 is promotted by optineurin.",
+  [("count", "Dephosphorylation", 0)]),
+ ("sde_s5", "TestTemplaticSimpleDeEvents.scala:42",
+  "In contrast, the EGFR T669A mutant increased both basal EGFR and ERBB3 tyrosine dephosphorylation that was not augmented by MEK inhibition",
+  [("count", "Dephosphorylation", 2),
+   ("event", "Dephosphorylation", ["EGFR"]),
+   ("event", "Dephosphorylation", ["ERBB3"])]),
+ ("sde_s6", "TestTemplaticSimpleDeEvents.scala:53",
+  "We hypothesized that MEK inhibition activates AKT by inhibiting ERK activity, which blocks an inhibitory threonine dephosphorylation on the JM domains of EGFR and HER2, thereby increasing ERBB3 dephosphorylation.",
+  [("count", "Dephosphorylation", 3),
+   ("event", "Dephosphorylation", ["EGFR"]),
+   ("event", "Dephosphorylation", ["HER2"]),
+   ("event", "Dephosphorylation", ["ERBB3"])]),
+ ("sde_s7", "TestTemplaticSimpleDeEvents.scala:66",
+  "The ubiquitinated Ras protein dephosphorylates AKT.",
+  [("event", "Dephosphorylation", ["AKT"]),
+   ("posreg", "Ras", "Dephosphorylation", ["AKT"])]),
+ ("sde_s10", "TestTemplaticSimpleDeEvents.scala:81",
+  "We measured the rate of GAP-mediated GTP hydrolysis and observed that the response of Ras ligated to Ubiquitin was identical",
+  [("!event", "Binding", ["Ras", "Ubiquitin"]),
+   ("event", "Ubiquitination", ["Ras"])]),
+ ("sde_s14a", "TestTemplaticSimpleDeEvents.scala:96",
+  "Experiments revealed deubiquitination at Lys residues 104 and 147 of K-Ras",
+  [("count", "Deubiquitination", 2)]),
+ ("sde_s14b", "TestTemplaticSimpleDeEvents.scala:102",
+  "Experiments revealed deubiquitination at Lys residues 117, 147, and 170 for H-Ras.",
+  [("count", "Deubiquitination", 3)]),
+ ("sde_dehyd1", "TestTemplaticSimpleDeEvents.scala:108",
+  "Ras-GDP is dehydrolyzed by 26S proteasome without ubiquitination.",
+  [("event", "Dehydrolysis", ["Ras-GDP"])]),
+ ("sde_dehyd2", "TestTemplaticSimpleDeEvents.scala:113",
+  "MEK dehydrolysis of Ras-GDP increased.",
+  [("event", "Dehydrolysis", ["Ras-GDP"])]),
+ ("sde_dehyd3", "TestTemplaticSimpleDeEvents.scala:118",
+  "Ras-GDP dehydrolysis by MEK increased.",
+  [("event", "Dehydrolysis", ["Ras-GDP"])]),
+ ("sde_dehyd4", "TestTemplaticSimpleDeEvents.scala:123",
+  "Its many abnormal phenotypes can be rescued via Pde2, which specifically dehydrolyzes Ras-GDP.",
+  [("event", "Dehydrolysis", ["Ras-GDP"])]),
+ ("sde_dehyd5", "TestTemplaticSimpleDeEvents.scala:128",
+  "Pde2, which has been found to dehydrolyze Ras-GDP, activates MEK.",
+  [("event", "Dehydrolysis", ["Ras-GDP"])]),
+ # ---- TestDeModifications head ----
+ ("demod_s1", "TestDeModifications.scala:676",
+  "The dephosphorylated AKT binds to ASPP2.",
+  [("count", "Dephosphorylation", 0), ("event", "Binding", ["AKT", "ASPP2"]),
+   ("ptm", "AKT", "Dephosphorylation")]),
+ ("demod_s1b", "TestDeModifications.scala:677",
+  "The deubiquitinated AKT binds to ASPP2.",
+  [("count", "Deubiquitination", 0), ("event", "Binding", ["AKT", "ASPP2"]),
+   ("ptm", "AKT", "Deubiquitination")]),
+ ("demod_s4", "TestDeModifications.scala:720",
+  "Dephosphorylated Mek binds to GTP.",
+  [("count", "Dephosphorylation", 0), ("event", "Binding", ["Mek", "GTP"])]),
+ ("demod_s5", "TestDeModifications.scala:727",
+  "Ligation of ASPP2 to dehydroxylated RAS-GTP promotes apoptosis.",
+  [("count", "Dehydroxylation", 0)]),
+ ("demod_s6", "TestDeModifications.scala:734",
+  "Optineurin regulates NF-kappaB activation by mediating interaction of CYLD with deubiquitinated RIP.",
+  [("count", "Deubiquitination", 0)]),
+ ("demod_s7", "TestDeModifications.scala:741",
+  "The deubiquitinated Ras protein dephosphorylates AKT.",
+  [("ptm", "Ras", "Deubiquitination"),
+   ("event", "Dephosphorylation", ["AKT"]),
+   ("posreg", "Ras", "Dephosphorylation", ["AKT"])]),
+ # ---- TestModelEntities ----
+ ("mdl_s1", "TestModelEntities.scala:17", "BRAF, EGF, EGFR, and GRB2 are proteins.",
+  [("entcount", "Gene_or_gene_product", 4)]),
+ ("mdl_s2", "TestModelEntities.scala:18", "HRAS, KRAS, NRAS, and NF1 are proteins.",
+  [("entcount", "Gene_or_gene_product", 4)]),
+ ("mdl_s2a", "TestModelEntities.scala:19", "H-RAS, K-RAS, N-RAS, and B-Raf are proteins.",
+  [("entcount", "Gene_or_gene_product", 4)]),
+ ("mdl_s3", "TestModelEntities.scala:20", "MAPK1, MAPK3, MEK1, and MEK2 are proteins.",
+  [("entcount", "Gene_or_gene_product", 4)]),
+ ("mdl_s4", "TestModelEntities.scala:21", "RASA1, RASA2, RASA3, and SOS1 are proteins.",
+  [("entcount", "Gene_or_gene_product", 4)]),
+ ("mdl_s5", "TestModelEntities.scala:22", "p110alpha, p110beta, and p110delta are proteins.",
+  [("entcount", "Gene_or_gene_product", 3)]),
+ ("mdl_s6", "TestModelEntities.scala:23", "p55gamma, p85alpha, and p85beta are proteins.",
+  [("entcount", "Gene_or_gene_product", 3)]),
+ ("mdl_s7", "TestModelEntities.scala:24", "SAPK is a family.",
+  [("entcount", "Family", 1)]),
+ # ---- TestOverrides ----
+ ("ovr_ggp4", "TestOverrides.scala:25", "MAP2K2, MAZ, MEK1, MEK2, MEK3, MEK4 are GGPs.",
+  [("entcount", "Gene_or_gene_product", 6)]),
+ ("ovr_ggp5", "TestOverrides.scala:26", "MEK5, MEK6, MEK7, and NRAS are GGPs.",
+  [("entcount", "Gene_or_gene_product", 4)]),
+ ("ovr_ggp6", "TestOverrides.scala:27", "p53, RAC1, RhoA, ROCK1, and SAF-1 GGPs.",
+  [("entcount", "Gene_or_gene_product", 5)]),
+ ("ovr_estros", "TestOverrides.scala:137", "Estrone E1 and estradiol E2 do not cause cancer.",
+  [("entcount", "Simple_chemical", 4)]),
+ # ---- diacylglycerol alias cases ----
+ ("al_s49a", "TestCoreference.scala:679",
+  "Diacylglycerol (hereafter referred to as DAG) functions as a second messenger signaling lipid.",
+  [("entcount", "Simple_chemical", 2), ("same_canonical", "Diacylglycerol", "DAG")]),
+ ("al_s49b", "TestCoreference.scala:687",
+  "DAG (hereafter referred to as diacylglycerol) functions as a second messenger signaling lipid.",
+  [("entcount", "Simple_chemical", 2), ("same_canonical", "DAG", "diacylglycerol")]),
+ ("al_s52", "TestCoreference.scala:694",
+  "Diacylglycerol, sometimes called DAG, functions as a second messenger signaling lipid.",
+  [("entcount", "Simple_chemical", 2), ("same_canonical", "Diacylglycerol", "DAG")]),
+ ("al_s53", "TestCoreference.scala:701",
+  "Diacylglycerol (alias DAG) functions as a second messenger signaling lipid.",
+  [("entcount", "Simple_chemical", 2), ("same_canonical", "Diacylglycerol", "DAG")]),
+ # ---- TestCoreference sent9, sent20 ----
+ ("coref_s9", "TestCoreference.scala:89",
+  "Much work has been done on ASPP2. It is known that BEF binds it.",
+  [("count", "ComplexEvent", 0), ("event", "Binding", ["BEF", "ASPP2"])]),
+ ("coref_s20b", "TestCoreference.scala:215",
+  "We also monitored how siRNA-induced loss of LMTK2 influenced phosphorylation of PP1Cthr320. Four days after treatment with LMTK2 siRNA, lysates were probed with phospho-PP1Cthr320 antibody.",
+  [("!posact", "LMTK2", "LMTK2")]),
+])
