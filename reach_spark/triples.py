@@ -76,118 +76,114 @@ def build_triple_occurrences(mentions: DataFrame,
     events = events.where(F.col("label") != "Generic_event") \
                    .where(no_generic)
 
-    # --- regulations / activations: one row each -------------------------
-    regs = events.where(F.col("label").rlike("regulation|activation"))
-    reg_rows = (
-        regs.select(
-            "doc_id", "sent_idx", "mention_id", "label", "trigger_text",
-            "found_by", "mods",
-            _arg1("controller").alias("ctrl"),
-            _arg1("controlled").alias("ctld"))
-        .select(
-            "doc_id", "sent_idx",
-            F.col("mention_id").alias("event_id"),
-            F.col("ctrl.text").alias("subj_text"),
-            F.col("ctrl.canonical").alias("subj_canon"),
-            F.col("ctld.text").alias("obj_text"),
-            F.col("ctld.canonical").alias("obj_canon"),
-            F.when(F.col("ctld.target_label").rlike(
-                "^(Positive|Negative)_(regulation|activation)$") |
-                F.col("ctld.target_label").isin(list(PTM_SUFFIX)) |
-                F.col("ctld.target_label").isin(
-                    "Binding", "Translocation", "Transcription",
-                    "IncreaseAmount", "DecreaseAmount"),
-                F.concat_ws("->", "label", "ctld.target_label"))
-             .otherwise(F.col("label")).alias("pred"),
-            # PTM suffix from the controlled event type; '.a' when the
-            # controlled is a plain entity (activation output)
-            F.when(_suffix_for(F.col("ctld.target_label")) != "",
-                   F.concat(F.lit("."),
-                            _suffix_for(F.col("ctld.target_label"))))
-             .when(F.col("label").rlike("activation"), F.lit(".a"))
-             .otherwise(F.lit("")).alias("obj_sfx"),
-            _negated_col().alias("negated"),
-            _hyp_col().alias("hypothesis"),
-            F.lit(False).alias("is_direct"),
-            F.col("trigger_text").alias("trigger"),
-            "found_by"))
+    is_reg = F.col("label").rlike("regulation|activation")
 
-    # --- un-regulated simple events --------------------------------------
     # "un-regulated" = not the controlled arg of a SURVIVING regulation.
     # The sentence-local is_controlled stamp is not sufficient: a
     # regulation whose generic controller never resolved was pruned above
     # (no_generic), and its inner event must re-emerge as an un-regulated
     # triple ('It phosphorylates Ras.' with no antecedent keeps the
     # Phosphorylation and loses only the regulation — reference Coref
-    # pruning semantics, TestCoreference sent6). Doc-scoped left_anti
-    # join; both sides are the already-filtered event subset, so the
-    # exchange carries event rows only, never the corpus.
+    # pruning semantics, TestCoreference sent6). Doc-scoped left join; both
+    # sides are the already-filtered event subset, so the exchange carries
+    # event rows only, never the corpus.
     controlled_ids = (
-        regs.select("doc_id", F.explode(F.filter(
+        events.where(is_reg)
+        .select("doc_id", F.explode(F.filter(
             "args", lambda a: a["role"] == F.lit("controlled"))).alias("a"))
         .select("doc_id", F.col("a.mention_id").alias("mention_id"))
-        .distinct())
-    simple = (events.where(~F.col("label").rlike("regulation|activation"))
-              .join(controlled_ids, ["doc_id", "mention_id"], "left_anti"))
+        .distinct()
+        .withColumn("is_ctld", F.lit(True)))
+    flagged = events.join(controlled_ids, ["doc_id", "mention_id"], "left")
 
-    bind = simple.where(F.col("label") == "Binding")
-    # themes ordered by CONTENT (text, canonical) — sorting the raw arg
-    # structs would order by mention_id, which is (doc, sent)-scoped, so
-    # the same binding sentence in two docs would emit (A,B) vs (B,A) and
-    # split one equivalence class into two EERs. Binding is symmetric; the
-    # canonical theme order is part of the equivalence key.
+    # ONE scan emits every occurrence shape through a per-row struct array
+    # + explode (the three filtered-scan branches this replaces tripled the
+    # cache-read traffic and the task count of the widest stage):
+    #   regulations/activations → 1 struct from (controller, controlled)
+    #   un-controlled Binding   → 1 struct from the content-ordered
+    #                             theme pair (symmetric evidence must land
+    #                             in one EER class, so themes sort by
+    #                             (text, canonical), never by the
+    #                             (doc, sent)-scoped mention_id)
+    #   other un-controlled simple events → 1 struct per theme
+    def occ_struct(subj_text, subj_canon, obj_text, obj_canon, pred,
+                   obj_sfx, is_direct) -> F.Column:
+        return F.struct(subj_text.alias("subj_text"),
+                        subj_canon.alias("subj_canon"),
+                        obj_text.alias("obj_text"),
+                        obj_canon.alias("obj_canon"),
+                        pred.alias("pred"), obj_sfx.alias("obj_sfx"),
+                        is_direct.alias("is_direct"))
+
+    ctrl = _arg1("controller")
+    ctld = _arg1("controlled")
+    reg_pred = (
+        F.when(ctld["target_label"].rlike(
+            "^(Positive|Negative)_(regulation|activation)$") |
+            ctld["target_label"].isin(list(PTM_SUFFIX)) |
+            ctld["target_label"].isin(
+                "Binding", "Translocation", "Transcription",
+                "IncreaseAmount", "DecreaseAmount"),
+            F.concat_ws("->", F.col("label"), ctld["target_label"]))
+        .otherwise(F.col("label")))
+    # PTM suffix from the controlled event type; '.a' when the controlled
+    # is a plain entity (activation output)
+    reg_sfx = (
+        F.when(_suffix_for(ctld["target_label"]) != "",
+               F.concat(F.lit("."), _suffix_for(ctld["target_label"])))
+        .when(F.col("label").rlike("activation"), F.lit(".a"))
+        .otherwise(F.lit("")))
+    reg_occ = F.array(occ_struct(
+        ctrl["text"], ctrl["canonical"], ctld["text"], ctld["canonical"],
+        reg_pred, reg_sfx, F.lit(False)))
+
     themes = F.array_sort(F.transform(
         F.filter("args", lambda a: a["role"] == F.lit("theme")),
         lambda a: F.struct(a["text"].alias("text"),
                            a["canonical"].alias("canonical"),
                            a["target_label"].alias("target_label"))))
-    bind_rows = bind.select(
-        "doc_id", "sent_idx",
-        F.col("mention_id").alias("event_id"),
-        F.try_element_at(themes, F.lit(1)).alias("t1"),
-        F.try_element_at(themes, F.lit(2)).alias("t2"),
-        "label", "mods", "trigger_text", "found_by", "is_direct",
-    ).where(F.col("t2").isNotNull()).select(
-        "doc_id", "sent_idx", "event_id",
-        F.col("t1.text").alias("subj_text"),
-        F.col("t1.canonical").alias("subj_canon"),
-        F.col("t2.text").alias("obj_text"),
-        F.col("t2.canonical").alias("obj_canon"),
-        F.col("label").alias("pred"),
-        F.lit("").alias("obj_sfx"),
-        _negated_col().alias("negated"),
-        _hyp_col().alias("hypothesis"),
-        "is_direct",
-        F.col("trigger_text").alias("trigger"),
-        "found_by")
+    t1 = F.try_element_at(themes, F.lit(1))
+    t2 = F.try_element_at(themes, F.lit(2))
+    empty = F.array().cast(
+        "array<struct<subj_text:string,subj_canon:string,obj_text:string,"
+        "obj_canon:string,pred:string,obj_sfx:string,is_direct:boolean>>")
+    bind_occ = F.when(t2.isNotNull(), F.array(occ_struct(
+        t1["text"], t1["canonical"], t2["text"], t2["canonical"],
+        F.col("label"), F.lit(""), F.col("is_direct")))).otherwise(empty)
 
-    other = simple.where(F.col("label") != "Binding")
-    other_rows = (other
-                  .select("doc_id", "sent_idx", "mention_id", "label",
-                          "mods", "trigger_text", "found_by", "is_direct",
-                          F.explode(F.filter(
-                              "args",
-                              lambda a: a["role"] == F.lit("theme")))
-                          .alias("th"))
-                  .select(
-                      "doc_id", "sent_idx",
-                      F.col("mention_id").alias("event_id"),
-                      F.lit(None).cast("string").alias("subj_text"),
-                      F.lit(None).cast("string").alias("subj_canon"),
-                      F.col("th.text").alias("obj_text"),
-                      F.col("th.canonical").alias("obj_canon"),
-                      F.col("label").alias("pred"),
-                      F.when(_suffix_for(F.col("label")) != "",
-                             F.concat(F.lit("."),
-                                      _suffix_for(F.col("label"))))
-                       .otherwise(F.lit("")).alias("obj_sfx"),
-                      _negated_col().alias("negated"),
-                      _hyp_col().alias("hypothesis"),
-                      "is_direct",
-                      F.col("trigger_text").alias("trigger"),
-                      "found_by"))
+    simple_sfx = (F.when(_suffix_for(F.col("label")) != "",
+                         F.concat(F.lit("."), _suffix_for(F.col("label"))))
+                  .otherwise(F.lit("")))
+    other_occ = F.transform(
+        F.filter("args", lambda a: a["role"] == F.lit("theme")),
+        lambda th: occ_struct(
+            F.lit(None).cast("string"), F.lit(None).cast("string"),
+            th["text"], th["canonical"], F.col("label"), simple_sfx,
+            F.col("is_direct")))
 
-    rows = reg_rows.unionByName(bind_rows).unionByName(other_rows)
+    occs = (F.when(is_reg, reg_occ)
+            .when(F.col("is_ctld").isNotNull(), empty)
+            .when(F.col("label") == "Binding", bind_occ)
+            .otherwise(other_occ))
+
+    rows = (flagged
+            .select("doc_id", "sent_idx",
+                    F.col("mention_id").alias("event_id"),
+                    _negated_col().alias("negated"),
+                    _hyp_col().alias("hypothesis"),
+                    F.col("trigger_text").alias("trigger"),
+                    "found_by",
+                    F.explode(occs).alias("o"))
+            .select("doc_id", "sent_idx", "event_id",
+                    F.col("o.subj_text").alias("subj_text"),
+                    F.col("o.subj_canon").alias("subj_canon"),
+                    F.col("o.obj_text").alias("obj_text"),
+                    F.col("o.obj_canon").alias("obj_canon"),
+                    F.col("o.pred").alias("pred"),
+                    F.col("o.obj_sfx").alias("obj_sfx"),
+                    "negated", "hypothesis",
+                    F.col("o.is_direct").alias("is_direct"),
+                    "trigger", "found_by"))
 
     # --- grounding resolution: two broadcast joins against the tiny map --
     if gmap is not None:

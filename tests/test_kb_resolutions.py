@@ -242,6 +242,37 @@ def test_kb_parquet_fresh():
             "kb_union.parquet is stale: python tools/build_kb_parquet.py"
 
 
+def test_kb_full_parquet_fresh():
+    """kb_full.parquet (the grounding hot path's single-scan load format)
+    must cover the current TSVs AND the current inline kb_rows code."""
+    import os
+    from reach_spark.grounding import kb_inline_sha
+    from reach_spark.kb import kb_data_dir, kb_full_stamp
+    d = kb_data_dir()
+    pq = os.path.join(d, "kb_full.parquet")
+    if not os.path.isdir(pq):
+        return                      # no cache → loader builds the union
+    with open(os.path.join(d, "kb_full.STAMP")) as fh:
+        assert fh.read().strip() == kb_full_stamp(d, kb_inline_sha()), \
+            "kb_full.parquet is stale: python tools/build_kb_parquet.py"
+
+
+def test_kb_full_fast_path_matches_union(spark):
+    """The kb_full.parquet fast path ≡ the inline ∪ bioresources union it
+    precomputes (count + per-(ns, kb_priority) counts)."""
+    from reach_spark.grounding import inline_kb_df, kb_inline_sha
+    from reach_spark.kb import load_bioresources, load_kb_full
+    fast = load_kb_full(spark, kb_inline_sha())
+    if fast is None:
+        return
+    union = inline_kb_df(spark).unionByName(load_bioresources(spark))
+    a = {tuple(r) for r in
+         fast.groupBy("ns", "kb_priority", "tclass").count().collect()}
+    b = {tuple(r) for r in
+         union.groupBy("ns", "kb_priority", "tclass").count().collect()}
+    assert a == b
+
+
 def test_parquet_csv_paths_agree(spark):
     """The parquet fast path and the CSV fallback produce identical KB
     unions (count + per-namespace counts)."""

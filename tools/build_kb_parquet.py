@@ -30,6 +30,22 @@ def main() -> None:
     with open(os.path.join(d, "kb_union.TSV_SHA"), "w") as fh:
         fh.write(kb.kb_tsv_sha(d))
     print(f"{out}: {n} rows")
+
+    # full-KB load format: inline override tier ∪ bioresources tier, one
+    # file — the grounding hot path reads THIS (single columnar scan; no
+    # per-session union/createDataFrame). Column order pinned to the
+    # read schema in kb.load_kb_full.
+    from reach_spark.grounding import inline_kb_df, kb_inline_sha
+    full = inline_kb_df(spark).unionByName(
+        spark.read.parquet(out)).select(
+        "kb_label", "key", "ns", "id", "species", "kb_priority",
+        "is_protein_kb", "is_family_kb", "tclass")
+    fout = os.path.join(d, "kb_full.parquet")
+    full.coalesce(1).write.mode("overwrite").parquet(fout)
+    nf = spark.read.parquet(fout).count()
+    with open(os.path.join(d, "kb_full.STAMP"), "w") as fh:
+        fh.write(kb.kb_full_stamp(d, kb_inline_sha()))
+    print(f"{fout}: {nf} rows")
     spark.stop()
 
 
