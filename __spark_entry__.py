@@ -31,36 +31,62 @@ def _interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derive the interleaved text+media documents table (BASELINE.json
     input_hint shape) deterministically from the testdata documents table:
     each doc gets its text chunked into spans, one fixture sentence keyed by
-    doc_id (so extraction has real bio text to chew on), and a media span."""
+    doc_id (so extraction has real bio text to chew on), and a media span.
+
+    Materialized ONCE per (fixture corpus, sf_dir) to a stamped /tmp
+    parquet, then every caller reads the scan. Two reasons, both measured:
+    (1) production shape — the north rule's input is a TABLE of interleaved
+    documents, so the flagship must start from a columnar scan, not from a
+    synthesis expression; (2) driver-side analysis cost — inlining the 710
+    fixture sentences as an array literal (x2 element_at references) puts
+    ~1,400 literal nodes into every downstream plan, and Catalyst walks
+    them in every analyzer/optimizer/AQE pass of every stage (jstack'd:
+    >20 s of driver CPU in TreeNode.transformDownWithPruning at sf0.1)."""
+    import hashlib
+    import os
+
     from reach_spark.fixtures import fixture_sentences
     sents = fixture_sentences()
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # ONE parsed SQL array literal — per-element F.lit would pay ~700
-    # driver-side py4j round-trips (~4 s, measured), twice (the array is
-    # referenced from two element_at calls)
-    def _sq(s: str) -> str:
-        return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
-    fixture_arr = F.expr("array(" + ",".join(_sq(s) for s in sents) + ")")
-    return docs.select(
-        F.col("doc_id").cast("string").alias("doc_id"),
-        F.array(
-            F.struct(F.lit("text").alias("kind"),
-                     F.element_at(fixture_arr,
-                                  (F.col("doc_id") % len(sents) + 1)
-                                  .cast("int")).alias("text"),
-                     F.lit("").alias("media_ref"),
-                     F.lit(0).cast("int").alias("offset")),
-            F.struct(F.lit("media").alias("kind"), F.lit("").alias("text"),
-                     F.concat(F.lit("img://"), F.col("doc_id").cast("string"))
-                      .alias("media_ref"),
-                     F.lit(1).cast("int").alias("offset")),
-            F.struct(F.lit("text").alias("kind"),
-                     F.element_at(fixture_arr,
-                                  ((F.col("doc_id") * 7 + 3) % len(sents) + 1)
-                                  .cast("int")).alias("text"),
-                     F.lit("").alias("media_ref"),
-                     F.lit(2).cast("int").alias("offset")),
-        ).alias("spans"))
+    n = len(sents)
+    key = hashlib.sha256(
+        ("interleave-v2|" + os.path.abspath(sf_dir) + "|" +
+         "\x00".join(sents)).encode()).hexdigest()[:16]
+    out = f"/tmp/reach_spark_interleaved_{key}.parquet"
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        import pandas as pd
+        fx = spark.createDataFrame(pd.DataFrame(
+            {"fid": pd.array(range(n), dtype="int64"), "fsent": sents}))
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        f1 = fx.select(F.col("fid").alias("_f1"), F.col("fsent").alias("_s1"))
+        f2 = fx.select(F.col("fid").alias("_f2"), F.col("fsent").alias("_s2"))
+        base = (docs
+                .select(F.col("doc_id"),
+                        (F.col("doc_id") % n).cast("bigint").alias("_f1"),
+                        ((F.col("doc_id") * 7 + 3) % n).cast("bigint")
+                        .alias("_f2"))
+                .join(F.broadcast(f1), "_f1")
+                .join(F.broadcast(f2), "_f2"))
+        (base.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.array(
+                F.struct(F.lit("text").alias("kind"),
+                         F.col("_s1").alias("text"),
+                         F.lit("").alias("media_ref"),
+                         F.lit(0).cast("int").alias("offset")),
+                F.struct(F.lit("media").alias("kind"),
+                         F.lit("").alias("text"),
+                         F.concat(F.lit("img://"),
+                                  F.col("doc_id").cast("string"))
+                          .alias("media_ref"),
+                         F.lit(1).cast("int").alias("offset")),
+                F.struct(F.lit("text").alias("kind"),
+                         F.col("_s2").alias("text"),
+                         F.lit("").alias("media_ref"),
+                         F.lit(2).cast("int").alias("offset")),
+            ).alias("spans"))
+         .repartition(spark.sparkContext.defaultParallelism)
+         .write.mode("overwrite").parquet(out))
+    return spark.read.parquet(out)
 
 
 def kg_triples_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

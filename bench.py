@@ -49,6 +49,12 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], int]:
     timings: dict[str, float] = {}
     n_docs = 0
     for name in HEADLINE:
+        # each query is self-contained (the driver's correctness gate runs
+        # them the same way); caches/broadcasts left by the previous query
+        # are bench artifacts — at 8g driver heap they turn into full-GC
+        # pauses attributed to whatever query runs next (measured: minhash
+        # 6s -> 52s when it follows the flagship's persisted intermediates)
+        spark.catalog.clearCache()
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         n = df.count()
@@ -66,6 +72,20 @@ def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], int]:
             qs[name](spark, sf_dir).count()
             timings["kg_triples_flagship_warm"] = round(time.time() - t0, 3)
     return timings, n_docs
+
+
+def _read_steal() -> tuple[float, float]:
+    """(total_jiffies, steal_jiffies) from /proc/stat — this sandbox is a
+    VM whose host steals CPU in bursts (observed up to ~30% st in top),
+    which swings wall-clock benchmarks 2-4x run-to-run. Reporting the
+    steal share measured DURING the run makes the numbers auditable."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        vals = [float(x) for x in parts[1:9]]
+        return sum(vals), vals[7]
+    except Exception:
+        return 0.0, 0.0
 
 
 def _cpu_burn(per_worker: int = 6_000_000) -> dict:
@@ -193,7 +213,10 @@ def main():
 
     spark = get_spark(app_name="bench", cores=cpus,
                       shuffle_partitions=max(cpus, 8))
+    tot0, st0 = _read_steal()
     timings, n_docs = run_suite(spark, sf_dir)
+    tot1, st1 = _read_steal()
+    steal_pct = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1e-9), 1)
     # suite total = the headline queries only (the auxiliary warm repeat
     # of the flagship is reported separately, not double-counted)
     total = round(sum(timings[n] for n in HEADLINE), 3)
@@ -208,6 +231,11 @@ def main():
                     if not k.startswith("_")},
         "sf": _sf_from_dir(sf_dir),
         "kg_docs_per_sec": kg_docs_per_sec,
+        "kg_docs_per_sec_warm": round(
+            n_docs / max(timings.get("kg_triples_flagship_warm",
+                                     timings["kg_triples_flagship"]),
+                         1e-9), 2),
+        "hypervisor_steal_pct": steal_pct,
         "cores": cpus,
     }))
 
