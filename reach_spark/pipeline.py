@@ -51,6 +51,7 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
     corpus-wide (reference extractFrom(Seq(docs)), TestCoreference
     sent61); that mode genuinely needs a global barrier, so it uses the
     unfused two-pass path (pass-1 + broadcast-join rescan)."""
+    _extra_persisted: list[DataFrame] = []
     if alias_propagation and not corpus_aliases:
         # hot path: ONE mapInPandas stage does span-order → sentence split
         # → extraction → doc-level alias rescan
@@ -64,6 +65,7 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
             # must not accumulate cached blocks)
             sentences_light = sentences_light.persist()
             base = base.persist()
+            _extra_persisted.extend([sentences_light, base])
         mentions = propagate_alias_instances(sentences_light, base,
                                              corpus_level=True)
     else:
@@ -129,7 +131,12 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
         resolved = grounded
         occurrences = build_triple_occurrences(grounded, context, gmap=gmap)
     triples = assemble_triples(occurrences)
-    return LazyResults({
+    persisted = []
+    if persist:
+        persisted = _extra_persisted + [mentions, gmap, grounded]
+        if with_coref:
+            persisted.append(resolved)
+    return LazyResults(persisted, {
         "sentences": sentences,
         "mentions": grounded,
         "resolved_mentions": resolved,
@@ -153,11 +160,21 @@ class LazyResults(dict):
     """extract_dataframe results: plain DataFrames plus entries whose
     construction is itself expensive (iterative algorithms that execute
     actions while building their plan). Lazy entries materialize on first
-    access and are then cached like any other key."""
+    access and are then cached like any other key.
 
-    def __init__(self, eager: dict, lazy: dict):
+    cleanup() releases every cache block the pipeline persisted — call it
+    when a batch is done (run_batch does; tests do via conftest) so
+    long-lived sessions never accumulate blocks."""
+
+    def __init__(self, persisted: list, eager: dict, lazy: dict):
         super().__init__(eager)
+        self._persisted = list(persisted)
         self._lazy = dict(lazy)
+
+    def cleanup(self) -> None:
+        for df in self._persisted:
+            df.unpersist()
+        self._persisted = []
 
     def __getitem__(self, key):
         if not super().__contains__(key) and key in self._lazy:
@@ -235,8 +252,8 @@ def run_batch(spark: SparkSession, documents: DataFrame, out_dir: str,
     todo.select("doc_id").write.mode("append").parquet(ckpt_path)
     counts["docs"] = n_docs
     todo.unpersist()
-    # release the per-batch caches (mentions / resolved / grounding map):
-    # repeated run_batch calls in one session must not accumulate blocks
-    for key in ("mentions", "resolved_mentions", "grounding_map"):
-        results[key].unpersist()
+    # release the per-batch caches (mentions / grounding map / grounded /
+    # resolved): repeated run_batch calls in one session must not
+    # accumulate blocks
+    results.cleanup()
     return counts

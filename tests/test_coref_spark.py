@@ -20,7 +20,7 @@ def test_cross_sentence_pronoun_theme(spark):
     prior sentence, LinearSelector), resolve rewrites the theme, and the
     triple materializes (DarpaLinks.scala:171-260)."""
     docs = _doc(spark, "p1", ["ASPP2 binds Ras.", "It is phosphorylated."])
-    res = extract_dataframe(spark, docs, with_coref=True, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=True)
     links = res["coref_links"].collect()
     assert any(r["sieve"] == "pronominalMatch" for r in links)
     occ = res["triple_occurrences"].collect()
@@ -33,7 +33,7 @@ def test_cross_sentence_pronoun_unresolved_pruned(spark):
     """No antecedent anywhere → the generic-theme event is pruned
     (argsComplete, Coref.scala:92-100): no Phosphorylation triple."""
     docs = _doc(spark, "p2", ["It is phosphorylated."])
-    res = extract_dataframe(spark, docs, with_coref=True, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=True)
     occ = res["triple_occurrences"].collect()
     assert not [t for t in occ if t["pred"] == "Phosphorylation"]
 
@@ -45,7 +45,7 @@ def test_simple_event_match_cross_sentence(spark):
     (DarpaLinks.scala:364-420)."""
     docs = _doc(spark, "se1", ["MEK phosphorylates Ras.",
                                "ASPP1 promotes this phosphorylation."])
-    res = extract_dataframe(spark, docs, with_coref=True, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=True)
     links = res["coref_links"].collect()
     assert any(r["sieve"] == "simpleEventMatch" for r in links)
     occ = res["triple_occurrences"].collect()
@@ -63,7 +63,7 @@ def test_mutant_protein_match_cross_sentence(spark):
     the binding materializes (DarpaLinks.scala:77-110)."""
     docs = _doc(spark, "m1", ["ASPP1 K341L is common.",
                               "The mutant binds GTP."])
-    res = extract_dataframe(spark, docs, with_coref=True, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=True)
     links = res["coref_links"].collect()
     assert any(r["sieve"] == "mutantProteinMatch" for r in links)
     occ = res["triple_occurrences"].collect()
@@ -77,7 +77,7 @@ def test_mutant_anaphor_no_antecedent_pruned(spark):
     """'The mutant binds GTP.' with a mutant-less antecedent sentence →
     no binding (TestCoreference sent33b at doc level)."""
     docs = _doc(spark, "m2", ["ASPP1 is common.", "The mutant binds GTP."])
-    res = extract_dataframe(spark, docs, with_coref=True, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=True)
     occ = res["triple_occurrences"].collect()
     assert not [t for t in occ if t["pred"] == "Binding"]
 
@@ -88,7 +88,7 @@ def test_plural_pronoun_expands(spark):
     Coref.scala:64-86) → one Ubiquitination per antecedent."""
     docs = _doc(spark, "pl1", ["MEK binds ASPP2.",
                                "They are ubiquitinated."])
-    res = extract_dataframe(spark, docs, with_coref=True, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=True)
     occ = res["triple_occurrences"].collect()
     ubiq = sorted(t["obj"].split("::")[0] for t in occ
                   if t["pred"] == "Ubiquitination")
@@ -102,13 +102,13 @@ def test_cross_sentence_pronoun_controller(spark):
     (sent6 semantics) keeps the Phosphorylation and drops only the
     regulation."""
     docs = _doc(spark, "ctl1", ["MEK is common.", "It phosphorylates Ras."])
-    res = extract_dataframe(spark, docs, with_coref=True, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=True)
     occ = res["triple_occurrences"].collect()
     regs = [t for t in occ
             if t["pred"] == "Positive_regulation->Phosphorylation"]
     assert len(regs) == 1 and regs[0]["subj"].startswith("MEK::")
     docs2 = _doc(spark, "ctl2", ["It phosphorylates Ras."])
-    res2 = extract_dataframe(spark, docs2, with_coref=True, persist=False)
+    res2 = extract_dataframe(spark, docs2, with_coref=True)
     occ2 = res2["triple_occurrences"].collect()
     assert [t["pred"] for t in occ2] == ["Phosphorylation"]
     assert occ2[0]["obj"].startswith("Ras::")
@@ -123,14 +123,14 @@ def test_pronoun_skips_context_entities(spark):
     docs = _doc(spark, "pc1",
                 ["This was observed in human cells.",
                  "It is phosphorylated."])
-    res = extract_dataframe(spark, docs, with_coref=True, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=True)
     occ = res["triple_occurrences"].collect()
     assert not [t for t in occ if t["pred"] == "Phosphorylation"], occ
     # positive control: identical structure, GGP antecedent resolves
     docs2 = _doc(spark, "pc2",
                  ["MEK is overexpressed in cells.",
                   "It is phosphorylated."])
-    res2 = extract_dataframe(spark, docs2, with_coref=True, persist=False)
+    res2 = extract_dataframe(spark, docs2, with_coref=True)
     occ2 = res2["triple_occurrences"].collect()
     phos = [t for t in occ2 if t["pred"] == "Phosphorylation"]
     assert len(phos) == 1 and phos[0]["obj"].startswith("MEK::")
@@ -143,13 +143,13 @@ def test_np_anaphor_label_compatibility(spark):
     docs = _doc(spark, "np1",
                 ["GTP was added to the culture.",
                  "This protein is phosphorylated."])
-    res = extract_dataframe(spark, docs, with_coref=True, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=True)
     occ = res["triple_occurrences"].collect()
     assert not [t for t in occ if t["pred"] == "Phosphorylation"], occ
     docs2 = _doc(spark, "np2",
                  ["ASPP2 was added to the culture.",
                   "This protein is phosphorylated."])
-    res2 = extract_dataframe(spark, docs2, with_coref=True, persist=False)
+    res2 = extract_dataframe(spark, docs2, with_coref=True)
     occ2 = res2["triple_occurrences"].collect()
     phos = [t for t in occ2 if t["pred"] == "Phosphorylation"]
     assert len(phos) == 1 and phos[0]["obj"].startswith("ASPP2::")
@@ -159,7 +159,7 @@ def test_coref_off_prunes_generics(spark):
     """with_coref=False: generic placeholders are pruned, never emitted
     as triples (the flagship configuration stays deterministic)."""
     docs = _doc(spark, "off1", ["ASPP2 binds Ras.", "It is phosphorylated."])
-    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=False)
     occ = res["triple_occurrences"].collect()
     assert not [t for t in occ if t["pred"] == "Phosphorylation"]
     assert not [t for t in occ if "Generic" in (t["subj"] or "") or

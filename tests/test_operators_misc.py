@@ -76,7 +76,7 @@ def test_context_policies(spark):
     docs = spark.createDataFrame([Row(doc_id="cp", spans=[
         Row(kind="text", text=t, media_ref="", offset=i)
         for i, t in enumerate(sents)])])
-    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=False)
     m = res["mentions"]
 
     def species_at(policy):
@@ -108,7 +108,7 @@ def test_fries_frame_linking(spark, tmp_path):
             offset=0),
         Row(kind="text", text="This was observed in human cells.",
             media_ref="", offset=1)])])
-    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=False)
     sents = split_sentences_df(docs)
     passages = {r["frame_id"] for r in passage_frames(docs).collect()}
     assert passages == {"pass-fr1-0", "pass-fr1-1"}
@@ -142,7 +142,7 @@ def test_dsv_and_plaintext_sources(spark, tmp_path):
                    "d2\tASPP1 is an inhibitor of ASPP2\n")
     docs = read_dsv(spark, str(tsv))
     assert docs.columns == ["doc_id", "spans"]
-    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=False)
     preds = {r["pred"] for r in res["triples"].collect()}
     assert "Positive_regulation->Phosphorylation" in preds
     assert "Negative_activation" in preds
@@ -165,7 +165,7 @@ def test_index_card_sink(spark):
     docs = spark.createDataFrame([Row(doc_id="c1", spans=[
         Row(kind="text", text="MEK phosphorylates Ras.", media_ref="",
             offset=0)])])
-    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=False)
     cards = index_cards(res["triple_occurrences"]).collect()
     itypes = {c["extracted_information"]["interaction_type"] for c in cards}
     assert "adds_modification" in itypes  # Positive_regulation->PTM card
@@ -362,7 +362,7 @@ def test_triple_eer_dedup(spark):
         Row(doc_id="d2", spans=[
             Row(kind="text", text=sent, media_ref="", offset=0)]),
     ])
-    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=False)
     trip = res["triples"].collect()
     regs = [t for t in trip
             if t["pred"] == "Positive_regulation->Phosphorylation"]

@@ -173,7 +173,7 @@ def test_uniprot_overrides(spark):
     docs = spark.createDataFrame(
         [Row(doc_id="ovr", spans=[Row(kind="text", text=sent,
                                       media_ref="", offset=0)])])
-    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=False)
     ents = res["entities"].select("text", "g_ns", "g_id").collect()
     got = {r["text"]: (r["g_ns"], r["g_id"]) for r in ents}
     expected = {
@@ -194,7 +194,7 @@ def test_namespace_routing_by_label(spark):
             "and GTP in HeLa cells.")
     docs = spark.createDataFrame([Row(doc_id="ns1", spans=[
         Row(kind="text", text=sent, media_ref="", offset=0)])])
-    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=False)
     ns_by_text = {r["text"]: r["g_ns"] for r in res["entities"].collect()}
     assert ns_by_text["MEK"] == "uniprot"
     assert ns_by_text["Ras family"] == "pfam"
@@ -213,7 +213,7 @@ def test_key_transform_breadth(spark):
     docs = spark.createDataFrame([Row(doc_id="kt1", spans=[
         Row(kind="text", text="FLAG-Akt1 binds hASPP2.", media_ref="",
             offset=0)])])
-    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=False)
     got = {r["text"]: (r["g_ns"], r["g_id"])
            for r in res["entities"].collect()}
     assert got["FLAG-Akt1"] == ("uniprot", "P31749")
@@ -268,7 +268,7 @@ def test_alias_instance_propagation(spark):
             text="Akt1 (a.k.a. Akt334, AktTR, or Akt4H) is phosphorylated. "
                  "AktTR is ubiquitinated.",
             media_ref="", offset=0)])])
-    res = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    res = extract_dataframe(spark, docs, with_coref=False)
     ms = res["mentions"].collect()
     akttr = [m for m in ms if m["text"] == "AktTR" and m["kind"] == "tbm"]
     akt1 = [m for m in ms if m["text"] == "Akt1"]
@@ -290,7 +290,7 @@ def test_corpus_alias_propagation(spark):
             Row(kind="text", text="23peM (ASPP1) is a common protein.",
                 media_ref="", offset=0)]),
     ])
-    res = extract_dataframe(spark, docs, with_coref=False, persist=False,
+    res = extract_dataframe(spark, docs, with_coref=False,
                             corpus_aliases=True)
     ms = res["mentions"].collect()
     nonces = [m for m in ms if m["text"] == "23peM"]
