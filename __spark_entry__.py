@@ -113,6 +113,27 @@ def kg_canonical_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "names").alias("names"))
 
 
+def t5_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[T5] Assembly precedence sieves over the interleaved corpus: the
+    Reichenbach tense/aspect decision surface (one row per TAM pair shape
+    with the table's relation and the pair count — non-empty on any corpus
+    with events; the fixture corpus's tense distribution yields no
+    positive before/after, which the reference table also decides as
+    'none'). Rows-only driver check: the sieve inputs are the cascade's
+    event mentions (not SQL-derivable), and unlike the flagship's
+    per-fixture triples the pair relation depends on the CROSS-PRODUCT of
+    fixture assignments (710^2 combinations), so no precomputed DuckDB
+    oracle is feasible; semantic correctness (both sieves, the exact
+    relation table, constraint set, sieve composition) is gated by
+    tests/test_assembly_ops.py."""
+    from reach_spark.assembly_ops import reichenbach_decisions
+    from reach_spark.pipeline import extract_dataframe
+    docs = _interleaved_documents(spark, sf_dir)
+    res = extract_dataframe(spark, docs, with_coref=False)
+    return reichenbach_decisions(res["resolved_mentions"],
+                                 res["sentences"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return kg_triples_flagship(spark, "/root/testdata/sf0.001")
@@ -129,6 +150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             out[name] = fn
     out["kg_triples_flagship"] = kg_triples_flagship
     out["kg_canonical_entities"] = kg_canonical_entities
+    out["t5_precedence"] = t5_precedence
     return out
 
 

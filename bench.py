@@ -144,6 +144,7 @@ def main():
         extract_dataframe(spark, docs.limit(2000), with_coref=False,
                           persist=False)["triples"].count()
         walls = []
+        steals = []
         n_triples = 0
         for _ in range(repeats):
             # production configuration: intermediates persisted (run_batch
@@ -151,15 +152,23 @@ def main():
             spark.catalog.clearCache()
             docs = docs.persist()
             docs.count()
+            a0, s0 = _read_steal()
             t0 = time.time()
             res = extract_dataframe(spark, docs, with_coref=False,
                                     persist=True)
             n_triples = res["triples"].count()
             walls.append(round(time.time() - t0, 2))
+            a1, s1 = _read_steal()
+            steals.append(round(100 * (s1 - s0) / max(a1 - a0, 1e-9), 1))
+            res.cleanup()
         best = min(walls)
         print(json.dumps({"cores": cores, "walls": walls,
                           "wall_s": best,
                           "docs_per_sec": round(n_docs / best, 2),
+                          # steal measured per repeat: a level whose window
+                          # was hypervisor-stolen is identifiable, not a
+                          # silent scaling artifact
+                          "steal_pct": steals,
                           "n_triples": n_triples}))
         return
 

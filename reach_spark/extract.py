@@ -1647,11 +1647,26 @@ class SentenceExtractor:
         # aux chain left → passive; or reduced relative with "by" following
         j = i - 1
         has_aux = False
+        have_aux = False
         hops = 0
         while j >= 0 and hops < 4:
-            if self.tags[j] == "AUX" or self.lows[j] in (
-                    "be", "been", "being", "become", "becomes", "became"):
+            if self.lows[j] in ("is", "was", "are", "were", "be", "been",
+                                "being", "am", "become", "becomes",
+                                "became", "get", "gets", "got", "isn't",
+                                "wasn't", "aren't", "weren't"):
+                # be-form (incl. negated contractions): the passive marker
                 has_aux = True
+                j -= 1
+                hops += 1
+                continue
+            if self.tags[j] == "AUX":
+                # have/do/modal auxiliaries are TRANSPARENT, not passive
+                # markers: 'A had phosphorylated B' is ACTIVE past-perfect
+                # (theme=B), while 'A had been phosphorylated' still finds
+                # the 'been' deeper in the chain
+                if self.lows[j] in ("has", "have", "had", "hasn't",
+                                    "haven't", "hadn't"):
+                    have_aux = True
                 j -= 1
                 hops += 1
                 continue
@@ -1684,6 +1699,11 @@ class SentenceExtractor:
             k += 1
         sites = self.sites_near(i, min(self.n, i + 8))
         site = sites[0] if sites else None
+        if have_aux and not has_aux and by_ent is None:
+            # pure perfect chain ('A has/had phosphorylated B'): ACTIVE
+            # voice — subject is the cause, object the theme
+            self._active_verbal(label, trig, is_auto)
+            return
         if has_aux or by_ent is not None:
             # pronoun subject: "it is often ubiquitinated" → resolve to
             # the sentence subject; an unresolvable pronoun suppresses

@@ -153,7 +153,16 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
         # not execute unless the caller actually consumes this table (the
         # triples-only flagship path would otherwise pay the whole CC loop)
         "canonical_entities": lambda: canonical_entities(grounded, links),
+        # [T5] assembly precedence sieves (deterministic members):
+        # lazy — pair generation is doc-scoped quadratic and only
+        # precedence consumers should pay it
+        "precedence": lambda: _precedence(resolved, sentences, occurrences),
     })
+
+
+def _precedence(resolved, sentences, occurrences):
+    from .assembly_ops import precedence_eers
+    return precedence_eers(resolved, sentences, occurrences)
 
 
 class LazyResults(dict):

@@ -44,6 +44,7 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(n, 8)))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
     for k, v in (extra_conf or {}).items():
