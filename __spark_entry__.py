@@ -119,13 +119,11 @@ def t5_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the table's relation and the pair count — non-empty on any corpus
     with events; the fixture corpus's tense distribution yields no
     positive before/after, which the reference table also decides as
-    'none'). Rows-only driver check: the sieve inputs are the cascade's
-    event mentions (not SQL-derivable), and unlike the flagship's
-    per-fixture triples the pair relation depends on the CROSS-PRODUCT of
-    fixture assignments (710^2 combinations), so no precomputed DuckDB
-    oracle is feasible; semantic correctness (both sieves, the exact
-    relation table, constraint set, sieve composition) is gated by
-    tests/test_assembly_ops.py."""
+    'none'). Full DuckDB oracle (_t5_oracle): although the pair relation
+    spans fixture COMBINATIONS, it composes from per-fixture event TAM
+    lists + per-fixture allowed-pair lists (validity exclusions are
+    sentence-local), both precomputed by tools/gen_kg_oracle.py; sieve
+    semantics are additionally gated by tests/test_assembly_ops.py."""
     from reach_spark.assembly_ops import reichenbach_decisions
     from reach_spark.pipeline import extract_dataframe
     docs = _interleaved_documents(spark, sf_dir)
@@ -232,6 +230,48 @@ FROM best b LEFT JOIN nm n USING (component)
 """
 
 
+def _t5_oracle() -> str:
+    """t5_precedence oracle: the corpus event-pair population is a pure
+    composition of per-fixture data (precomputed by tools/gen_kg_oracle.py
+    running the real sieve inputs once per fixture) — each doc contributes
+    (a) every ordered cross-span pair from its two fixtures' event TAM
+    lists (span0 textually precedes span2; validity exclusions are
+    sentence-local so no cross-span pair is ever excluded) and (b) each
+    fixture's own allowed ordered pairs. The Reichenbach table is inlined
+    as a CASE."""
+    from reach_spark import _kg_expected as E
+    from reach_spark.assembly_ops import _REICHENBACH
+    n = E.N_FIXTURES
+    ev = ",\n".join(f"({f}, {_sql_lit(t)}, {_sql_lit(a)})"
+                    for f, t, a in E.EVENTS)
+    wp = ",\n".join(
+        f"({f}, {_sql_lit(t1)}, {_sql_lit(a1)}, {_sql_lit(t2)}, "
+        f"{_sql_lit(a2)})" for f, t1, a1, t2, a2 in E.PAIR_TAMS)
+    cases = "\n    ".join(
+        f"WHEN t1={_sql_lit(k[0])} AND a1={_sql_lit(k[1])} AND "
+        f"t2={_sql_lit(k[2])} AND a2={_sql_lit(k[3])} THEN {_sql_lit(v)}"
+        for k, v in _REICHENBACH.items())
+    return f"""
+WITH ev(fidx, tense, aspect) AS (VALUES
+{ev}
+), wp(fidx, t1, a1, t2, a2) AS (VALUES
+{wp}
+), d(f1, f2) AS (
+  SELECT (doc_id % {n}), ((doc_id * 7 + 3) % {n}) FROM documents
+), allp(t1, a1, t2, a2) AS (
+  SELECT e1.tense, e1.aspect, e2.tense, e2.aspect
+  FROM d JOIN ev e1 ON e1.fidx = d.f1 JOIN ev e2 ON e2.fidx = d.f2
+  UNION ALL SELECT w.t1, w.a1, w.t2, w.a2 FROM d JOIN wp w ON w.fidx = d.f1
+  UNION ALL SELECT w.t1, w.a1, w.t2, w.a2 FROM d JOIN wp w ON w.fidx = d.f2
+)
+SELECT t1 AS tense1, a1 AS aspect1, t2 AS tense2, a2 AS aspect2,
+       CASE {cases} ELSE 'none' END AS relation,
+       count(*) AS pairs
+FROM allp
+GROUP BY 1, 2, 3, 4, 5
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for reg in _REGISTRIES:
@@ -242,4 +282,5 @@ def oracle_sql() -> dict[str, str]:
     # on the deterministic fixture corpus is — see _flagship_oracle
     out["kg_triples_flagship"] = _flagship_oracle()
     out["kg_canonical_entities"] = _canonical_oracle()
+    out["t5_precedence"] = _t5_oracle()
     return out

@@ -121,6 +121,29 @@ def main() -> None:
     edges = sorted({(int(r["doc_id"]), r["src"], r["dst"])
                     for r in e1.unionByName(rel).collect()})
 
+    # ---- per-fixture event TAMs + allowed within-fixture pairs ---------
+    # backs the t5_precedence (Reichenbach decision surface) oracle: the
+    # corpus's event-pair population = per-doc (cross-span pairs from the
+    # two fixtures' event TAM lists) + (each fixture's own allowed ordered
+    # pairs). Validity constraints (arg-of / reg-controlled exclusions)
+    # are sentence-local, so the per-fixture pair list is corpus-exact;
+    # TAM is a pure function of the sentence token array, so it is
+    # span-offset-independent.
+    from reach_spark.assembly_ops import _event_pairs, event_tams
+    tams = event_tams(res["resolved_mentions"], res["sentences"])
+    ev_rows = sorted(
+        ((int(r["doc_id"]), r["tense"], r["aspect"],
+          int(r["sent_idx"]), int(r["trigger_start"]))
+         for r in tams.select("doc_id", "tense", "aspect", "sent_idx",
+                              "trigger_start").collect()))
+    events = [(f, t, a) for f, t, a, _, _ in ev_rows]
+    pair_rows = (_event_pairs(tams)
+                 .select(F.col("doc_id").cast("int").alias("fidx"),
+                         "tense1", "aspect1", "tense2", "aspect2")
+                 .collect())
+    pair_tams = sorted((r["fidx"], r["tense1"], r["aspect1"],
+                        r["tense2"], r["aspect2"]) for r in pair_rows)
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "reach_spark", "_kg_expected.py")
     with open(out, "w") as f:
@@ -138,9 +161,18 @@ def main() -> None:
         f.write("]\n\n# (fidx, src, dst)\nEDGES = [\n")
         for e in edges:
             f.write(f"    {e!r},\n")
+        f.write("]\n\n# (fidx, tense, aspect) — one row per event mention\n"
+                "EVENTS = [\n")
+        for e in events:
+            f.write(f"    {e!r},\n")
+        f.write("]\n\n# (fidx, tense1, aspect1, tense2, aspect2) — allowed"
+                " ordered within-fixture pairs\nPAIR_TAMS = [\n")
+        for p in pair_tams:
+            f.write(f"    {p!r},\n")
         f.write("]\n")
     print(f"wrote {out}: {len(triples)} triple rows, {len(edges)} edge "
-          f"rows, N={n}, sha={fixture_corpus_sha()}")
+          f"rows, {len(events)} event rows, {len(pair_tams)} pair rows, "
+          f"N={n}, sha={fixture_corpus_sha()}")
     spark.stop()
 
 
