@@ -147,19 +147,21 @@ def _tam_cols(trigger_start: F.Column, trigger_text: F.Column,
 
 
 def event_tams(mentions: DataFrame, sentences: DataFrame) -> DataFrame:
-    """Event rows -> (doc_id, sent_idx, mention_id, trigger_start, args,
-    label, tense, aspect). One equi-join against the sentences table on the
-    natural (doc_id, sent_idx) key for the token arrays."""
+    """Event rows -> (doc_id, sent_idx, mention_id, trigger_start,
+    start, end, args, label, tense, aspect). One equi-join against the
+    sentences table on the natural (doc_id, sent_idx) key for the token
+    arrays."""
     events = (mentions.where(F.col("kind") == "event")
               .where(F.col("label") != "Generic_event")
               .select("doc_id", "sent_idx", "mention_id", "label",
-                      "trigger_start", "trigger_text", "args"))
+                      "trigger_start", "trigger_text", "start", "end",
+                      "args"))
     toks = sentences.select("doc_id", "sent_idx", "words")
     j = events.join(toks, ["doc_id", "sent_idx"], "left")
     tense, aspect = _tam_cols(F.col("trigger_start"),
                               F.col("trigger_text"), F.col("words"))
     return j.select("doc_id", "sent_idx", "mention_id", "label",
-                    "trigger_start", "args",
+                    "trigger_start", "start", "end", "args",
                     tense.alias("tense"), aspect.alias("aspect"))
 
 
@@ -173,12 +175,14 @@ def _event_pairs(tams: DataFrame) -> DataFrame:
         F.col("doc_id"),
         F.col("mention_id").alias("id1"), F.col("label").alias("label1"),
         F.col("sent_idx").alias("s1"), F.col("trigger_start").alias("t1"),
+        F.col("start").alias("start1"), F.col("end").alias("end1"),
         F.col("tense").alias("tense1"), F.col("aspect").alias("aspect1"),
         F.col("args").alias("args1"))
     e2 = tams.select(
         F.col("doc_id"),
         F.col("mention_id").alias("id2"), F.col("label").alias("label2"),
         F.col("sent_idx").alias("s2"), F.col("trigger_start").alias("t2"),
+        F.col("start").alias("start2"), F.col("end").alias("end2"),
         F.col("tense").alias("tense2"), F.col("aspect").alias("aspect2"),
         F.col("args").alias("args2"))
     pairs = (e1.join(e2, "doc_id")
@@ -213,7 +217,50 @@ def precedence_relations(mentions: DataFrame,
     # pair anti-join); one materialization instead of three self-joins
     pairs = _event_pairs(tams).localCheckpoint(eager=False)
 
-    # --- sieve 1: intersentential discourse markers ----------------------
+    # --- sieve 1: intrasentential discourse markers -----------------------
+    # Surface members of intrasentential.yml, re-expressed over the token
+    # gap between the two (disjoint) event spans — matched as a lowered
+    # space-joined string so adjacency patterns stay regexes:
+    #   resulting-in   '@before "," resulting in []*? @after'   -> before
+    #   leading-to     '@before(ComplexEvent) []*? leading to
+    #                   [DT]? subsequent? []{0,3} @after'        -> before
+    #   semicolon      '@before []{,3} ";" []{,3} @after'        -> before
+    #   prep-before    '@before (before|prior to) [DT/CD/JJ]* @after'
+    #   prep-after     '@after (after|following) [DT/CD/JJ]* @before'
+    #   as-a-result-of '@after as a result of @before'           (flip)
+    # (the which-it/where-it/when-it members need pronoun coref and stay
+    # with the dep-syntax variants as the documented divergence)
+    own_words = sentences.select(
+        F.col("doc_id"), F.col("sent_idx").alias("s1"),
+        F.col("words").alias("w1"))
+    gap = F.lower(F.concat_ws(" ", F.slice(
+        F.col("w1"), F.col("end1") + 1,
+        F.greatest(F.col("start2") - F.col("end1"), F.lit(0)))))
+    _dt = "(the|a|an|this|that|these|those|its|their|subsequent|[0-9]+)"
+    rel_intra = (
+        F.when(gap.rlike(r"^, (\S+ )*?resulting in( |$)"), "before")
+        .when(F.col("label1").rlike("regulation|activation") &
+              gap.rlike(r"(^|.* )leading to( \S+){0,5}$"), "before")
+        .when(gap.rlike(r"^(\S+ ){0,3}; ?(\S+ ){0,3}\S*$") &
+              gap.rlike(r"(^| );( |$)"), "before")
+        .when(gap.rlike(r"^(before|prior to)( " + _dt + r")*$"), "before")
+        .when(gap.rlike(r"^(after|following)( " + _dt + r")*$"), "after")
+        .when(gap.rlike(r"^,? ?as a result of( " + _dt + r")?$"), "after")
+        .otherwise(F.lit(None)))
+    intra = (pairs
+             .where(F.col("s1") == F.col("s2"))
+             .where(F.col("end1") <= F.col("start2"))
+             .join(own_words, ["doc_id", "s1"], "left")
+             .withColumn("rel", rel_intra)
+             .where(F.col("rel").isNotNull())
+             .select("doc_id",
+                     F.when(F.col("rel") == "before", F.col("id1"))
+                      .otherwise(F.col("id2")).alias("before_id"),
+                     F.when(F.col("rel") == "before", F.col("id2"))
+                      .otherwise(F.col("id1")).alias("after_id"),
+                     F.lit("intrasententialMarker").alias("sieve")))
+
+    # --- sieve 2: intersentential discourse markers ----------------------
     first_lower = F.lower(F.concat_ws(
         " ",
         F.try_element_at(F.col("w2"), F.lit(1)),
@@ -259,13 +306,17 @@ def precedence_relations(mentions: DataFrame,
                       .otherwise(F.col("id1")).alias("after_id"),
                      F.lit("reichenbachPrecedence").alias("sieve")))
 
-    # noExistingPrecedence: the marker sieve wins on the unordered pair
-    # key; reichenbach only fills pairs no earlier sieve decided
+    # noExistingPrecedence: earlier sieves win on the unordered pair key
+    # (reference order: intrasentential -> intersentential -> reichenbach);
+    # each later sieve only fills pairs no earlier sieve decided
     pair_key = F.array_sort(F.array("before_id", "after_id"))
-    claimed = marker.select("doc_id", pair_key.alias("pk")).distinct()
-    reich = (reich.withColumn("pk", pair_key)
-             .join(claimed, ["doc_id", "pk"], "left_anti").drop("pk"))
-    return marker.unionByName(reich).distinct()
+    out = intra.localCheckpoint(eager=False)
+    for later in (marker, reich):
+        claimed = out.select("doc_id", pair_key.alias("pk")).distinct()
+        later = (later.withColumn("pk", pair_key)
+                 .join(claimed, ["doc_id", "pk"], "left_anti").drop("pk"))
+        out = out.unionByName(later).localCheckpoint(eager=False)
+    return out.distinct()
 
 
 def reichenbach_decisions(mentions: DataFrame,
@@ -297,7 +348,6 @@ def precedence_eers(mentions: DataFrame, sentences: DataFrame,
     classes, deduplicated. Two broadcast-friendly joins on (doc_id,
     event_id) — the occurrence log is already keyed that way."""
     rels = precedence_relations(mentions, sentences)
-    rels = rels.localCheckpoint(eager=False)
     occ = occurrences.select(
         "doc_id", F.col("event_id"),
         "subj", "pred", "obj", "negated").distinct()

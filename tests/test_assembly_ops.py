@@ -101,6 +101,51 @@ def test_regulation_not_paired_with_its_controlled(spark):
     assert not res["precedence"].collect()
 
 
+@pytest.mark.parametrize("sentence,before,after", [
+    # intrasentence-surface-prep-before (intrasentential.yml:118-124)
+    ("MEK is ubiquitinated before the phosphorylation of ASPP2.",
+     "Ubiquitination", "Phosphorylation"),
+    # intrasentence-surface-prep-after
+    ("MEK is ubiquitinated following the phosphorylation of ASPP2.",
+     "Phosphorylation", "Ubiquitination"),
+    # intrasentence-surface-as-a-result-of
+    ("ASPP2 is phosphorylated as a result of the ubiquitination of MEK.",
+     "Ubiquitination", "Phosphorylation"),
+    # intrasentence-surface-resulting-in
+    ("MEK is degraded , resulting in the ubiquitination of Ras .",
+     "DecreaseAmount", "Ubiquitination"),
+])
+def test_intrasentential_markers(spark, sentence, before, after):
+    docs = _doc(spark, f"t5i{abs(hash(sentence)) % 1000}", [sentence])
+    res = extract_dataframe(spark, docs, with_coref=False)
+    rows = res["precedence"].collect()
+    assert any(r["sieve"] == "intrasententialMarker" and
+               r["before_pred"].endswith(before) and
+               r["after_pred"].endswith(after) for r in rows), rows
+
+
+def test_intrasentential_semicolon(spark):
+    """intrasentence-surface-semicolon: events within 3 tokens on each
+    side of ';' order left-before-right."""
+    docs = _doc(spark, "t5sc",
+                ["MEK phosphorylates ASPP2 ; ASPP2 ubiquitinates Ras ."])
+    res = extract_dataframe(spark, docs, with_coref=False)
+    rows = res["precedence"].collect()
+    assert any(r["sieve"] == "intrasententialMarker" and
+               r["before_pred"].endswith("Phosphorylation") and
+               r["after_pred"].endswith("Ubiquitination") for r in rows), rows
+
+
+def test_no_intrasentential_without_marker(spark):
+    """Plain coordination carries no precedence marker -> the intra sieve
+    stays silent."""
+    docs = _doc(spark, "t5nm",
+                ["MEK phosphorylates ASPP2 and ubiquitinates Ras."])
+    res = extract_dataframe(spark, docs, with_coref=False)
+    assert not [r for r in res["precedence"].collect()
+                if r["sieve"] == "intrasententialMarker"]
+
+
 @pytest.mark.parametrize("sentence,theme,controller", [
     ("MEK had phosphorylated ASPP2.", "ASPP2", "MEK"),
     ("ASPP2 has ubiquitinated Ras.", "Ras", "ASPP2"),
