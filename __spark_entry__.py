@@ -24,7 +24,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, Row, SparkSession, functions as F
 
-from reach_spark import kg_queries, multimodal, relational, similarity, textops
+from reach_spark import (kg_queries, multimodal, relational, search,
+                         similarity, textops)
 
 
 def _interleaved_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -138,7 +139,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 _REGISTRIES = (kg_queries.QUERIES, textops.QUERIES, similarity.QUERIES,
-               multimodal.QUERIES, relational.QUERIES)
+               multimodal.QUERIES, relational.QUERIES, search.QUERIES)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
