@@ -27,6 +27,16 @@ def _sf_from_dir(sf_dir: str) -> float:
 
 
 HEADLINE = [
+    # the two trivial scans run FIRST as session warmers: the first jobs
+    # of a fresh local-mode session pay executor/task-dispatch init and
+    # common-subexpression codegen (measured: a bare count over a 4 MB
+    # parquet costs ~6 s as job #1 and ~0.2 s thereafter). Running them
+    # first stops those session constants being billed to whichever real
+    # query happens to run first (previously the flagship — every other
+    # query already enjoyed a warm session). Suite total still includes
+    # them; per-query numbers now measure the query.
+    "lang_id",
+    "token_count",
     "kg_triples_flagship",
     "dedup_minhash_pairs",
     "dedup_jaccard_pairs",
@@ -34,12 +44,11 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
+    "s8_bm25_search",
     "q1_pricing_summary",
     "q3_topk_revenue",
     "asof_latest_order",
     "connected_components_bipartite",
-    "lang_id",
-    "token_count",
 ]
 
 
