@@ -111,6 +111,11 @@ def split_sentences(text: str) -> list[str]:
 
 def tokenize(sent: str) -> tuple[list[str], list[int], list[int]]:
     words, starts, ends = [], [], []
+    # unicode dash variants (en-dash complexes: 'p53–ASPP2 complex',
+    # TestRegulationEvents sent54d) normalize to ASCII hyphen BEFORE
+    # matching so the compound stays one token — 1:1 in length, so
+    # character offsets are unchanged
+    sent = sent.replace("–", "-").replace("‐", "-").replace("−", "-")
     for m in _TOKEN_RE.finditer(sent):
         w = m.group(0)
         s = m.start()
@@ -356,6 +361,31 @@ def _is_event_nominal(s: str) -> bool:
 
 _SITE_AA_RE = re.compile(r"^([ACDEFGHIKLMNPQRSTVWY])[-]?(\d+)$")
 _MUTANT_RE = re.compile(r"^([ACDEFGHIKLMNPQRSTVWY])(\d+)([ACDEFGHIKLMNPQRSTVWY])$")
+_AA3 = (r"(?:Ala|Arg|Asn|Asp|Cys|Gln|Glu|Gly|His|Ile|Leu|Lys|Met|Phe|"
+        r"Pro|Ser|Thr|Trp|Tyr|Val)")
+# further HGVS-ish mutant token shapes (modifications.yml mutant rules):
+#   Ser785His   three-letter substitution          → SubstitutionMutant
+#   ΔF508       delta deletion                     → DeletionMutant
+#   K29del / 29delK / M27_K29del / 27_29del        → DeletionMutant
+#   K29_M30insQSK                                  → InsertionMutant
+#   G31_Q33dup                                     → DuplicationMutant
+#   Arg83fs / R83fs                                → FrameshiftMutant
+_MUTANT_SHAPES: list[tuple[re.Pattern, str]] = [
+    (re.compile(rf"^{_AA3}\d+{_AA3}$"), "SubstitutionMutant"),
+    (re.compile(r"^Δ[A-Z][a-z]{0,2}\d+$"), "DeletionMutant"),
+    (re.compile(r"^(?:[A-Z]?\d+_)?[A-Z]?\d+del[A-Z]*$"), "DeletionMutant"),
+    (re.compile(r"^(?:[A-Z]?\d+_)?[A-Z]?\d+ins[A-Z]+$"), "InsertionMutant"),
+    (re.compile(r"^(?:[A-Z]?\d+_)?[A-Z]?\d+dup$"), "DuplicationMutant"),
+    (re.compile(rf"^(?:{_AA3}|[ACDEFGHIKLMNPQRSTVWY])?\d+fs$"),
+     "FrameshiftMutant"),
+]
+
+
+def _mutant_shape(w: str) -> str | None:
+    for pat, mtype in _MUTANT_SHAPES:
+        if pat.match(w):
+            return mtype
+    return None
 _AA3_RE = re.compile(r"^(Ala|Arg|Asn|Asp|Cys|Gln|Glu|Gly|His|Ile|Leu|Lys|"
                      r"Met|Phe|Pro|Ser|Thr|Trp|Tyr|Val)[-]?(\d+)$", re.I)
 
@@ -690,8 +720,30 @@ def attach_entity_mods(words: list[str], lows: list[str],
         if i > 0 and i + 1 < n and lows[i - 1] in _DETS_ANA and \
                 lows[i + 1].startswith("mutant"):
             continue
-        halves = [h for h in w.split("/") if _MUTANT_RE.match(h)]
-        if halves and (len(halves) > 1 or _MUTANT_RE.match(w)):
+        halves = [(h, "SubstitutionMutant") for h in w.split("/")
+                  if _MUTANT_RE.match(h)]
+        if not (halves and (len(halves) > 1 or _MUTANT_RE.match(w))):
+            halves = []
+            # split '>' substitution: '76A > T' tokenizes to three
+            # tokens (mutantTest16 '76A>T')
+            if (i + 2 < n and words[i + 1] == ">" and
+                    re.match(r"^\d+[A-Z]$", w) and
+                    re.match(r"^[A-Z]$", words[i + 2])):
+                halves = [(w + ">" + words[i + 2], "SubstitutionMutant")]
+            else:
+                mtype = _mutant_shape(w)
+                if mtype is not None:
+                    halves = [(w, mtype)]
+            # bare 'Mutation(s) of (the) ENT (gene)' → unspecified mutant
+            # (mutantTest15); skipped when a specific mutant token sits
+            # directly left ('Ser785His mutation of RAS' — the token rule
+            # already attaches it)
+            if (not halves and lows[i] in ("mutation", "mutations") and
+                    i + 1 < n and lows[i + 1] == "of" and
+                    not (i > 0 and (_MUTANT_RE.match(words[i - 1]) or
+                                    _mutant_shape(words[i - 1])))):
+                halves = [(w, "UnspecifiedMutant")]
+        if halves:
             target = None
             for e in entities:
                 if e["end"] <= i and e["label"] != "Site":
@@ -703,9 +755,8 @@ def attach_entity_mods(words: list[str], lows: list[str],
                         target = e
                         break
             if target is not None:
-                for h in halves:
-                    target["mods"].append(
-                        _mod("Mutant", "SubstitutionMutant", h))
+                for h, mtype in halves:
+                    target["mods"].append(_mod("Mutant", mtype, h))
     return consumed
 
 
@@ -800,7 +851,9 @@ def _match_trigger_cached(lw: str) -> tuple[str, str, bool] | None:
         return "Secretion", "verb", False
     if lw.startswith("degrad"):
         form = "noun" if lw.startswith("degradation") else "verb"
-        return "Degradation" if False else "DecreaseAmount", form, False
+        # taxonomy.yml maps Degradation under DecreaseAmount; export label
+        # is the parent, matching the reference's output vocabulary.
+        return "DecreaseAmount", form, False
     return None
 
 class SentenceExtractor:
@@ -1836,6 +1889,7 @@ class SentenceExtractor:
         i = trig[0]
         themes: list[Mention] = []
         cause: Mention | None = None
+        causes: list[Mention] = []
         site: Mention | None = None
         fol_sign = 1
         rule = "simple-nominal"
@@ -1968,6 +2022,12 @@ class SentenceExtractor:
             site_head = (nxt < self.n and
                          self.lows[nxt] in ("site", "sites") and
                          nxt + 1 < self.n and self.lows[nxt + 1] in ("in", "of", "on"))
+            # bare site descriptor: "a CK2 phosphorylation site." names
+            # the kinase's site, not an event on CK2 (modification-site
+            # exclusion, TestModifications modSiteExcludeTest1)
+            if (nxt < self.n and self.lows[nxt] in ("site", "sites")
+                    and not site_head):
+                return
             left = self.conj_ents_left(i)
             if site_head:
                 cause = left[-1] if left else None
@@ -1982,11 +2042,21 @@ class SentenceExtractor:
                     s = self.site_at(j)
                     if s:
                         site = s
-                # by-cause after the trigger ("ASPP2 phosphorylation by Ras")
-                if i + 1 < self.n and self.lows[i + 1] == "by":
-                    cands = self.conj_ents_right(i + 2)
+                # by-cause after the trigger ("ASPP2 phosphorylation by
+                # Ras"); one coordinated process noun is transparent and
+                # ALL conjoined agents control ("RAS deubiquitination and
+                # degradation by ASPP2 and p53" → one reg per agent,
+                # TestTemplaticSimpleDeEvents testDeubiquitinationObjNom2)
+                k = i + 1
+                if (k + 2 < self.n and self.lows[k] in ("and", "or") and
+                        (_is_event_nominal(self.lows[k + 1]) or
+                         self.lows[k + 1].endswith(
+                             ("tion", "sis", "ing")))):
+                    k += 2
+                if k < self.n and self.lows[k] == "by":
+                    cands = self.conj_ents_right(k + 1)
                     if cands:
-                        cause = cands[0]
+                        causes = cands
             elif self._pronoun_at(i - 1):
                 # possessive anaphor: "as is their phosphorylation" →
                 # one event per resolved antecedent
@@ -2026,17 +2096,29 @@ class SentenceExtractor:
         if not themes:
             return
         reg_sign = fol_sign
-        if cause is None:
+        if cause is None and not causes:
             cause, reg_sign = self._cause_response(trig[1])
+        if not causes:
+            causes = [cause]
         sites2 = self.sites_near(trig[0], min(self.n, trig[1] + 8))
         site_list = [site] if site is not None else (sites2 or [None])
+        evs = []
         for theme in themes:
             # one event per attached site ("STAT1 phosphorylation on Y123
             # and T546" → 2 events; siteSniffer A14 per-site explode)
             for s in site_list:
-                self._split_event_and_reg(
+                ev = self._split_event_and_reg(
                     _auto_label(label) if is_auto else label, trig, theme,
-                    cause, rule, site=s, reg_sign=reg_sign)
+                    causes[0], rule, site=s, reg_sign=reg_sign)
+                if ev is not None:
+                    evs.append(ev)
+        rl = ("Positive_regulation" if reg_sign > 0
+              else "Negative_regulation")
+        for c in causes[1:]:
+            # further coordinated by-agents regulate the SAME events
+            for ev in evs:
+                self.events.append(self._reg(rl, trig, c, ev,
+                                             rule + "-split"))
 
     _RESPONSE_SIGNS = {"treatment": 1, "stimulation": 1, "exposure": 1,
                        "addition": 1, "inhibition": -1, "depletion": -1,
@@ -2323,10 +2405,25 @@ class SentenceExtractor:
                             (self._pronoun_at(k) or
                              self._np_anaphor_head(k) is not None):
                         subjs = [self._mint_generic_entity(k)]
+                # possessed-domain subject: 'the RBD of PI3KC2β binds
+                # Ras' → the domain (Family) joins its protein in ONE
+                # 3-arg binding (TestBindingEvents sent17)
+                extra_sub: list[Mention] = []
+                if len(subjs) == 1 and subjs[0]["start"] >= 2 and \
+                        self.lows[subjs[0]["start"] - 1] == "of":
+                    dom = self.ent_ending_at(subjs[0]["start"] - 2)
+                    if dom is not None and dom["label"] == "Family":
+                        extra_sub = [dom]
                 j = i + 1
                 while j < self.n and (self.lows[j] in ("to", "with",
                                                        "directly", "more")
-                                      or self.lows[j].endswith("ly")):
+                                      or self.lows[j].endswith("ly")
+                                      # hyphenated premodifier that is
+                                      # not itself an entity
+                                      # ('nucleotide-free Ras')
+                                      or ("-" in self.words[j] and
+                                          self.ent_starting_at(j)
+                                          is None)):
                     j += 1
                 objs = self.conj_ents_right(j)
                 # "RB1 binds the BCL2 promoter" — a promoter-headed object
@@ -2362,7 +2459,8 @@ class SentenceExtractor:
                 for subj in subjs:
                     for o in objs:
                         self._emit_binding((i, i + 1), subj, o,
-                                           "binding-verbal")
+                                           "binding-verbal",
+                                           extra_themes=extra_sub)
             elif is_noun:
                 t1 = t2 = None
                 t2s: list[Mention] = []
@@ -2392,10 +2490,11 @@ class SentenceExtractor:
                                 fm["text"] = raw[off]
                                 self.entities.append(fm)
                                 chain.append(fm)
-                            self._emit_binding((i, i + 1), chain[0],
-                                               chain[1],
-                                               "binding-hyphen-pair",
-                                               extra_themes=chain[2:])
+                            ev = self._emit_binding(
+                                (i, i + 1), chain[0], chain[1],
+                                "binding-hyphen-pair",
+                                extra_themes=chain[2:])
+                            self._wrap_following(ev, (i, i + 1), i + 1)
                             i += 1
                             continue
                     for jn in (i - 1, i + 1):
@@ -2468,8 +2567,25 @@ class SentenceExtractor:
                         # "between Gab1 and the protein tyrosine
                         # phosphatase Shp2" (TestBindingEvents sent40)
                         k = cands[0]["end"]
+                        if k < self.n and self.words[k] == ",":
+                            # appositive after the FIRST conjunct:
+                            # "between p85, the regulatory subunit of
+                            # PI-3 kinase, and ... Gab1" (sent41) — skip
+                            # to the list-resuming ", and"
+                            j2 = k + 1
+                            while (j2 < self.n and self.words[j2] != ","
+                                   and self.lows[j2] not in (".", ";")):
+                                j2 += 1
+                            if (j2 + 1 < self.n and self.words[j2] == ","
+                                    and self.lows[j2 + 1] == "and"):
+                                k = j2 + 1
                         if k < self.n and self.lows[k] == "and":
                             nxt = self._np_entities_right(k + 1, max_hops=8)
+                            # the conjunct's head entity, not a site
+                            # modifier ("three canonical tyrosine
+                            # phosphorylation sites on Gab1" → Gab1)
+                            nxt = [e for e in nxt
+                                   if e["label"] != "Site"] or nxt
                             if nxt:
                                 cands = [cands[0], nxt[0]]
                     if self.lows[i + 1] == "between" and len(cands) >= 2:
@@ -2511,10 +2627,11 @@ class SentenceExtractor:
                                 fm["text"] = raw[off]
                                 self.entities.append(fm)
                                 chain.append(fm)
-                            self._emit_binding((i, i + 1), chain[0],
-                                               chain[1],
-                                               "binding-hyphen-pair",
-                                               extra_themes=chain[2:])
+                            ev = self._emit_binding(
+                                (i, i + 1), chain[0], chain[1],
+                                "binding-hyphen-pair",
+                                extra_themes=chain[2:])
+                            self._wrap_following(ev, (i, i + 1), i + 1)
                             i += 1
                             continue
                     left = self.conj_ents_left(i)
@@ -2593,23 +2710,24 @@ class SentenceExtractor:
 
     def _emit_binding(self, trig: tuple[int, int], t1: Mention, t2: Mention,
                       rule: str,
-                      extra_themes: list[Mention] | None = None) -> None:
+                      extra_themes: list[Mention] | None = None
+                      ) -> Mention | None:
         """Binding with the same-grounding / overlap / ubiquitin guards
         (mkBindingsFromPairs, DarpaActions.scala:250-289). extra_themes
         extends the pair to an n-ary complex ("the Mek-Ras-Akt1 complex")."""
         if t1["canonical"] == t2["canonical"]:
-            return
+            return None
         if "ubiquitin" in (t1["canonical"], t2["canonical"]):
-            return
+            return None
         if t1["label"] in R.CONTEXT_ENTITY_LABELS or \
                 t2["label"] in R.CONTEXT_ENTITY_LABELS:
-            return  # "a mouse binds GTP" → not a biochemical binding
+            return None  # "a mouse binds GTP" → not a biochemical binding
         pair_rules = ("rule-ner-hyphen-pair", "rule-ner-slash-pair")
         same_token_pair = (t1["found_by"] in pair_rules and
                            t2["found_by"] in pair_rules)
         if not same_token_pair and not (t1["end"] <= t2["start"] or
                                         t2["end"] <= t1["start"]):
-            return
+            return None
         themes = [t1, t2] + [t for t in (extra_themes or [])
                              if t["label"] not in R.CONTEXT_ENTITY_LABELS]
         args = [_arg("theme", t) for t in themes]
@@ -2619,6 +2737,22 @@ class SentenceExtractor:
                  extra="".join(t["mention_id"] for t in themes))
         self.events.append(ev)
         self.consumed_triggers.add(trig[0])
+        return ev
+
+    def _wrap_following(self, ev: Mention | None, trig: tuple[int, int],
+                        pos: int) -> None:
+        """Right-side controller wrapper over an emitted event:
+        'p53–ASPP2 complex ... following RAS activation' → the entity in
+        the following/upon/after phrase regulates the event with the
+        wrapper's sign (TestRegulationEvents sent54d)."""
+        if ev is None:
+            return
+        f, fs = self._controller_following(pos)
+        if f is not None:
+            rl = ("Positive_regulation" if fs > 0
+                  else "Negative_regulation")
+            self.events.append(self._reg(rl, trig, f, ev,
+                                         "binding-following"))
 
     # -- regulations / activations ----------------------------------------
     def _controlled_arg(self, pos: int,

@@ -427,7 +427,10 @@ _FAMILY_NAMES = ["Ras family", "MAPK family", "AKT family", "ERK family",
                  "Rho family", "14-3-3", "E3 ubiquitin ligase",
                  # "SAPK is a family" (TestModelEntities.scala:24 s7 —
                  # stress-activated protein kinases, a Bioentities family)
-                 "SAPK"]
+                 "SAPK",
+                 # Ras-binding domain (TestBindingEvents sent17: 'the RBD
+                 # of PI3KC2β binds ... Ras' — Family + 3-arg binding)
+                 "RBD"]
 _CHEMICAL_NAMES = ["GTP", "GDP", "ATP", "ADP", "AMP", "cAMP", "NADPH",
                    "ubiquitin", "polyubiquitin", "rapamycin", "Rapamycin",
                    "diacylglycerol", "Diacylglycerol",

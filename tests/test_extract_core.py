@@ -64,3 +64,26 @@ def test_max_sentence_guard():
     from reach_spark.extract import annotate_sentence
     ann = annotate_sentence("word " * 500)
     assert len(ann["words"]) <= 100
+
+
+@pytest.mark.parametrize("sentence", [
+    # TestBindingEvents sent35/sent44/sent45: no spurious bindings from
+    # cargo-binding nominals, DNA-binding function NPs, or antibody IP
+    # lists (kept out of the oracle fixture corpus: 'phosphatase-1C'
+    # grounds label-dependently, which would break the per-fixture
+    # composability that gen_kg_oracle validates)
+    "LMTK2 signals via protein phosphatase-1C (PP1C) to increase "
+    "inhibitory phosphorylation of GSK3β on serine-9 that reduces KLC2 "
+    "phosphorylation and promotes binding of the known KLC2 cargo Smad2.",
+    "We provide evidence and a model illustrating how oncogenic, "
+    "activated Ras can increase the DNA binding and transcription "
+    "function of SAF-1 / MAZ transcription factor, a transcriptional "
+    "regulator of VEGF gene expression.",
+    "The empty vector and HSP20 overexpressing HuH7 cell lysates were "
+    "immunoprecipitated (IP) with antibodies for AKT, ERK, MEK and "
+    "normal rabbit IgG",
+])
+def test_no_spurious_bindings(sentence):
+    _, mentions = extract_sentence("testdoc", 0, sentence, DICT)
+    assert not [m for m in mentions
+                if m["kind"] == "event" and m["label"] == "Binding"]
