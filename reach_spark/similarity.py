@@ -197,3 +197,86 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("label")
             .agg(F.count("*").alias("n"),
                  F.round(F.avg("self_sim"), 3).alias("self_sim")))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate detection (dedup family; completes the
+# exact / MinHash-LSH / SimHash / Jaccard / embedding-cosine spectrum in
+# textops.py). Banded sign-LSH candidate generation — _N_BANDS bands of
+# _BAND_PLANES hyperplanes each (the hyperplanes are the coordinate axes of
+# dims 1..32, deterministic) — followed by an exact-cosine confirm at
+# _NEAR_TAU. A pair is a candidate iff ALL plane signs agree in AT LEAST ONE
+# band (the classic OR-of-ANDs LSH amplification, same construction as the
+# MinHash banding in textops.minhash_lsh_pairs). The self-join is a pure
+# equi-join on (band, key): candidates are bounded by band-bucket collisions
+# (near-linear on clustered real-world embeddings; the synthetic random
+# table is the documented worst case), never an all-pairs cartesian — the
+# plan is guarded in tests/test_plans.py. The DuckDB oracle mirrors the
+# banding exactly, so recall-vs-brute-force is a property of the operator
+# definition, not an engine divergence.
+_N_BANDS = 8
+_BAND_PLANES = 4
+_NEAR_TAU = 0.4
+
+_BAND_KEYS_DUCK = ", ".join(
+    "STRUCT_PACK(band := {b}, key := {k})".format(
+        b=b, k=" || ".join(
+            f"(CASE WHEN embedding[{b * _BAND_PLANES + i + 1}] >= 0 "
+            f"THEN '1' ELSE '0' END)" for i in range(_BAND_PLANES)))
+    for b in range(_N_BANDS))
+
+_BAND_KEYS_SPARK = "array(" + ", ".join(
+    "struct({b} as band, concat({k}) as key)".format(
+        b=b, k=", ".join(
+            f"(CASE WHEN element_at(embedding, {b * _BAND_PLANES + i + 1}) "
+            f">= cast(0 as float) THEN '1' ELSE '0' END)"
+            for i in range(_BAND_PLANES)))
+    for b in range(_N_BANDS)) + ")"
+
+_COS_AB = """
+round(
+  aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (a, v) -> a + v)
+  / (sqrt(aggregate(va, 0d, (a, v) -> a + v * v))
+     * sqrt(aggregate(vb, 0d, (a, v) -> a + v * v))), 6)
+"""
+
+
+@_register("dedup_embed_cosine", f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, [{_BAND_KEYS_DUCK}] AS bands
+  FROM embeddings
+), x AS (
+  SELECT vec_id, v, u.band AS band, u.key AS key
+  FROM e, UNNEST(bands) AS t(u)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM x a JOIN x b ON a.band = b.band AND a.key = b.key
+                   AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+  FROM cand c
+  JOIN e ea ON ea.vec_id = c.id_a
+  JOIN e eb ON eb.vec_id = c.id_b)
+SELECT id_a, id_b, sim FROM scored WHERE sim >= {_NEAR_TAU}
+""")
+def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v"),
+                   F.explode(F.expr(_BAND_KEYS_SPARK)).alias("bk"))
+           .select("vec_id", "v",
+                   F.col("bk.band").alias("band"),
+                   F.col("bk.key").alias("key")))
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va"),
+                   "band", "key")
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"),
+                   "band", "key")
+    cand = (a.join(b, ["band", "key"])
+            .where(F.col("id_a") < F.col("id_b"))
+            # vectors are functionally dependent on ids, so dedup on the
+            # pair key alone (a pair colliding in several bands scores once)
+            .dropDuplicates(["id_a", "id_b"]))
+    return (cand.withColumn("sim", F.expr(_COS_AB))
+            .where(F.col("sim") >= _NEAR_TAU)
+            .select("id_a", "id_b", "sim"))

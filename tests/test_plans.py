@@ -88,6 +88,16 @@ def test_asof_no_expanding_join(spark):
     assert "Window" in plan
 
 
+def test_embed_cosine_dedup_banded_equijoin(spark):
+    """Embedding near-dup candidates come from the banded sign-LSH
+    equi-join on (band, key) — a SortMergeJoin/ShuffledHashJoin on the
+    band key, never an all-pairs product over the embeddings table."""
+    from reach_spark.similarity import dedup_embed_cosine
+    plan = _plan(dedup_embed_cosine(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_multiprobe_no_cartesian(spark):
     """Multi-probe ANN joins probe buckets against neighbor buckets — a
     hash join on the bucket key, never an all-pairs product."""
