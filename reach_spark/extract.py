@@ -361,33 +361,208 @@ def _is_event_nominal(s: str) -> bool:
 
 _SITE_AA_RE = re.compile(r"^([ACDEFGHIKLMNPQRSTVWY])[-]?(\d+)$")
 _MUTANT_RE = re.compile(r"^([ACDEFGHIKLMNPQRSTVWY])(\d+)([ACDEFGHIKLMNPQRSTVWY])$")
-_AA3 = (r"(?:Ala|Arg|Asn|Asp|Cys|Gln|Glu|Gly|His|Ile|Leu|Lys|Met|Phe|"
-        r"Pro|Ser|Thr|Trp|Tyr|Val)")
-# further HGVS-ish mutant token shapes (modifications.yml mutant rules):
-#   Ser785His   three-letter substitution          → SubstitutionMutant
-#   ΔF508       delta deletion                     → DeletionMutant
-#   K29del / 29delK / M27_K29del / 27_29del        → DeletionMutant
-#   K29_M30insQSK                                  → InsertionMutant
-#   G31_Q33dup                                     → DuplicationMutant
-#   Arg83fs / R83fs                                → FrameshiftMutant
-_MUTANT_SHAPES: list[tuple[re.Pattern, str]] = [
-    (re.compile(rf"^{_AA3}\d+{_AA3}$"), "SubstitutionMutant"),
-    (re.compile(r"^Δ[A-Z][a-z]{0,2}\d+$"), "DeletionMutant"),
-    (re.compile(r"^(?:[A-Z]?\d+_)?[A-Z]?\d+del[A-Z]*$"), "DeletionMutant"),
-    (re.compile(r"^(?:[A-Z]?\d+_)?[A-Z]?\d+ins[A-Z]+$"), "InsertionMutant"),
-    (re.compile(r"^(?:[A-Z]?\d+_)?[A-Z]?\d+dup$"), "DuplicationMutant"),
-    (re.compile(rf"^(?:{_AA3}|[ACDEFGHIKLMNPQRSTVWY])?\d+fs$"),
-     "FrameshiftMutant"),
-]
+# HGVS-ish mutant token shapes (reference mutants.yml / modifications.yml
+# mutant rules): Ser785His, ΔF508, K29del, K29_M30insQSK, G31_Q33dup,
+# Arg83fs, … The shape vocabulary is DATA in rules/mutant_tokens.yml
+# (odin rule format, `mutantType` meta); compiled here to a flat
+# (regex, type) list so the per-token probe stays a plain C-level match.
+_MUTANT_SHAPES: list[tuple[re.Pattern, str]] | None = None
+
+
+def _mutant_shapes() -> list[tuple[re.Pattern, str]]:
+    global _MUTANT_SHAPES
+    if _MUTANT_SHAPES is None:
+        from .odin import load_rules
+        shapes = []
+        for rule in load_rules(package_file="mutant_tokens.yml").rules:
+            # each rule is one positive word-regex constraint by contract
+            (kind, pred), = rule._first
+            assert kind == "pred" and pred.field == "word" \
+                and not pred.negated, rule.name
+            shapes.append((pred.matcher, str(rule.meta["mutantType"])))
+        _MUTANT_SHAPES = shapes
+    return _MUTANT_SHAPES
 
 
 def _mutant_shape(w: str) -> str | None:
-    for pat, mtype in _MUTANT_SHAPES:
-        if pat.match(w):
+    for pat, mtype in _mutant_shapes():
+        if pat.search(w):
             return mtype
     return None
 _AA3_RE = re.compile(r"^(Ala|Arg|Asn|Asp|Cys|Gln|Glu|Gly|His|Ile|Leu|Lys|"
                      r"Met|Phe|Pro|Ser|Thr|Trp|Tyr|Val)[-]?(\d+)$", re.I)
+
+
+# ---------------------------------------------------------------------------
+# [O1] Site token rules: patterns live in rules/entity_tokens.yml and are
+# compiled by odin.py (the TokenPattern/ThompsonVM analog); the functions
+# below are the rules' `action:` bindings — enumeration unpacking and
+# canonical-form computation, the counterpart of the reference's
+# mkBioMention / unpackRelations actions (DarpaActions.scala). Each action
+# receives the match span and returns (mentions, end-of-consumed-span),
+# or None to VETO so the next rule tries the same start position.
+# ---------------------------------------------------------------------------
+
+def _act_site_residue_list(doc_id, sent_idx, words, lows, existing, found,
+                           s, e):
+    """'Lys residues 104 and 147' → one Site per residue number; 'multiple
+    lysine residues ( K164 , 370 , ... )' → the head phrase is itself a
+    Site AND each paren element is one, bare numbers inheriting the head's
+    amino-acid prefix (TestRegulationEvents sent35 enumeration)."""
+    n = len(words)
+    lw = lows[s]
+    aa = R.AA_SHORT.get(lw) or R.AMINO_ACIDS[lw]
+    k = s + 2
+    ms = []
+    hit = in_paren = False
+    while k < n:
+        if words[k] == "(" and not in_paren and not hit:
+            in_paren = True
+            k += 1
+        elif words[k].isdigit():
+            m = _mk(doc_id, sent_idx, "tbm", "Site", k, k + 1, words,
+                    "site-residue-list")
+            m["canonical"] = f"{aa}{words[k]}"
+            ms.append(m)
+            hit = True
+            k += 1
+        elif in_paren and _SITE_AA_RE.match(words[k]):
+            sm = _SITE_AA_RE.match(words[k])
+            m = _mk(doc_id, sent_idx, "tbm", "Site", k, k + 1, words,
+                    "site-residue-list")
+            m["canonical"] = f"{sm.group(1)}{sm.group(2)}"
+            ms.append(m)
+            hit = True
+            k += 1
+        elif lows[k] in (",", "and", "or"):
+            k += 1
+        elif in_paren and words[k] == ")":
+            k += 1
+            break
+        else:
+            break
+    if not hit:
+        return None
+    if in_paren:
+        # the generic head phrase ("lysine residues") is a Site too —
+        # the underspecified acetylation site
+        m = _mk(doc_id, sent_idx, "tbm", "Site", s, s + 2, words,
+                "site-residue-head")
+        m["canonical"] = f"{aa}residues"
+        ms.append(m)
+    return ms, k
+
+
+def _act_site_aa_num(doc_id, sent_idx, words, lows, existing, found, s, e):
+    """'serine 125' / 'Ser 253'; a trailing bare-number enumeration
+    inherits the amino-acid prefix: 'serine 125, 126, and 127' → three
+    Sites (TestTemplaticSimpleEvents.scala:348)."""
+    n = len(words)
+    lw = lows[s]
+    aa = R.AMINO_ACIDS.get(lw) or R.AA_SHORT[lw]
+    m = _mk(doc_id, sent_idx, "tbm", "Site", s, s + 2, words, "site-aa-num")
+    m["canonical"] = f"{aa}{words[s+1]}"
+    ms = [m]
+    i = s + 2
+    while i < n:
+        if lows[i] in (",", "and", "or"):
+            i += 1
+        elif words[i].isdigit():
+            m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 1, words,
+                    "site-aa-num-list")
+            m["canonical"] = f"{aa}{words[i]}"
+            ms.append(m)
+            i += 1
+        else:
+            break
+    return ms, i
+
+
+def _act_site_aa_bare(doc_id, sent_idx, words, lows, existing, found, s, e):
+    m = _mk(doc_id, sent_idx, "tbm", "Site", s, s + 1, words, "site-aa-bare")
+    m["canonical"] = R.AMINO_ACIDS[lows[s]]
+    return [m], e
+
+
+def _act_site_code(doc_id, sent_idx, words, lows, existing, found, s, e):
+    m = _mk(doc_id, sent_idx, "tbm", "Site", s, s + 1, words, "site-code")
+    m["canonical"] = words[s]
+    return [m], e
+
+
+def _act_site_aa3(doc_id, sent_idx, words, lows, existing, found, s, e):
+    m = _mk(doc_id, sent_idx, "tbm", "Site", s, s + 1, words, "site-aa3")
+    m["canonical"] = words[s]
+    return [m], e
+
+
+def _act_site_domain(doc_id, sent_idx, words, lows, existing, found, s, e):
+    """'<Cap> domain(s)' — vetoed when the head token is already inside a
+    dictionary or site mention (the reference prefers the entity)."""
+    if any(m["start"] <= s < m["end"] for m in existing) or \
+            any(m["start"] <= s < m["end"] for m in found):
+        return None
+    m = _mk(doc_id, sent_idx, "tbm", "Site", s, e, words, "site-domain")
+    m["canonical"] = " ".join(words[s:e])
+    return [m], s  # non-consuming: scan resumes at the head token + 1
+
+
+_SITE_ACTIONS = {
+    "site_residue_list": _act_site_residue_list,
+    "site_aa_num": _act_site_aa_num,
+    "site_aa_bare": _act_site_aa_bare,
+    "site_code": _act_site_code,
+    "site_aa3": _act_site_aa3,
+    "site_domain": _act_site_domain,
+}
+
+_ENTITY_TOKEN_RULES = None
+
+
+def _entity_token_rules():
+    global _ENTITY_TOKEN_RULES
+    if _ENTITY_TOKEN_RULES is None:
+        from .odin import load_rules
+        _ENTITY_TOKEN_RULES = load_rules(package_file="entity_tokens.yml")
+    return _ENTITY_TOKEN_RULES
+
+
+def _find_sites(doc_id: str, sent_idx: int, words: list[str],
+                lows: list[str], existing: list[Mention]) -> list[Mention]:
+    """Positional first-rule-wins dispatch over the compiled site rules:
+    at each unconsumed token the rules try in file order; the first
+    non-vetoed match runs its action and (if consuming) advances the scan
+    past the action's consumed span — the Odin entity-grammar priority
+    semantics the hand-written branch cascade used to implement."""
+    n = len(words)
+    fields = [{"word": w} for w in words]
+    found: list[Mention] = []
+    engine = _entity_token_rules()
+    rules = engine.rules
+    start_re = engine.start_word_re
+    i = 0
+    while i < n:
+        if start_re is not None and not start_re.search(words[i]):
+            i += 1
+            continue
+        advanced = False
+        for rule in rules:
+            end = rule.match_at(fields, i)
+            if end is None:
+                continue
+            res = _SITE_ACTIONS[rule.action](
+                doc_id, sent_idx, words, lows, existing, found, i, end)
+            if res is None:
+                continue
+            ms, nxt = res
+            found.extend(ms)
+            if rule.consume and nxt > i:
+                i = nxt
+                advanced = True
+            break
+        if not advanced:
+            i += 1
+    return found
 
 
 def find_entities(doc_id: str, sent_idx: int, words: list[str],
@@ -477,117 +652,14 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
             i += 1
         else:
             i += 1
-    # Site rules (entities.yml site patterns): "serine 827", "Y63", "Ser-827",
-    # bare AA names before a PTM trigger, "<X> domain(s)", "residues"
-    i = 0
-    while i < n:
-        w, lw = words[i], lows[i]
-        if (lw in R.AA_SHORT or lw in R.AMINO_ACIDS) and i + 1 < n and \
-                lows[i + 1].startswith("residue"):
-            # "Lys residues 104 and 147" → one Site per residue number;
-            # "multiple lysine residues ( K164 , 370 , ... )" → the head
-            # phrase is itself a Site AND each paren element is one, bare
-            # numbers inheriting the head's amino-acid prefix
-            # (TestRegulationEvents sent35 enumeration)
-            aa = R.AA_SHORT.get(lw) or R.AMINO_ACIDS[lw]
-            k = i + 2
-            found = False
-            in_paren = False
-            while k < n:
-                if words[k] == "(" and not in_paren and not found:
-                    in_paren = True
-                    k += 1
-                elif words[k].isdigit():
-                    m = _mk(doc_id, sent_idx, "tbm", "Site", k, k + 1,
-                            words, "site-residue-list")
-                    m["canonical"] = f"{aa}{words[k]}"
-                    out.append(m)
-                    found = True
-                    k += 1
-                elif in_paren and _SITE_AA_RE.match(words[k]):
-                    sm = _SITE_AA_RE.match(words[k])
-                    m = _mk(doc_id, sent_idx, "tbm", "Site", k, k + 1,
-                            words, "site-residue-list")
-                    m["canonical"] = f"{sm.group(1)}{sm.group(2)}"
-                    out.append(m)
-                    found = True
-                    k += 1
-                elif lows[k] in (",", "and", "or"):
-                    k += 1
-                elif in_paren and words[k] == ")":
-                    k += 1
-                    break
-                else:
-                    break
-            if found:
-                if in_paren:
-                    # the generic head phrase ("lysine residues") is a
-                    # Site too — the underspecified acetylation site
-                    m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 2,
-                            words, "site-residue-head")
-                    m["canonical"] = f"{aa}residues"
-                    out.append(m)
-                i = k
-                continue
-        if (lw in R.AMINO_ACIDS or lw in R.AA_SHORT) and i + 1 < n and \
-                words[i + 1].isdigit():
-            # "serine 125" / "Ser 253" (site rule aa-name + number;
-            # entities.yml site patterns cover both long and 3-letter forms)
-            aa = R.AMINO_ACIDS.get(lw) or R.AA_SHORT[lw]
-            m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 2, words,
-                    "site-aa-num")
-            m["canonical"] = f"{aa}{words[i+1]}"
-            out.append(m)
-            i += 2
-            # trailing bare-number enumeration inherits the amino-acid
-            # prefix: "serine 125, 126, and 127" → three Sites
-            # (TestTemplaticSimpleEvents.scala:348)
-            while i < n:
-                if lows[i] in (",", "and", "or"):
-                    i += 1
-                elif words[i].isdigit():
-                    m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 1,
-                            words, "site-aa-num-list")
-                    m["canonical"] = f"{aa}{words[i]}"
-                    out.append(m)
-                    i += 1
-                else:
-                    break
-            continue
-        if lw in R.AMINO_ACIDS:
-            m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 1, words,
-                    "site-aa-bare")
-            m["canonical"] = R.AMINO_ACIDS[lw]
-            out.append(m)
-            i += 1
-            continue
-        mm = _SITE_AA_RE.match(w)
-        if mm and not _MUTANT_RE.match(w) and not (
-                i > 0 and lows[i - 1].rstrip(".") in (
-                    "figure", "figures", "fig", "table", "tables", "s")):
-            # "Figure S31" / "Table R15" are references, not sites
-            # (TestEntities.scala:91 sent5)
-            m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 1, words,
-                    "site-code")
-            m["canonical"] = w
-            out.append(m)
-            i += 1
-            continue
-        mm = _AA3_RE.match(w)
-        if mm:
-            m = _mk(doc_id, sent_idx, "tbm", "Site", i, i + 1, words,
-                    "site-aa3")
-            m["canonical"] = w
-            out.append(m)
-            i += 1
-            continue
-        if lw in ("domain", "domains") and i > 0 and words[i - 1][0].isupper() \
-                and not any(e["start"] <= i - 1 < e["end"] for e in out):
-            m = _mk(doc_id, sent_idx, "tbm", "Site", i - 1, i + 1, words,
-                    "site-domain")
-            m["canonical"] = " ".join(words[i - 1:i + 1])
-            out.append(m)
-        i += 1
+    # [O1] Site token rules: compiled from rules/entity_tokens.yml by the
+    # odin.py TokenPattern engine (patterns are DATA; the enumeration /
+    # canonicalization actions below are code, mirroring the reference's
+    # pattern-in-YAML + mkBioMention/unpackRelations-in-Scala split).
+    # Positional first-rule-wins dispatch reproduces the Odin entity
+    # grammar's priority semantics over "serine 827", "Y63", "Ser-827",
+    # residue enumerations, "<X> domain(s)".
+    out.extend(_find_sites(doc_id, sent_idx, words, lows, out))
     # [N5] shape NER: the deterministic stand-in for the reference's CRF
     # recall on UNSEEN protein names (CRFNER.scala + BioNERPostProcessor
     # shape features) — dictionary-only NER would miss novel gene symbols
