@@ -133,6 +133,16 @@ def t5_precedence(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  res["sentences"])
 
 
+def o2_dep_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O2] Dependency-pattern rule events over the interleaved corpus:
+    the Odin GraphPattern analog (reach_spark.odin_graph, YAML rules in
+    rules/dep_events.yml) matched over the light dependency layer; one row
+    per distinct (rule, pred, themes, causes, sites) with corpus SEEN."""
+    from reach_spark.odin_graph import dep_events_df
+    docs = _interleaved_documents(spark, sf_dir)
+    return dep_events_df(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return kg_triples_flagship(spark, "/root/testdata/sf0.001")
@@ -150,6 +160,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_triples_flagship"] = kg_triples_flagship
     out["kg_canonical_entities"] = kg_canonical_entities
     out["t5_precedence"] = t5_precedence
+    out["o2_dep_events"] = o2_dep_events
     return out
 
 
@@ -273,6 +284,29 @@ GROUP BY 1, 2, 3, 4, 5
 """
 
 
+def _dep_events_oracle() -> str:
+    """o2_dep_events oracle: dependency-rule extraction is sentence-local
+    and each interleaved span is exactly one fixture text, so the corpus
+    table = per-fixture dep-event rows (precomputed by
+    tools/gen_kg_oracle.py calling the same odin_graph.match_rows the
+    Spark mapInPandas calls) × the doc→fixture mapping, aggregated."""
+    from reach_spark import _kg_expected as E
+    vals = ",\n".join(
+        f"({f}, {_sql_lit(r)}, {_sql_lit(p)}, {_sql_lit(t)}, "
+        f"{_sql_lit(c)}, {_sql_lit(s)})"
+        for f, r, p, t, c, s in E.DEP_EVENTS)
+    return f"""
+WITH fx(fidx, rule, pred, themes, causes, sites) AS (VALUES
+{vals}
+), occ AS (
+  {_kg_doc_fixture_cte()}
+)
+SELECT f.rule, f.pred, f.themes, f.causes, f.sites, count(*) AS seen
+FROM occ o JOIN fx f ON f.fidx = o.fidx
+GROUP BY f.rule, f.pred, f.themes, f.causes, f.sites
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for reg in _REGISTRIES:
@@ -284,4 +318,5 @@ def oracle_sql() -> dict[str, str]:
     out["kg_triples_flagship"] = _flagship_oracle()
     out["kg_canonical_entities"] = _canonical_oracle()
     out["t5_precedence"] = _t5_oracle()
+    out["o2_dep_events"] = _dep_events_oracle()
     return out

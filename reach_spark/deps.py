@@ -20,6 +20,8 @@ neg edges from trigger tokens, NegationHandler.scala:18-41).
 from __future__ import annotations
 
 _NEG_CUES = frozenset({"not", "no", "cannot", "never", "unable", "little"})
+_GENERAL_PREPS = frozenset({"at", "on", "in", "to", "with", "for", "from"})
+_NMOD_PREPS = frozenset({"of", "by"}) | _GENERAL_PREPS
 _FAIL_VERBS = frozenset({"fails", "fail", "failed", "failure"})
 _CONJ = frozenset({"and", "or", "nor"})
 
@@ -35,7 +37,8 @@ def _is_nounish(tag: str) -> bool:
 def light_deps(words: list[str], tags: list[str],
                lemmas: list[str]) -> list[tuple[int, int, str]]:
     """(src, dst, label) edges for the grammar-relevant UD subset:
-    neg, nsubj, nsubjpass, dobj, nmod_of, nmod_by, conj_and, aux."""
+    neg, nsubj, nsubjpass, dobj, nmod_of, nmod_by, nmod_<prep> for the
+    general prepositions (at/on/in/to/with/for/from), conj_and, aux."""
     n = len(words)
     lows = [w.lower() for w in words]
     edges: list[tuple[int, int, str]] = []
@@ -80,16 +83,23 @@ def light_deps(words: list[str], tags: list[str],
             if j < n and _is_nounish(tags[j]):
                 edges.append((i, j, "dobj"))
 
-    # --- nmod_of / nmod_by: "X of Y" → edge X→Y ------------------------
+    # --- nmod_<prep>: "X of Y" → edge X→Y ------------------------------
+    # of/by are the grammar-critical pair (genitive + passive agent); the
+    # general-preposition tier (vars.yml preps_general: at/on/in/to/with/
+    # for/from) carries site and locative attachment for the dependency
+    # rules (odin_graph), attaching to a verb head when one directly
+    # precedes ("phosphorylated at Ser21" → nmod_at on the verb, the UD
+    # obl edge the reference site patterns traverse).
     for i, lw in enumerate(lows):
-        if lw in ("of", "by") and 0 < i < n - 1:
+        if lw in _NMOD_PREPS and 0 < i < n - 1:
             # head = nearest noun-ish left, dependent = head of the right NP.
             # For "by" also allow a passive-verb head ("phosphorylated by
             # MEK" → nmod_by on the verb — the agent pattern the reference
             # grammars match, e.g. simple-event_template.yml agent rules)
             h = i - 1
             if not (_is_nounish(tags[h]) or
-                    (lw == "by" and tags[h] == "VBN")):
+                    (lw == "by" and tags[h] == "VBN") or
+                    (lw in _GENERAL_PREPS and _is_verb(tags[h]))):
                 continue
             j = i + 1
             while j < n and tags[j] == "DT":

@@ -761,6 +761,12 @@ def attach_entity_mods(words: list[str], lows: list[str],
             ent_at[t] = e
     n = len(words)
     consumed: set[int] = set()
+    # every trigger token that became an entity-mod participle — wider
+    # than `consumed` (the premodifier branch leaves the token free for
+    # the surface event pass's own dedup); odin_graph marks these as
+    # ModificationTrigger pseudo-mentions for the dependency rules'
+    # faithful !mention=ModificationTrigger trigger constraint
+    attach_entity_mods.mod_positions = mod_positions = set()
     for i, lw in enumerate(lows):
         lbl = _ptm_participle_label(lw)
         if lbl is not None:
@@ -772,6 +778,7 @@ def attach_entity_mods(words: list[str], lows: list[str],
                 if e["start"] == nxt and e["label"] not in ("Site",):
                     site = _site_after(words, lows, entities, e["end"])
                     e["mods"].append(_mod("PTM", lbl, words[i], site=site))
+                    mod_positions.add(i)
             # "ENT that is|was VBN (at SITE)" — relative-clause modifier,
             # not an event (modifications.yml); consume the trigger
             if i >= 3 and lows[i - 1] in ("is", "was", "been") and \
@@ -829,6 +836,7 @@ def attach_entity_mods(words: list[str], lows: list[str],
             if target is not None:
                 for h, mtype in halves:
                     target["mods"].append(_mod("Mutant", mtype, h))
+    mod_positions |= consumed
     return consumed
 
 
@@ -4093,8 +4101,14 @@ class SentenceExtractor:
     def run(self) -> list[Mention]:
         self.entities = find_entities(self.doc_id, self.sent_idx, self.words,
                                       self.dictionary)
-        self.consumed_triggers |= attach_entity_mods(
+        # snapshot the MODIFICATION triggers (participle premodifiers
+        # folded into entity mods) before event extraction adds its own
+        # consumed positions — odin_graph's faithful
+        # !mention=ModificationTrigger exclusion reads this set
+        mod_consumed = attach_entity_mods(
             self.words, self.lows, self.entities)
+        self.mod_trigger_positions = attach_entity_mods.mod_positions
+        self.consumed_triggers |= mod_consumed
         self.resolve_mutant_anaphors()
         self.split_mutants()
         aliases = self.find_aliases()

@@ -51,7 +51,11 @@ _TOKEN_RE = re.compile(r"""
     | (?P<amp>&)
     | (?P<bang>!)
     | (?P<eq>=)
-    | (?P<quant>[?*+]|\{\d+(?:,\d*)?\})
+    | (?P<quant>[?*+]|\{\d*(?:,\d*)?\})
+    | (?P<gtgt>>>)
+    | (?P<ltlt><<)
+    | (?P<gt>>)
+    | (?P<lt><)
     | (?P<regex>/(?:[^/\\]|\\.)*/)
     | (?P<string>"(?:[^"\\]|\\.)*")
     | (?P<word>[A-Za-z_][A-Za-z0-9_.-]*)
@@ -145,9 +149,9 @@ class _Parser:
                 body = val[1:-1]
                 if "," in body:
                     a, b = body.split(",", 1)
-                    lo, hi = int(a), (int(b) if b else None)
+                    lo, hi = (int(a) if a else 0), (int(b) if b else None)
                 else:
-                    lo = hi = int(body)
+                    lo = hi = int(body)     # "{}" is a syntax error
             return ("quant", node, lo, hi)
         return node
 

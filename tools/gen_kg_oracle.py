@@ -144,6 +144,22 @@ def main() -> None:
     pair_tams = sorted((r["fidx"], r["tense1"], r["aspect1"],
                         r["tense2"], r["aspect2"]) for r in pair_rows)
 
+    # ---- per-fixture dependency-rule events (o2_dep_events oracle) ------
+    # sentence-local by construction: each interleaved span is exactly one
+    # fixture text, and odin_graph.match_rows is a pure function of the
+    # sentence — the same function the Spark mapInPandas calls, so one
+    # code path defines query and oracle.
+    from reach_spark.extract import split_sentences
+    from reach_spark.odin_graph import match_rows
+    from reach_spark.resources import entity_dictionary
+    dictionary = entity_dictionary()
+    dep_events = []
+    for i, s in enumerate(sents):
+        for sent in split_sentences(s):
+            for r in match_rows(sent, dictionary):
+                dep_events.append((i,) + r)
+    dep_events.sort()
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "reach_spark", "_kg_expected.py")
     with open(out, "w") as f:
@@ -169,9 +185,14 @@ def main() -> None:
                 " ordered within-fixture pairs\nPAIR_TAMS = [\n")
         for p in pair_tams:
             f.write(f"    {p!r},\n")
+        f.write("]\n\n# (fidx, rule, pred, themes, causes, sites) — "
+                "dependency-rule events (odin_graph)\nDEP_EVENTS = [\n")
+        for d in dep_events:
+            f.write(f"    {d!r},\n")
         f.write("]\n")
     print(f"wrote {out}: {len(triples)} triple rows, {len(edges)} edge "
           f"rows, {len(events)} event rows, {len(pair_tams)} pair rows, "
+          f"{len(dep_events)} dep-event rows, "
           f"N={n}, sha={fixture_corpus_sha()}")
     spark.stop()
 
