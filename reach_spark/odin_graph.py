@@ -252,6 +252,12 @@ class GraphMatch:
     trigger_start: int
     trigger_end: int
     args: dict[str, list[dict]]          # role → matched mentions
+    label: str = ""                      # effective label (actions may
+                                         # rewrite, e.g. wrapper sign flip)
+
+    def __post_init__(self):
+        if not self.label:
+            self.label = self.rule.label
 
 
 def index_edges(deps) -> tuple[dict, dict]:
@@ -266,11 +272,14 @@ def index_edges(deps) -> tuple[dict, dict]:
     return out, inn
 
 
-def token_fields(words, tags=None, lemmas=None,
-                 mentions=None) -> list[dict[str, Any]]:
+def token_fields(words, tags=None, lemmas=None, mentions=None,
+                 deps=None) -> list[dict[str, Any]]:
     """Per-token field dicts for constraint evaluation; `mention` is the
     multi-valued set of labels of mentions covering the token (the Odin
-    State lookup a trigger constraint like !mention=X performs)."""
+    State lookup a trigger constraint like !mention=X performs);
+    `outgoing`/`incoming` are the token's dep-edge label sets (the Odin
+    `outgoing=`/`!outgoing=` constraints the reference templates use,
+    e.g. simple-event_template.yml syntax_3a `!outgoing=nsubjpass`)."""
     n = len(words)
     fields = [{"word": words[i],
                "tag": tags[i] if tags else "",
@@ -279,6 +288,13 @@ def token_fields(words, tags=None, lemmas=None,
     for m in mentions or ():
         for i in range(m["start"], min(m["end"], n)):
             fields[i].setdefault("mention", set()).add(m["label"])
+    for e in deps or ():
+        s, d, lbl = (e["src"], e["dst"], e["label"]) if isinstance(e, dict) \
+            else (e[0], e[1], e[2])
+        if 0 <= s < n:
+            fields[s].setdefault("outgoing", set()).add(lbl)
+        if 0 <= d < n:
+            fields[d].setdefault("incoming", set()).add(lbl)
     return fields
 
 
@@ -293,7 +309,7 @@ class GraphRuleEngine:
 
     def match_sentence(self, words, tags, lemmas, deps,
                        mentions: list[dict]) -> list[GraphMatch]:
-        fields = token_fields(words, tags, lemmas, mentions)
+        fields = token_fields(words, tags, lemmas, mentions, deps)
         out_e, in_e = index_edges(deps)
         matches: list[GraphMatch] = []
         for rule in self.rules:
@@ -362,9 +378,26 @@ _DEFAULT_ENGINE = None
 
 
 def default_engine() -> "GraphRuleEngine":
+    """Simple-event + regulation/activation dependency rules. The
+    regulation trigger stems and the simple-event label vocabulary are
+    NOT duplicated here — they come from the same rules/complex_events.yml
+    / rules/simple_events.yml data the surface cascade loads (resources),
+    injected as template vars, mirroring the reference's events_master.yml
+    posTriggers/negTriggers var wiring."""
     global _DEFAULT_ENGINE
     if _DEFAULT_ENGINE is None:
-        _DEFAULT_ENGINE = load_graph_rules(package_file="dep_events.yml")
+        from . import resources as R
+        ev_labels = sorted(R.SIMPLE_EVENT_STEMS) + ["Binding"] + \
+            [f"De{n.lower()}" for n in R.SIMPLE_EVENT_STEMS]
+        extra = {
+            "posRegStems": "|".join(sorted(R.POS_TRIGGER_STEMS)),
+            "negRegStems": "|".join(sorted(R.NEG_TRIGGER_STEMS)),
+            "eventLabels": "^(" + "|".join(ev_labels) + ")$",
+        }
+        simple = load_graph_rules(package_file="dep_events.yml")
+        regs = load_graph_rules(package_file="dep_regulations.yml",
+                                extra_vars=extra)
+        _DEFAULT_ENGINE = GraphRuleEngine(simple.rules + regs.rules)
     return _DEFAULT_ENGINE
 
 
@@ -387,8 +420,117 @@ def dep_event_matches(doc_id: str, sent_idx: int, text: str,
                          "start": t, "end": t + 1,
                          "text": ann["words"][t]})
     eng = engine or default_engine()
-    return eng.match_sentence(ann["words"], ann["tags"], ann["lemmas"],
-                              ann["deps"], mentions)
+    matches = eng.match_sentence(ann["words"], ann["tags"], ann["lemmas"],
+                                 ann["deps"], mentions)
+    return _reach_postpass(matches, ann["words"])
+
+
+def _event_nominal_tokens() -> frozenset:
+    """Lowered tokens that head an event nominal NP — a bce mention
+    directly followed by one of these is that event's THEME, not an
+    activation target ('ASPP2 phosphorylation', 'MMP-9 expression')."""
+    global _EVENT_NOMINALS
+    if _EVENT_NOMINALS is None:
+        from . import resources as R
+        toks = {"binding", "expression", "level", "levels", "amount",
+                "amounts", "interaction", "interactions", "transcription",
+                "translocation", "degradation", "conversion", "release",
+                "secretion"}
+        for _, nstem in R.SIMPLE_EVENT_STEMS.values():
+            toks.add(nstem)
+            toks.add("de" + nstem)
+        toks.update(R.BINDING_NOUNS)
+        toks.update(R.POS_NOUN_WRAPPERS)
+        toks.update(R.NEG_NOUN_WRAPPERS)
+        _EVENT_NOMINALS = frozenset(toks)
+    return _EVENT_NOMINALS
+
+
+_EVENT_NOMINALS = None
+_SIGN_FLIP = {"Positive": "Negative", "Negative": "Positive"}
+
+
+def _reach_postpass(matches: list[GraphMatch],
+                    words: list[str]) -> list[GraphMatch]:
+    """The Reach-binding arbitration layer over the generic engine — the
+    dep-side analog of the reference's DarpaActions validations:
+
+    1. regulation-over-activation: a trigger whose controlled resolved to
+       an EVENT grounds a regulation; the sibling activation reading of
+       the same trigger is the less complete parse (filterActivations /
+       keepMostCompleteMentions) — drop it.
+    2. event-nominal compounds: an activation whose controlled entity is
+       directly followed by an event nominal ('cause STAT1
+       phosphorylation'), preceded by one ('deubiquitination of ASPP2 is
+       promoted'), or followed by a reg participle ('EGF induced
+       activation') is a mis-attached regulation reading — drop the
+       filler (and the match if the role was required).
+    3. self-regulation: controller == controlled (span or surface text)
+       is vetoed (DarpaActions: no self-activation).
+    4. wrapper sign composition: a controller reached through a negative
+       noun wrapper ('the inhibition of ASPP1 increases ...') flips the
+       event sign (the cascade's wrapper-sign composition)."""
+    from . import resources as R
+    lows = [w.lower() for w in words]
+    n = len(words)
+    nominals = _event_nominal_tokens()
+    reg_stems = tuple(R.POS_TRIGGER_STEMS) + tuple(R.NEG_TRIGGER_STEMS)
+
+    def reg_participle(lw: str) -> bool:
+        return lw.endswith("ed") and lw.startswith(reg_stems)
+
+    def misattached(c: dict) -> bool:
+        e, s = c["end"], c["start"]
+        if e < n and (lows[e] in nominals or reg_participle(lows[e])):
+            return True
+        # hyphenated reg participle on the head token itself
+        # ("AKT-induced apoptosis" — AKT is the inducer, not the target)
+        last = lows[e - 1]
+        if "-" in last and reg_participle(last.rsplit("-", 1)[-1]):
+            return True
+        # conjunct NP under an event-nominal head: "the interaction
+        # between p53 and Mdm2", "the levels of IRP2 and TfR1" — an
+        # of/between governed by a nominal within the coordination window
+        for k in range(s - 1, max(0, s - 5) - 1, -1):
+            if lows[k] in ("between", "of") and k >= 1 and \
+                    lows[k - 1] in nominals:
+                return True
+        return False
+
+    reg_triggers = {(m.trigger_start, m.trigger_end) for m in matches
+                    if m.label.endswith("_regulation")}
+    out = []
+    for m in matches:
+        if m.label.endswith("_activation"):
+            if (m.trigger_start, m.trigger_end) in reg_triggers:
+                continue
+            ctl = [c for c in m.args.get("controlled", ())
+                   if not misattached(c)]
+            if not ctl:
+                continue
+            m.args["controlled"] = ctl
+        ctl_keys = {(c["start"], c["end"])
+                    for c in m.args.get("controlled", ())}
+        ctl_txt = {c["text"].lower() for c in m.args.get("controlled", ())}
+        ctr = [c for c in m.args.get("controller", ())
+               if (c["start"], c["end"]) not in ctl_keys]
+        if m.label.endswith("_activation") and \
+                any(c["text"].lower() in ctl_txt for c in ctr):
+            continue            # self-activation: whole event vetoed
+        if "controller" in m.args:
+            m.args["controller"] = ctr
+            if not ctr and any(a.name == "controller" and a.required
+                               for a in m.rule.args):
+                continue        # required controller filtered away
+        for c in ctr:
+            s = c["start"]
+            if s >= 2 and lows[s - 1] == "of" and \
+                    lows[s - 2] in R.NEG_NOUN_WRAPPERS:
+                sign, rest = m.label.split("_", 1)
+                m.label = f"{_SIGN_FLIP.get(sign, sign)}_{rest}"
+                break
+        out.append(m)
+    return out
 
 
 def match_rows(sent_text: str, dictionary, engine=None) -> list[tuple]:
@@ -400,7 +542,7 @@ def match_rows(sent_text: str, dictionary, engine=None) -> list[tuple]:
     for gm in dep_event_matches("", 0, sent_text, dictionary, engine):
         out.append((
             gm.rule.name,
-            gm.rule.label,
+            gm.label,
             "|".join(sorted(m["text"] for m in gm.args.get("theme", []))),
             "|".join(sorted(m["text"] for m in gm.args.get("cause", []))),
             "|".join(sorted(m["text"] for m in gm.args.get("site", [])))))
@@ -467,11 +609,21 @@ def _subst(text: str, variables: dict[str, str]) -> str:
         if k not in variables:
             raise KeyError(f"odin graph rules: undefined var ${{{k}}}")
         return str(variables[k])
-    return _VAR_RE.sub(repl, text)
+    # fixpoint: a family var may itself expand to another ${var} (e.g.
+    # stems: "${posRegStems}" supplied by the loader caller)
+    for _ in range(5):
+        new = _VAR_RE.sub(repl, text)
+        if new == text:
+            return new
+        text = new
+    raise ValueError(f"odin graph rules: unresolved vars after 5 "
+                     f"expansions: {text[:80]!r}")
 
 
 def load_graph_rules(path: str | None = None,
-                     package_file: str | None = None) -> GraphRuleEngine:
+                     package_file: str | None = None,
+                     extra_vars: dict[str, str] | None = None
+                     ) -> GraphRuleEngine:
     """Load a dependency-rule YAML (`rules:` + optional `vars:` +
     `families:`). Mirrors the reference's master-file template
     instantiation (`events_master.yml:60-180` instantiates
@@ -487,7 +639,7 @@ def load_graph_rules(path: str | None = None,
         raw = pkgutil.get_data(__package__ or "reach_spark",
                                f"rules/{package_file}")
         doc = yaml.safe_load(raw)
-    base_vars = dict(doc.get("vars") or {})
+    base_vars = {**(doc.get("vars") or {}), **(extra_vars or {})}
     families = doc.get("families") or [{}]
     rules: list[GraphRule] = []
     for fam in families:

@@ -139,10 +139,11 @@ class TestDepEventRules:
             ("Ubiquitination", ("AKT", "ERK"), ("MEK",), ())]
 
     def test_modification_trigger_excluded(self):
-        # participle premodifier is an entity mod, not an event
-        # (simple-event_template.yml !mention=ModificationTrigger)
-        assert self._events("Ubiquitinated Ras activates Raf and PI3K .") \
-            == []
+        # participle premodifier is an entity mod, not a Ubiquitination
+        # event (simple-event_template.yml !mention=ModificationTrigger);
+        # the activation from the real verb still fires
+        evs = self._events("Ubiquitinated Ras activates Raf and PI3K .")
+        assert all(lbl != "Ubiquitination" for lbl, *_ in evs)
 
     def test_ubiquitin_veto_kills_whole_event(self):
         # TestUbiquitination: ubiquitin can never fill a role
@@ -157,8 +158,75 @@ class TestDepEventRules:
         labels = {r.label for r in eng.rules}
         assert {"Phosphorylation", "Ubiquitination", "Sumoylation",
                 "Glycosylation", "Acetylation", "Farnesylation",
-                "Ribosylation", "Methylation", "Hydroxylation"} <= labels
-        assert len(eng.rules) == 27          # 3 syntactic shapes × 9
+                "Ribosylation", "Methylation", "Hydroxylation",
+                "Positive_regulation", "Negative_regulation",
+                "Positive_activation", "Negative_activation"} <= labels
+        # 9 simple families × 3 shapes + 2 signs × 4 reg/act shapes
+        assert len(eng.rules) == 35
+
+
+class TestRegulationDepRules:
+    """Regulation/activation dependency rules (rules/dep_regulations.yml —
+    pos-reg/neg-reg template re-expression) + the Reach-binding postpass
+    arbitration (_reach_postpass)."""
+
+    def _events(self, text):
+        out = []
+        for gm in dep_event_matches("d", 0, text, DICT):
+            if not gm.label.endswith(("_regulation", "_activation")):
+                continue
+            out.append((gm.label,
+                        tuple(sorted((m["label"], m["text"]) for m in
+                                     gm.args.get("controlled", []))),
+                        tuple(sorted(m["text"] for m in
+                                     gm.args.get("controller", [])))))
+        return out
+
+    def test_active_regulation_of_event(self):
+        assert self._events("MEK inhibits the phosphorylation of ERK .") \
+            == [("Negative_regulation",
+                 (("Phosphorylation", "phosphorylation"),), ("MEK",))]
+
+    def test_passive_regulation_climbs_of_theme(self):
+        assert self._events(
+            "The phosphorylation of ERK was inhibited by MEK .") == [
+            ("Negative_regulation",
+             (("Phosphorylation", "phosphorylation"),), ("MEK",))]
+
+    def test_active_activation_of_entity(self):
+        assert self._events("MEK activates ERK and AKT .") == [
+            ("Positive_activation",
+             (("Gene_or_gene_product", "AKT"),
+              ("Gene_or_gene_product", "ERK")), ("MEK",))]
+
+    def test_wrapper_sign_flip(self):
+        # negative noun wrapper on the controller flips the sign
+        # (cascade wrapper-sign composition)
+        evs = self._events(
+            "The inhibition of ASPP1 increases the phosphorylation "
+            "of ASPP2 .")
+        assert ("Negative_regulation",
+                (("Phosphorylation", "phosphorylation"),),
+                ("ASPP1",)) in evs
+
+    def test_self_activation_vetoed(self):
+        assert self._events("MEK activates MEK .") == []
+
+    def test_event_nominal_compound_not_activation(self):
+        # "STAT1 phosphorylation" — STAT1 is the nominal's theme, not an
+        # activation target
+        assert all(lbl.endswith("_regulation")
+                   for lbl, *_ in self._events(
+                       "FGFR3 causes STAT1 phosphorylation ."))
+
+    def test_subjectless_participle_not_regulation(self):
+        # "elevated phosphorylation" is an amount premodifier, not a reg
+        assert self._events(
+            "We detected elevated phosphorylation of K-Ras .") == []
+
+    def test_regulation_beats_activation_same_trigger(self):
+        evs = self._events("MEK inhibits the phosphorylation of ERK .")
+        assert all(lbl.endswith("_regulation") for lbl, *_ in evs)
 
 
 class TestCorpusParity:
@@ -174,6 +242,7 @@ class TestCorpusParity:
         from reach_spark.extract import extract_sentence
 
         dep_events = ok_theme = cause_claims = ok_cause = 0
+        n_reg = ok_reg = n_act = ok_act = 0
         for text in fixture_sentences():
             gms = dep_event_matches("d", 0, text, DICT)
             if not gms:
@@ -181,8 +250,46 @@ class TestCorpusParity:
             _, mentions = extract_sentence("d", 0, text, DICT)
             surface = [m for m in mentions if m.get("kind") == "event"]
             for gm in gms:
+                lbl = gm.label
+                ctrls = {m["text"]
+                         for m in gm.args.get("controller", [])}
+                if lbl.endswith("_regulation"):
+                    n_reg += 1
+                    clab = {m["label"]
+                            for m in gm.args.get("controlled", [])}
+                    surf = {(a2["target_label"], a1["text"])
+                            for ev in surface if ev["label"] == lbl
+                            for a1 in ev["args"]
+                            if a1["role"] == "controller"
+                            for a2 in ev["args"]
+                            if a2["role"] == "controlled"}
+                    surf_nc = {a2["target_label"] for ev in surface
+                               if ev["label"] == lbl
+                               for a2 in ev["args"]
+                               if a2["role"] == "controlled"}
+                    ok_reg += (all(any(s == (cl, ct) for s in surf)
+                                   for cl in clab for ct in ctrls)
+                               if ctrls else clab <= surf_nc)
+                    continue
+                if lbl.endswith("_activation"):
+                    n_act += 1
+                    cts = {m["text"]
+                           for m in gm.args.get("controlled", [])}
+                    surf = {(a2["text"], a1["text"])
+                            for ev in surface if ev["label"] == lbl
+                            for a1 in ev["args"]
+                            if a1["role"] == "controller"
+                            for a2 in ev["args"]
+                            if a2["role"] == "controlled"}
+                    surf_nc = {a2["text"] for ev in surface
+                               if ev["label"] == lbl
+                               for a2 in ev["args"]
+                               if a2["role"] == "controlled"}
+                    ok_act += (all(any(s == (c, ct) for s in surf)
+                                   for c in cts for ct in ctrls)
+                               if ctrls else cts <= surf_nc)
+                    continue
                 dep_events += 1
-                lbl = gm.rule.label
                 themes = {m["text"] for m in gm.args.get("theme", [])}
                 causes = {m["text"] for m in gm.args.get("cause", [])}
                 surf_themes = {a["text"] for ev in surface
@@ -202,5 +309,10 @@ class TestCorpusParity:
         # non-vacuous: the dep grammar must actually fire across the corpus
         assert dep_events >= 150, dep_events
         assert cause_claims >= 50, cause_claims
+        assert n_reg >= 10 and n_act >= 10, (n_reg, n_act)
         assert ok_theme / dep_events >= 0.97, (ok_theme, dep_events)
         assert ok_cause / cause_claims >= 0.99, (ok_cause, cause_claims)
+        # reg/activation rules are precision-first: everything claimed
+        # must agree with the cascade (measured 12/12 and 15/15)
+        assert ok_reg / n_reg >= 0.99, (ok_reg, n_reg)
+        assert ok_act / n_act >= 0.99, (ok_act, n_act)
