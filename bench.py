@@ -229,6 +229,51 @@ def main():
         print(json.dumps(result))
         return
 
+    if "--scaling-paired" in sys.argv:
+        # Window-PAIRED two-cluster-size evidence. Measured fact on this
+        # box: identical level runs at equal (~0%) steal swing ±20-40%
+        # wall-to-wall (noisy-neighbor effects the steal counter does not
+        # see), so sequential-level ladders attribute window luck to
+        # software. Protocol: alternate N and 4N level subprocesses
+        # A/B/A/B... so each ratio is taken within one ~5-minute window,
+        # then report the MEDIAN of per-round efficiencies with every
+        # wall and steal recorded for audit.
+        import statistics
+        import subprocess
+        lo = int(os.environ.get("SPARK_GRAFT_SCALE_N", "2"))
+        hi = lo * 4
+        rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "3"))
+        env = {**os.environ, "SPARK_GRAFT_SCALE_REPEATS": "1"}
+
+        def level(cores: int) -> dict:
+            r = subprocess.run(
+                [sys.executable, __file__, "--scaling-level", str(cores)],
+                capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            return json.loads(r.stdout.strip().splitlines()[-1])
+
+        rows = []
+        for _ in range(rounds):
+            a, b = level(lo), level(hi)
+            rows.append({
+                "lo_wall_s": a["wall_s"], "lo_steal_pct": a["steal_pct"],
+                "hi_wall_s": b["wall_s"], "hi_steal_pct": b["steal_pct"],
+                "efficiency": round(a["wall_s"] / b["wall_s"] / 4, 3)})
+        result = {
+            "pair": f"{lo}->{hi}",
+            "rounds": rows,
+            "median_efficiency": round(statistics.median(
+                r["efficiency"] for r in rows), 3),
+            "cpu_burn_baseline": _cpu_burn(),
+            "n_docs": int(os.environ.get("SPARK_GRAFT_SCALE_DOCS",
+                                         "30000")),
+            "shuffle_partitions": int(os.environ.get(
+                "SPARK_GRAFT_SCALE_PARTS", "64"))}
+        with open("BENCH_SCALING_PAIRED.json", "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps(result))
+        return
+
     spark = get_spark(app_name="bench", cores=cpus,
                       shuffle_partitions=max(cpus, 8))
     tot0, st0 = _read_steal()
