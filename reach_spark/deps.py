@@ -20,7 +20,8 @@ neg edges from trigger tokens, NegationHandler.scala:18-41).
 from __future__ import annotations
 
 _NEG_CUES = frozenset({"not", "no", "cannot", "never", "unable", "little"})
-_GENERAL_PREPS = frozenset({"at", "on", "in", "to", "with", "for", "from"})
+_GENERAL_PREPS = frozenset({"at", "on", "in", "to", "with", "for", "from",
+                            "between"})
 _NMOD_PREPS = frozenset({"of", "by"}) | _GENERAL_PREPS
 _FAIL_VERBS = frozenset({"fails", "fail", "failed", "failure"})
 _CONJ = frozenset({"and", "or", "nor"})
@@ -41,6 +42,10 @@ def light_deps(words: list[str], tags: list[str],
     general prepositions (at/on/in/to/with/for/from), conj_and, aux."""
     n = len(words)
     lows = [w.lower() for w in words]
+    # determiner-governed gerunds are nominals in UD ("The binding of
+    # p53 ..." — binding/NOUN heads the nmod_of edge, not a VBG verb)
+    tags = [("NN" if t == "VBG" and i > 0 and tags[i - 1] == "DT" else t)
+            for i, t in enumerate(tags)]
     edges: list[tuple[int, int, str]] = []
 
     # --- neg: cue attaches to the nearest following verb-ish token ------
@@ -74,6 +79,15 @@ def light_deps(words: list[str], tags: list[str],
             k -= 1
         # --- nsubj / nsubjpass: nearest noun-ish head run to the left --
         if k >= 0 and _is_nounish(tags[k]):
+            # UD coordination headedness: in "Raf and PI3K bind", nsubj
+            # attaches to the FIRST conjunct (Raf) and conj_and carries
+            # Raf→PI3K, so rule paths ">nsubj (>conj_and)?" reach both.
+            # NOT when the pair is a PP object ("the binding of X and Y
+            # promotes ..." — the subject head is the nominal, and the
+            # nearest-noun reading keeps the cascade's attachment).
+            if k >= 2 and lows[k - 1] in _CONJ and _is_nounish(tags[k - 2]) \
+                    and (k < 3 or lows[k - 3] not in _NMOD_PREPS):
+                k -= 2
             edges.append((i, k, "nsubjpass" if is_passive else "nsubj"))
         # --- dobj: nearest noun-ish token to the right (active only) ---
         if not is_passive:

@@ -393,11 +393,17 @@ def default_engine() -> "GraphRuleEngine":
             "posRegStems": "|".join(sorted(R.POS_TRIGGER_STEMS)),
             "negRegStems": "|".join(sorted(R.NEG_TRIGGER_STEMS)),
             "eventLabels": "^(" + "|".join(ev_labels) + ")$",
+            "bindStems": "|".join(sorted(R.BINDING_VERB_STEMS)),
+            "bindNouns": "|".join(
+                n.rstrip("s") for n in sorted(R.BINDING_NOUNS)),
         }
         simple = load_graph_rules(package_file="dep_events.yml")
         regs = load_graph_rules(package_file="dep_regulations.yml",
                                 extra_vars=extra)
-        _DEFAULT_ENGINE = GraphRuleEngine(simple.rules + regs.rules)
+        binds = load_graph_rules(package_file="dep_bindings.yml",
+                                 extra_vars=extra)
+        _DEFAULT_ENGINE = GraphRuleEngine(
+            simple.rules + regs.rules + binds.rules)
     return _DEFAULT_ENGINE
 
 
@@ -501,6 +507,24 @@ def _reach_postpass(matches: list[GraphMatch],
                     if m.label.endswith("_regulation")}
     out = []
     for m in matches:
+        if m.label == "Binding":
+            # promoter/mutation compounds name a REGION/VARIANT, not a
+            # binding partner ('binds the BCL2 promoter', 'KRAS and BRAF
+            # mutations'); ubiquitin as a partner is Ubiquitination
+            # evidence, not Binding (mkBinding veto); and a binding needs
+            # two distinct partners (self/single-theme readings are the
+            # cascade's anaphora/coref territory)
+            th = [t for t in m.args.get("theme", ())
+                  if not (t["end"] < n and lows[t["end"]] in (
+                      "promoter", "promoters", "mutation", "mutations",
+                      "partner", "partners"))]
+            if any(t["text"].lower().startswith("ubiquitin") for t in th):
+                continue
+            if len({t["text"] for t in th}) < 2:
+                continue
+            m.args["theme"] = th
+            out.append(m)
+            continue
         if m.label.endswith("_activation"):
             if (m.trigger_start, m.trigger_end) in reg_triggers:
                 continue

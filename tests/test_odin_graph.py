@@ -162,7 +162,9 @@ class TestDepEventRules:
                 "Positive_regulation", "Negative_regulation",
                 "Positive_activation", "Negative_activation"} <= labels
         # 9 simple families × 3 shapes + 2 signs × 4 reg/act shapes
-        assert len(eng.rules) == 35
+        # + 3 binding shapes
+        assert "Binding" in labels
+        assert len(eng.rules) == 38
 
 
 class TestRegulationDepRules:
@@ -227,6 +229,44 @@ class TestRegulationDepRules:
     def test_regulation_beats_activation_same_trigger(self):
         evs = self._events("MEK inhibits the phosphorylation of ERK .")
         assert all(lbl.endswith("_regulation") for lbl, *_ in evs)
+
+
+class TestBindingDepRules:
+    """Binding dependency rules (rules/dep_bindings.yml — bind_events.yml
+    core shapes) + the postpass binding arbitration."""
+
+    def _bindings(self, text):
+        return [tuple(sorted(m["text"] for m in gm.args.get("theme", [])))
+                for gm in dep_event_matches("d", 0, text, DICT)
+                if gm.label == "Binding"]
+
+    def test_active_two_sided(self):
+        assert self._bindings("p53 binds Mdm2 .") == [("Mdm2", "p53")]
+
+    def test_to_phrase_and_conjunction(self):
+        assert self._bindings("Raf and PI3K bind to K-Ras .") == [
+            ("K-Ras", "PI3K", "Raf")]
+
+    def test_nominal_of_to(self):
+        assert self._bindings("The binding of p53 to Mdm2 is strong .") \
+            == [("Mdm2", "p53")]
+
+    def test_nominal_between(self):
+        assert self._bindings(
+            "The interaction between p53 and Mdm2 is weak .") == [
+            ("Mdm2", "p53")]
+
+    def test_self_binding_vetoed(self):
+        assert self._bindings("AKT binds AKT .") == []
+
+    def test_single_theme_vetoed(self):
+        assert self._bindings("The AKT binding was successful .") == []
+
+    def test_ubiquitin_partner_vetoed(self):
+        assert self._bindings("Ras binds to ubiquitin .") == []
+
+    def test_promoter_compound_not_partner(self):
+        assert self._bindings("RB1 binds the BCL2 promoter .") == []
 
 
 class TestCorpusParity:
