@@ -293,17 +293,18 @@ def _dep_events_oracle() -> str:
     from reach_spark import _kg_expected as E
     vals = ",\n".join(
         f"({f}, {_sql_lit(r)}, {_sql_lit(p)}, {_sql_lit(t)}, "
-        f"{_sql_lit(c)}, {_sql_lit(s)})"
-        for f, r, p, t, c, s in E.DEP_EVENTS)
+        f"{_sql_lit(c)}, {_sql_lit(s)}, {_sql_lit(src)}, {_sql_lit(d)})"
+        for f, r, p, t, c, s, src, d in E.DEP_EVENTS)
     return f"""
-WITH fx(fidx, rule, pred, themes, causes, sites) AS (VALUES
+WITH fx(fidx, rule, pred, themes, causes, sites, sources, dests) AS (VALUES
 {vals}
 ), occ AS (
   {_kg_doc_fixture_cte()}
 )
-SELECT f.rule, f.pred, f.themes, f.causes, f.sites, count(*) AS seen
+SELECT f.rule, f.pred, f.themes, f.causes, f.sites, f.sources, f.dests,
+       count(*) AS seen
 FROM occ o JOIN fx f ON f.fidx = o.fidx
-GROUP BY f.rule, f.pred, f.themes, f.causes, f.sites
+GROUP BY f.rule, f.pred, f.themes, f.causes, f.sites, f.sources, f.dests
 """
 
 

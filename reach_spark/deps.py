@@ -21,7 +21,7 @@ from __future__ import annotations
 
 _NEG_CUES = frozenset({"not", "no", "cannot", "never", "unable", "little"})
 _GENERAL_PREPS = frozenset({"at", "on", "in", "to", "with", "for", "from",
-                            "between"})
+                            "between", "into", "onto"})
 _NMOD_PREPS = frozenset({"of", "by"}) | _GENERAL_PREPS
 _FAIL_VERBS = frozenset({"fails", "fail", "failed", "failure"})
 _CONJ = frozenset({"and", "or", "nor"})

@@ -207,6 +207,14 @@ class _Parser:
         if self.peek()[0] == "bang":
             self.next()
             neg = True
+        # grouped sub-expression: [A & (B | C)] / ![(...)] — Odin's
+        # TokenConstraintParsers grouping
+        if self.peek()[0] == "lparen":
+            self.next()
+            expr = self.constraint_or()
+            if self.next()[0] != "rparen":
+                raise ValueError("odin pattern: unclosed constraint group")
+            return ("not", expr) if neg else expr
         kind, fieldname = self.next()
         if kind != "word":
             raise ValueError(f"odin pattern: expected field, got {fieldname!r}")
@@ -238,6 +246,8 @@ def _eval_expr(expr, token_fields: dict[str, Any]) -> bool:
         return all(_eval_expr(e, token_fields) for e in expr[1])
     if op == "or":
         return any(_eval_expr(e, token_fields) for e in expr[1])
+    if op == "not":
+        return not _eval_expr(expr[1], token_fields)
     raise AssertionError(op)
 
 

@@ -396,14 +396,17 @@ def default_engine() -> "GraphRuleEngine":
             "bindStems": "|".join(sorted(R.BINDING_VERB_STEMS)),
             "bindNouns": "|".join(
                 n.rstrip("s") for n in sorted(R.BINDING_NOUNS)),
+            "translocStems": "|".join(sorted(R.TRANSLOCATION_STEMS)),
         }
         simple = load_graph_rules(package_file="dep_events.yml")
         regs = load_graph_rules(package_file="dep_regulations.yml",
                                 extra_vars=extra)
         binds = load_graph_rules(package_file="dep_bindings.yml",
                                  extra_vars=extra)
+        transloc = load_graph_rules(package_file="dep_translocations.yml",
+                                    extra_vars=extra)
         _DEFAULT_ENGINE = GraphRuleEngine(
-            simple.rules + regs.rules + binds.rules)
+            simple.rules + regs.rules + binds.rules + transloc.rules)
     return _DEFAULT_ENGINE
 
 
@@ -507,13 +510,32 @@ def _reach_postpass(matches: list[GraphMatch],
                     if m.label.endswith("_regulation")}
     out = []
     for m in matches:
+        if m.label == "Translocation":
+            # a Translocation names a movement: it needs at least one
+            # location argument (DarpaActions mkTranslocation); a theme
+            # that is itself a location is the location's mention, not
+            # cargo
+            if not m.args.get("source") and not m.args.get("destination"):
+                continue
+            out.append(m)
+            continue
         if m.label == "Binding":
             # promoter/mutation compounds name a REGION/VARIANT, not a
             # binding partner ('binds the BCL2 promoter', 'KRAS and BRAF
             # mutations'); ubiquitin as a partner is Ubiquitination
             # evidence, not Binding (mkBinding veto); and a binding needs
             # two distinct partners (self/single-theme readings are the
-            # cascade's anaphora/coref territory)
+            # cascade's anaphora/coref territory). theme2 (the nominal
+            # rule's to/with side) unifies into theme — the reference's
+            # theme1/theme2 → themes flattening (DarpaActions mkBinding).
+            seen_spans = set()
+            merged = []
+            for t in (list(m.args.get("theme", ())) +
+                      list(m.args.pop("theme2", ()) or ())):
+                if (t["start"], t["end"]) not in seen_spans:
+                    seen_spans.add((t["start"], t["end"]))
+                    merged.append(t)
+            m.args["theme"] = merged
             th = [t for t in m.args.get("theme", ())
                   if not (t["end"] < n and lows[t["end"]] in (
                       "promoter", "promoters", "mutation", "mutations",
@@ -569,7 +591,10 @@ def match_rows(sent_text: str, dictionary, engine=None) -> list[tuple]:
             gm.label,
             "|".join(sorted(m["text"] for m in gm.args.get("theme", []))),
             "|".join(sorted(m["text"] for m in gm.args.get("cause", []))),
-            "|".join(sorted(m["text"] for m in gm.args.get("site", [])))))
+            "|".join(sorted(m["text"] for m in gm.args.get("site", []))),
+            "|".join(sorted(m["text"] for m in gm.args.get("source", []))),
+            "|".join(sorted(m["text"]
+                            for m in gm.args.get("destination", [])))))
     return out
 
 
@@ -596,7 +621,8 @@ def dep_events_df(documents) -> "DataFrame":
         dictionary = entity_dictionary()
         engine = default_engine()
         memo: dict[str, list[tuple]] = {}
-        cols = ["doc_id", "rule", "pred", "themes", "causes", "sites"]
+        cols = ["doc_id", "rule", "pred", "themes", "causes", "sites",
+                "sources", "dests"]
         for pdf in batches:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["span_text"]):
@@ -615,8 +641,10 @@ def dep_events_df(documents) -> "DataFrame":
 
     ev = spans.mapInPandas(
         gen, schema="doc_id string, rule string, pred string, "
-                    "themes string, causes string, sites string")
-    return (ev.groupBy("rule", "pred", "themes", "causes", "sites")
+                    "themes string, causes string, sites string, "
+                    "sources string, dests string")
+    return (ev.groupBy("rule", "pred", "themes", "causes", "sites",
+                       "sources", "dests")
               .agg(F.count("*").alias("seen")))
 
 

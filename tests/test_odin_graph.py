@@ -161,10 +161,12 @@ class TestDepEventRules:
                 "Ribosylation", "Methylation", "Hydroxylation",
                 "Positive_regulation", "Negative_regulation",
                 "Positive_activation", "Negative_activation"} <= labels
-        # 9 simple families × 3 shapes + 2 signs × 4 reg/act shapes
-        # + 3 binding shapes
+        # 21 simple/de-/transcription families × 3 shapes
+        # + 2 signs × 4 reg/act shapes + 3 binding + 4 translocation
         assert "Binding" in labels
-        assert len(eng.rules) == 38
+        assert "Translocation" in labels
+        assert "Dephosphorylation" in labels
+        assert len(eng.rules) == 78
 
 
 class TestRegulationDepRules:
@@ -267,6 +269,91 @@ class TestBindingDepRules:
 
     def test_promoter_compound_not_partner(self):
         assert self._bindings("RB1 binds the BCL2 promoter .") == []
+
+
+class TestTranslocationDepRules:
+    """Translocation dependency rules (rules/dep_translocations.yml —
+    translocation_events.yml core shapes): theme + source/destination
+    locations, location-required postpass (mkTranslocation)."""
+
+    def _trans(self, text):
+        return [(tuple(sorted(m["text"] for m in gm.args.get("theme", []))),
+                 tuple(sorted(m["text"] for m in gm.args.get("source", []))),
+                 tuple(sorted(m["text"]
+                              for m in gm.args.get("destination", []))))
+                for gm in dep_event_matches("d", 0, text, DICT)
+                if gm.label == "Translocation"]
+
+    def test_intransitive_destination(self):
+        assert self._trans("ASPP2 translocates to the nucleus .") == [
+            (("ASPP2",), (), ("nucleus",))]
+
+    def test_passive_from_to(self):
+        assert self._trans(
+            "p53 is translocated from the cytosol to the nucleus .") == [
+            (("p53",), ("cytosol",), ("nucleus",))]
+
+    def test_nominal_of_to(self):
+        assert self._trans(
+            "The translocation of p53 to the nucleus is rapid .") == [
+            (("p53",), (), ("nucleus",))]
+
+    def test_nominal_export_from(self):
+        assert self._trans(
+            "The export of p53 from the nucleus to the cytoplasm .") == [
+            (("p53",), ("nucleus",), ("cytoplasm",))]
+
+    def test_location_required(self):
+        # no source and no destination → postpass drops the match
+        assert self._trans("ASPP2 translocates rapidly .") == []
+
+
+class TestNewSimpleFamilies:
+    """De-modification / Hydrolysis / Transcription families added as
+    dep_events.yml data (simple-event-auto_template reverse events,
+    hydrolysis_events.yml, transcription_events.yml)."""
+
+    def _events(self, text, label):
+        return [(tuple(sorted(m["text"] for m in gm.args.get("theme", []))),
+                 tuple(sorted(m["text"] for m in gm.args.get("cause", []))))
+                for gm in dep_event_matches("d", 0, text, DICT)
+                if gm.label == label]
+
+    def test_dephosphorylation_active(self):
+        assert self._events("MEK dephosphorylates ERK .",
+                            "Dephosphorylation") == [(("ERK",), ("MEK",))]
+        # and the base family must NOT fire on the de- form
+        assert self._events("MEK dephosphorylates ERK .",
+                            "Phosphorylation") == []
+
+    def test_dephosphorylation_nominal(self):
+        assert self._events("The dephosphorylation of ERK by MEK .",
+                            "Dephosphorylation") == [(("ERK",), ("MEK",))]
+
+    def test_deubiquitination_passive(self):
+        assert self._events("Ras is deubiquitinated by USP8 .",
+                            "Deubiquitination") == [(("Ras",), ("USP8",))]
+
+    def test_hydrolysis_irregular_nominal(self):
+        assert self._events("The hydrolysis of PIP3 is fast .",
+                            "Hydrolysis") == [(("PIP3",), ())]
+
+    def test_transcription_passive_expression(self):
+        assert self._events("ASPP2 is expressed in cells .",
+                            "Transcription") == [(("ASPP2",), ())]
+
+    def test_vbn_active_requires_subject(self):
+        # simple past with a subject: active reading fires (the bare
+        # "MEK phosphorylated ERK" form is owned by the cascade's
+        # premodifier ModificationTrigger marking, faithfully excluded)
+        assert self._events("MEK phosphorylated the ERK protein .",
+                            "Phosphorylation") == [(("ERK",), ("MEK",))]
+        # subject-less premodifier participle with a dobj-looking NP:
+        # no active reading ("the ubiquitinated subfraction of X")
+        evs = self._events(
+            "the ubiquitinated subfraction of G12V-K-Ras was purified .",
+            "Ubiquitination")
+        assert evs == []
 
 
 class TestCorpusParity:

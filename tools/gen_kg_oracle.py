@@ -185,8 +185,9 @@ def main() -> None:
                 " ordered within-fixture pairs\nPAIR_TAMS = [\n")
         for p in pair_tams:
             f.write(f"    {p!r},\n")
-        f.write("]\n\n# (fidx, rule, pred, themes, causes, sites) — "
-                "dependency-rule events (odin_graph)\nDEP_EVENTS = [\n")
+        f.write("]\n\n# (fidx, rule, pred, themes, causes, sites, sources,"
+                " dests) — dependency-rule events (odin_graph)\n"
+                "DEP_EVENTS = [\n")
         for d in dep_events:
             f.write(f"    {d!r},\n")
         f.write("]\n")
