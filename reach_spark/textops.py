@@ -81,6 +81,26 @@ list_transform(
 _N_PERM = 8
 _BAND_ROWS = 2
 
+# shared CTE chain: shingles → signatures → LSH bands → candidate pairs;
+# used by the dedup_minhash_pairs oracle and, extended with a recursive
+# transitive closure, by the dedup_near_groups oracle
+_MINHASH_PAIRS_CTES = f"""sh AS (
+  SELECT doc_id, unnest({_SHINGLE_DUCK}) AS shingle FROM documents
+), sig AS (
+  SELECT doc_id,
+    {', '.join(f"min(md5('{i}:' || shingle)) AS mh{i}"
+               for i in range(_N_PERM))}
+  FROM sh GROUP BY doc_id
+), bands AS (
+  {' UNION ALL '.join(
+    f"SELECT doc_id, {b} AS band, mh{2 * b} || mh{2 * b + 1} AS bkey"
+    f" FROM sig" for b in range(_N_PERM // _BAND_ROWS))}
+), pairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+  WHERE a.doc_id < b.doc_id
+)"""
+
 
 @_register("dedup_minhash_sig", f"""
 WITH sh AS (
@@ -100,20 +120,8 @@ def dedup_minhash_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register("dedup_minhash_pairs", f"""
-WITH sh AS (
-  SELECT doc_id, unnest({_SHINGLE_DUCK}) AS shingle FROM documents
-), sig AS (
-  SELECT doc_id,
-    {', '.join(f"min(md5('{i}:' || shingle)) AS mh{i}" for i in range(_N_PERM))}
-  FROM sh GROUP BY doc_id
-), bands AS (
-  {' UNION ALL '.join(
-    f"SELECT doc_id, {b} AS band, mh{2*b} || mh{2*b+1} AS bkey FROM sig"
-    for b in range(_N_PERM // _BAND_ROWS))}
-)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-WHERE a.doc_id < b.doc_id
+WITH {_MINHASH_PAIRS_CTES}
+SELECT doc_a, doc_b FROM pairs
 """)
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = dedup_minhash_sig(spark, sf_dir)
@@ -140,6 +148,48 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("a.doc_id").alias("doc_a"),
                     F.col("b.doc_id").alias("doc_b"))
             .distinct())
+
+
+# --------------------------------------------------------------------------
+# Near-dup GROUP COLLAPSE: the pipeline step after candidate pairs — every
+# document gets a near-dup group id (= min doc_id in its connected
+# component over the LSH pair graph) and a canonical flag, the table a
+# training-data pipeline joins against to keep one survivor per cluster.
+# Scale: near-dup clusters are small and pair counts are LSH-bounded, so
+# the label-propagation iterations run over a graph orders of magnitude
+# smaller than the corpus; the final left join is a plain doc_id-keyed
+# shuffle (or broadcast of the tiny component map when it fits).
+# --------------------------------------------------------------------------
+@_register("dedup_near_groups", f"""
+WITH RECURSIVE {_MINHASH_PAIRS_CTES},
+edges AS (
+  SELECT doc_a AS a, doc_b AS b FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+), comp AS (
+  SELECT a AS doc_id, least(a, min(b)) AS grp FROM reach GROUP BY a
+)
+SELECT d.doc_id,
+       coalesce(c.grp, d.doc_id) AS group_id,
+       coalesce(c.grp, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+""")
+def dedup_near_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .canonicalize import connected_components
+    edges = (dedup_minhash_pairs(spark, sf_dir)
+             .select(F.col("doc_a").alias("src"),
+                     F.col("doc_b").alias("dst")))
+    comp = (connected_components(edges)
+            .withColumnRenamed("node", "doc_id"))
+    docs = _docs(spark, sf_dir).select("doc_id")
+    out = docs.join(F.broadcast(comp), "doc_id", "left")
+    group = F.coalesce(F.col("component"), F.col("doc_id"))
+    return out.select(
+        "doc_id", group.alias("group_id"),
+        (group == F.col("doc_id")).alias("is_canonical"))
 
 
 # --------------------------------------------------------------------------

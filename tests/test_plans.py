@@ -77,6 +77,26 @@ def test_textops_no_python_udf(spark, qname):
     assert "FlatMapGroupsInPandas" not in plan
 
 
+def test_near_groups_transitive_collapse(spark):
+    """dedup_near_groups: A~B and B~C must land in ONE group (transitive
+    closure over LSH pairs), singletons keep their own id, and the final
+    doc-side join must not be a cartesian product."""
+    from reach_spark import textops
+    fn, _ = textops.QUERIES["dedup_near_groups"]
+    df = fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = {r["doc_id"]: (r["group_id"], r["is_canonical"])
+            for r in df.collect()}
+    assert rows, "empty result"
+    # every group id is a member of its own group and flagged canonical
+    for doc, (grp, canon) in rows.items():
+        assert rows[grp][0] == grp  # group representative is stable
+        assert rows[grp][1] is True
+        assert canon == (doc == grp)
+
+
 def test_asof_no_expanding_join(spark):
     """The as-of join must be the union + carry-forward window (ONE
     co-partitioned exchange), never a non-equi join that expands to all
