@@ -143,6 +143,16 @@ def o2_dep_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dep_events_df(docs)
 
 
+def n5_crf_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[N5] Statistical NER over the interleaved corpus: the
+    averaged-perceptron linear-chain tagger (reach_spark.crf, Viterbi
+    over committed deterministic weights — the CRFNER.scala analog); one
+    row per distinct (label, start, end, text) with corpus SEEN."""
+    from reach_spark.crf import crf_ner_df
+    docs = _interleaved_documents(spark, sf_dir)
+    return crf_ner_df(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return kg_triples_flagship(spark, "/root/testdata/sf0.001")
@@ -161,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_canonical_entities"] = kg_canonical_entities
     out["t5_precedence"] = t5_precedence
     out["o2_dep_events"] = o2_dep_events
+    out["n5_crf_ner"] = n5_crf_ner
     return out
 
 
@@ -308,6 +319,26 @@ GROUP BY f.rule, f.pred, f.themes, f.causes, f.sites, f.sources, f.dests
 """
 
 
+def _crf_ner_oracle() -> str:
+    """n5_crf_ner oracle: sentence-local statistical NER — per-fixture
+    expected rows precomputed by tools/gen_kg_oracle.py calling the same
+    crf.crf_rows the Spark mapInPandas calls."""
+    from reach_spark import _kg_expected as E
+    vals = ",\n".join(
+        f"({f}, {_sql_lit(lab)}, {st}, {en}, {_sql_lit(t)})"
+        for f, lab, st, en, t in E.CRF_NER)
+    return f"""
+WITH fx(fidx, label, start, "end", text) AS (VALUES
+{vals}
+), occ AS (
+  {_kg_doc_fixture_cte()}
+)
+SELECT f.label, f.start, f."end", f.text, count(*) AS seen
+FROM occ o JOIN fx f ON f.fidx = o.fidx
+GROUP BY f.label, f.start, f."end", f.text
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for reg in _REGISTRIES:
@@ -320,4 +351,5 @@ def oracle_sql() -> dict[str, str]:
     out["kg_canonical_entities"] = _canonical_oracle()
     out["t5_precedence"] = _t5_oracle()
     out["o2_dep_events"] = _dep_events_oracle()
+    out["n5_crf_ner"] = _crf_ner_oracle()
     return out

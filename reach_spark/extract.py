@@ -161,6 +161,11 @@ _KNOWN_VERBS = {
     "blocks", "block", "blocked", "translocates", "translocate",
     "translocated", "transcribed", "transcribes", "transcribe", "expressed",
     "expresses", "express", "recruits", "recruit", "recruited", "digested",
+    # translocation verb forms — ONLY inflected forms that cannot be
+    # nominals ("the transport of X" must stay NN for the nominal rules)
+    "transports", "transported", "relocalizes", "relocalized",
+    "relocates", "relocated", "redistributes", "redistributed",
+    "migrates", "migrated", "exported", "imported",
     "fractioned", "degrades", "degrade", "degraded", "upregulates",
     "upregulate", "upregulated", "downregulates", "downregulate",
     "downregulated", "mediates", "mediate", "mediated", "enhances",

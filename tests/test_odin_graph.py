@@ -303,6 +303,11 @@ class TestTranslocationDepRules:
             "The export of p53 from the nucleus to the cytoplasm .") == [
             (("p53",), ("nucleus",), ("cytoplasm",))]
 
+    def test_transitive_into(self):
+        assert self._trans(
+            "The importin complex transports p53 into the nucleus .") == [
+            (("p53",), (), ("nucleus",))]
+
     def test_location_required(self):
         # no source and no destination → postpass drops the match
         assert self._trans("ASPP2 translocates rapidly .") == []

@@ -160,6 +160,19 @@ def main() -> None:
                 dep_events.append((i,) + r)
     dep_events.sort()
 
+    # ---- per-fixture statistical-NER rows (n5_crf_ner oracle) -----------
+    # same shared-code-path pattern: crf.crf_rows is what the Spark
+    # mapInPandas calls per sentence (si*1000 span offsets match
+    # crf.crf_ner_df)
+    from reach_spark.crf import crf_rows
+    crf_ner = []
+    for i, s in enumerate(sents):
+        for si, sent in enumerate(split_sentences(s)):
+            for lab, st, en, txt in crf_rows(sent):
+                crf_ner.append((i, lab, si * 1000 + st, si * 1000 + en,
+                                txt))
+    crf_ner.sort()
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "reach_spark", "_kg_expected.py")
     with open(out, "w") as f:
@@ -190,10 +203,15 @@ def main() -> None:
                 "DEP_EVENTS = [\n")
         for d in dep_events:
             f.write(f"    {d!r},\n")
+        f.write("]\n\n# (fidx, label, start, end, text) — statistical-NER"
+                " rows (crf)\nCRF_NER = [\n")
+        for d in crf_ner:
+            f.write(f"    {d!r},\n")
         f.write("]\n")
     print(f"wrote {out}: {len(triples)} triple rows, {len(edges)} edge "
           f"rows, {len(events)} event rows, {len(pair_tams)} pair rows, "
           f"{len(dep_events)} dep-event rows, "
+          f"{len(crf_ner)} crf-ner rows, "
           f"N={n}, sha={fixture_corpus_sha()}")
     spark.stop()
 
