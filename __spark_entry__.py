@@ -153,6 +153,16 @@ def n5_crf_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crf_ner_df(docs)
 
 
+def p2_polarity_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[P2] Statistical polarity over the interleaved corpus: the
+    averaged-perceptron analog of the DL polarity engine
+    (reach_spark.polarity_ml — role-masked features, committed weights);
+    one row per distinct (evt_label, trigger, ml_sign, agree) with SEEN."""
+    from reach_spark.polarity_ml import polarity_ml_df
+    docs = _interleaved_documents(spark, sf_dir)
+    return polarity_ml_df(docs)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return kg_triples_flagship(spark, "/root/testdata/sf0.001")
@@ -172,6 +182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["t5_precedence"] = t5_precedence
     out["o2_dep_events"] = o2_dep_events
     out["n5_crf_ner"] = n5_crf_ner
+    out["p2_polarity_ml"] = p2_polarity_ml
     return out
 
 
@@ -339,6 +350,25 @@ GROUP BY f.label, f.start, f."end", f.text
 """
 
 
+def _polarity_ml_oracle() -> str:
+    """p2_polarity_ml oracle: per-fixture expected rows precomputed by
+    tools/gen_kg_oracle.py calling the same polarity_ml.polarity_rows."""
+    from reach_spark import _kg_expected as E
+    vals = ",\n".join(
+        f"({f}, {_sql_lit(lb)}, {_sql_lit(tr)}, {_sql_lit(ml)}, {ag})"
+        for f, lb, tr, ml, ag in E.POLARITY_ML)
+    return f"""
+WITH fx(fidx, evt_label, trigger, ml_sign, agree) AS (VALUES
+{vals}
+), occ AS (
+  {_kg_doc_fixture_cte()}
+)
+SELECT f.evt_label, f.trigger, f.ml_sign, f.agree, count(*) AS seen
+FROM occ o JOIN fx f ON f.fidx = o.fidx
+GROUP BY f.evt_label, f.trigger, f.ml_sign, f.agree
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for reg in _REGISTRIES:
@@ -352,4 +382,5 @@ def oracle_sql() -> dict[str, str]:
     out["t5_precedence"] = _t5_oracle()
     out["o2_dep_events"] = _dep_events_oracle()
     out["n5_crf_ner"] = _crf_ner_oracle()
+    out["p2_polarity_ml"] = _polarity_ml_oracle()
     return out

@@ -173,6 +173,17 @@ def main() -> None:
                                 txt))
     crf_ner.sort()
 
+    # ---- per-fixture ML-polarity rows (p2_polarity_ml oracle) -----------
+    # polarity_ml.polarity_rows is the same function the Spark mapInPandas
+    # calls per sentence — one code path defines query and oracle.
+    from reach_spark.polarity_ml import polarity_rows
+    pol_ml = []
+    for i, s in enumerate(sents):
+        for sent in split_sentences(s):
+            for r in polarity_rows(sent, dictionary):
+                pol_ml.append((i,) + r)
+    pol_ml.sort()
+
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "reach_spark", "_kg_expected.py")
     with open(out, "w") as f:
@@ -207,11 +218,15 @@ def main() -> None:
                 " rows (crf)\nCRF_NER = [\n")
         for d in crf_ner:
             f.write(f"    {d!r},\n")
+        f.write("]\n\n# (fidx, evt_label, trigger, ml_sign, agree) — "
+                "ML-polarity rows (polarity_ml)\nPOLARITY_ML = [\n")
+        for d in pol_ml:
+            f.write(f"    {d!r},\n")
         f.write("]\n")
     print(f"wrote {out}: {len(triples)} triple rows, {len(edges)} edge "
           f"rows, {len(events)} event rows, {len(pair_tams)} pair rows, "
           f"{len(dep_events)} dep-event rows, "
-          f"{len(crf_ner)} crf-ner rows, "
+          f"{len(crf_ner)} crf-ner rows, {len(pol_ml)} polarity-ml rows, "
           f"N={n}, sha={fixture_corpus_sha()}")
     spark.stop()
 
