@@ -8,13 +8,25 @@ identical extraction pipeline via foreachBatch, and appended to the triple
 table. Exactly-once is inherited from the streaming checkpoint +
 deterministic mention/event ids (duplicate reprocessing rewrites identical
 rows).
+
+Two EER-rollup strategies ship:
+
+- `stream_pipeline` re-aggregates the FULL occurrence log after each
+  micro-batch (simple, correct, but O(log size) work per batch — fine for
+  bounded backfills, wrong at a 10^12-document firehose).
+- `stream_eer_rollup` is the scale path: a stateful streaming aggregation
+  with `applyInPandasWithState` over the occurrence log. The state store
+  carries one entry per EER equivalence class; each micro-batch touches
+  only the classes it has evidence for, and the sink receives an UPSERT
+  CHANGELOG (only updated classes, stamped with the batch id) instead of
+  a full rewrite — per-batch work is O(batch), independent of history.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .schemas import DOCUMENTS
+from .schemas import DOCUMENTS, TRIPLE_OCCURRENCES
 
 
 def stream_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
@@ -58,3 +70,97 @@ def stream_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# [T2 streaming] stateful EER rollup — applyInPandasWithState
+# ---------------------------------------------------------------------------
+
+_EER_OUT = ("subj string, pred string, obj string, negated boolean, "
+            "hypothesis boolean, is_direct boolean, trigger string, "
+            "found_by string, seen bigint, seen_in array<string>")
+_EER_STATE = ("seen bigint, hypothesis boolean, is_direct boolean, "
+              "trigger string, found_by string, seen_in array<string>")
+
+
+def _eer_update(key, pdfs, state):
+    """Per-equivalence-class state transition: fold this batch's occurrence
+    rows into the running aggregate. MUST mirror triples.assemble_triples
+    exactly (count / any / any / null-skipping min / min / doc-id set) —
+    tests assert state == batch aggregate over the same log."""
+    import pandas as pd
+    subj, pred, obj, negated = key
+    if state.exists:
+        seen, hyp, isd, trig, fby, seen_in = state.get
+        seen_in = set(seen_in)
+    else:
+        seen, hyp, isd, trig, fby, seen_in = 0, False, False, None, None, \
+            set()
+    for pdf in pdfs:
+        seen += len(pdf)
+        hyp = hyp or bool(pdf["hypothesis"].any())
+        isd = isd or bool(pdf["is_direct"].any())
+        t = pdf["trigger"].dropna()
+        if len(t):
+            m = t.min()
+            trig = m if trig is None else min(trig, m)
+        f = pdf["found_by"].min()
+        fby = f if fby is None else min(fby, f)
+        seen_in.update(pdf["doc_id"])
+    sorted_in = sorted(seen_in)
+    state.update((seen, hyp, isd, trig, fby, sorted_in))
+    yield pd.DataFrame([{"subj": subj, "pred": pred, "obj": obj,
+                         "negated": negated, "hypothesis": hyp,
+                         "is_direct": isd, "trigger": trig,
+                         "found_by": fby, "seen": seen,
+                         "seen_in": sorted_in}])
+
+
+def stream_eer_rollup(spark: SparkSession, occ_dir: str, out_dir: str,
+                      checkpoint_dir: str, available_now: bool = True):
+    """Incremental AssemblyManager EER dedup (T2) as a STATEFUL streaming
+    aggregation: readStream over the occurrence log → groupBy the
+    equivalence key → `applyInPandasWithState` (state store holds the
+    running per-class aggregate) → upsert changelog appended to
+    `{out_dir}/triples_eer_updates` stamped with the micro-batch id.
+
+    Scale contract: per-batch work is O(batch rows + touched classes) —
+    the full-log re-aggregate of `stream_pipeline` is never run. State is
+    partitioned by the equivalence key across executors (the same shuffle
+    key the batch aggregate uses), and the changelog sink is the standard
+    parquet-upsert pattern (with an Iceberg/Delta sink this foreachBatch
+    becomes a MERGE INTO). Exactly-once folds come from the file-source
+    checkpoint: a file is offered to the state transition exactly once.
+    `read_eer_state` reconstructs the current table (latest row per key).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    occ = spark.readStream.schema(TRIPLE_OCCURRENCES).parquet(occ_dir)
+    eer = (occ.groupBy("subj", "pred", "obj", "negated")
+           .applyInPandasWithState(_eer_update, _EER_OUT, _EER_STATE,
+                                   "update", GroupStateTimeout.NoTimeout))
+
+    def sink(batch_df, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(f"{out_dir}/triples_eer_updates"))
+
+    writer = (eer.writeStream
+              .outputMode("update")
+              .foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_eer_state(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Current EER table from the upsert changelog: the latest update per
+    equivalence class (same schema as triples.assemble_triples)."""
+    upd = spark.read.parquet(f"{out_dir}/triples_eer_updates")
+    payload = F.struct("hypothesis", "is_direct", "trigger", "found_by",
+                       "seen", "seen_in")
+    return (upd.groupBy("subj", "pred", "obj", "negated")
+            .agg(F.max_by(payload, "batch_id").alias("s"))
+            .select("subj", "pred", "obj", "negated", "s.hypothesis",
+                    "s.is_direct", "s.trigger", "s.found_by", "s.seen",
+                    "s.seen_in"))

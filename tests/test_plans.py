@@ -189,6 +189,56 @@ def test_streaming_multibatch_seen_accumulates(spark, tmp_path):
     assert expected.select(cols).exceptAll(eer.select(cols)).count() == 0
 
 
+def test_stateful_eer_rollup_matches_batch(spark, tmp_path):
+    """applyInPandasWithState EER rollup: two micro-batches over the
+    occurrence log; the reconstructed state table equals the batch
+    aggregate over the FULL log, and the second batch's changelog touches
+    ONLY the classes that batch carried evidence for — the O(batch)
+    incremental property that replaces the full-log re-aggregate."""
+    from reach_spark.pipeline import extract_dataframe
+    from reach_spark.streaming import read_eer_state, stream_eer_rollup
+    from reach_spark.synth import make_documents
+    from reach_spark.triples import assemble_triples
+    occ_dir = str(tmp_path / "occ")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    docs_a = make_documents(spark, n_docs=6, skew_every=0)
+    occ_a = extract_dataframe(spark, docs_a, with_coref=False,
+                              persist=False)["triple_occurrences"]
+    occ_a.write.mode("append").partitionBy("pred").parquet(occ_dir)
+    q = stream_eer_rollup(spark, occ_dir, out_dir, ck_dir)
+    q.awaitTermination(180)
+    run1_max = spark.read.parquet(out_dir + "/triples_eer_updates") \
+        .groupBy().agg(F.max("batch_id")).first()[0]
+    # batch B: disjoint doc ids (prefix), partially different content
+    # (different seed), so some classes accumulate and some stay A-only
+    docs_b = (make_documents(spark, n_docs=4, seed=43, skew_every=0)
+              .withColumn("doc_id",
+                          F.concat(F.lit("b"), F.col("doc_id"))))
+    occ_b = extract_dataframe(spark, docs_b, with_coref=False,
+                              persist=False)["triple_occurrences"]
+    occ_b.write.mode("append").partitionBy("pred").parquet(occ_dir)
+    q = stream_eer_rollup(spark, occ_dir, out_dir, ck_dir)
+    q.awaitTermination(180)
+
+    got = read_eer_state(spark, out_dir)
+    exp = assemble_triples(spark.read.parquet(occ_dir))
+    cols = ["subj", "pred", "obj", "negated", "hypothesis", "is_direct",
+            "trigger", "found_by", "seen", "seen_in"]
+    assert got.select(cols).exceptAll(exp.select(cols)).count() == 0
+    assert exp.select(cols).exceptAll(got.select(cols)).count() == 0
+
+    # incremental property: run-2 changelog keys ⊆ batch-B evidence keys
+    # (set ops are null-safe on the nullable subj), and strictly fewer
+    # rows than the full class count — no full rewrite happened
+    upd = spark.read.parquet(out_dir + "/triples_eer_updates")
+    touched = (upd.where(F.col("batch_id") > run1_max)
+               .select("subj", "pred", "obj", "negated").distinct())
+    b_keys = occ_b.select("subj", "pred", "obj", "negated").distinct()
+    assert touched.exceptAll(b_keys).count() == 0
+    assert 0 < touched.count() < exp.count()
+
+
 def test_kb_bioresources_join_broadcasts(spark):
     """The ≥300k-row bioresources KB join must broadcast the KB side: the
     document/term side streams through a BroadcastHashJoin (no shuffle of
