@@ -544,10 +544,10 @@ def _find_sites(doc_id: str, sent_idx: int, words: list[str],
     found: list[Mention] = []
     engine = _entity_token_rules()
     rules = engine.rules
-    start_re = engine.start_word_re
+    start_ok = engine.start_ok
     i = 0
     while i < n:
-        if start_re is not None and not start_re.search(words[i]):
+        if not start_ok(words[i]):
             i += 1
             continue
         advanced = False

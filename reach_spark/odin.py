@@ -237,6 +237,19 @@ def _unquote(s: str) -> str:
     return re.sub(r"\\(.)", r"\1", s[1:-1])
 
 
+def _expr_fields(expr, acc: set) -> None:
+    """Collect every field name a bool-expr tree tests (for the
+    word-only-gate memoization check)."""
+    op = expr[0]
+    if op == "pred":
+        acc.add(expr[1].field)
+    elif op in ("and", "or"):
+        for e in expr[1]:
+            _expr_fields(e, acc)
+    elif op == "not":
+        _expr_fields(expr[1], acc)
+
+
 def _eval_expr(expr, token_fields: dict[str, Any]) -> bool:
     op = expr[0]
     if op == "pred":
@@ -436,6 +449,28 @@ class TokenRule:
     def __post_init__(self):
         self._prog, self._start = _compile_pattern(self.pattern_src)
         self._first = _first_match_exprs(self._prog, self._start)
+        # when every entry constraint tests only the `word` field, the
+        # gate is a pure function of the token string — memoize it (Zipf:
+        # a corpus repeats words far more than sentences)
+        fields: set[str] = set()
+        for x in (self._first or ()):
+            _expr_fields(x, fields)
+        self._first_word_only = self._first is not None and fields == {
+            "word"}
+        self._first_cache: dict[str, bool] = {}
+
+    def _first_ok(self, fields: list[dict[str, Any]], s: int) -> bool:
+        if self._first is None:
+            return True
+        if self._first_word_only:
+            w = fields[s].get("word", "")
+            hit = self._first_cache.get(w)
+            if hit is None:
+                hit = any(_eval_expr(x, fields[s]) for x in self._first)
+                if len(self._first_cache) < (1 << 17):
+                    self._first_cache[w] = hit
+            return hit
+        return any(_eval_expr(x, fields[s]) for x in self._first)
 
     def find_all(self, fields: list[dict[str, Any]]) -> list[tuple[int, int]]:
         """All (start, end) matches, longest-per-start, left to right.
@@ -445,10 +480,8 @@ class TokenRule:
         ~O(tokens) for the typical rule inside the extraction UDF."""
         n = len(fields)
         out = []
-        first = self._first
         for s in range(n):
-            if first is not None and \
-                    not any(_eval_expr(x, fields[s]) for x in first):
+            if not self._first_ok(fields, s):
                 continue
             e = _run(self._prog, self._start, fields, s, n)
             if e is not None and e > s:
@@ -458,8 +491,7 @@ class TokenRule:
     def match_at(self, fields: list[dict[str, Any]], s: int) -> int | None:
         """Longest match STARTING at token `s` (end-exclusive), or None —
         the primitive for positional first-rule-wins dispatch loops."""
-        if self._first is not None and \
-                not any(_eval_expr(x, fields[s]) for x in self._first):
+        if not self._first_ok(fields, s):
             return None
         e = _run(self._prog, self._start, fields, s, len(fields))
         return e if e is not None and e > s else None
@@ -475,6 +507,19 @@ class TokenRuleEngine:
     def __init__(self, rules: list[TokenRule]):
         self.rules = rules
         self.start_word_re = self._combined_start_re()
+        self._start_cache: dict[str, bool] = {}
+
+    def start_ok(self, word: str) -> bool:
+        """Memoized combined-start-gate test: can ANY rule begin at a
+        token with this word? (True when no combined gate exists.)"""
+        if self.start_word_re is None:
+            return True
+        hit = self._start_cache.get(word)
+        if hit is None:
+            hit = self.start_word_re.search(word) is not None
+            if len(self._start_cache) < (1 << 17):
+                self._start_cache[word] = hit
+        return hit
 
     def _combined_start_re(self) -> re.Pattern | None:
         """One compiled alternation of every rule's first-token word
