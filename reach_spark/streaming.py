@@ -153,6 +153,50 @@ def stream_eer_rollup(spark: SparkSession, occ_dir: str, out_dir: str,
     return writer.start()
 
 
+def stream_ingest_metrics(spark: SparkSession, input_dir: str,
+                          out_dir: str, checkpoint_dir: str,
+                          window: str = "10 seconds",
+                          watermark: str = "30 seconds",
+                          available_now: bool = True):
+    """Ingest telemetry as a WATERMARKED tumbling-window aggregation:
+    arriving document files are stamped with their processing time,
+    `withWatermark` bounds how long a window's state waits for late
+    arrivals, and each window accumulates (docs, text_spans, media_spans,
+    text_chars). Update-mode changelog to `{out_dir}/ingest_metrics`
+    (batch-id-stamped, latest row per window wins — same upsert pattern
+    as the EER rollup); the watermark is what lets the state store EVICT
+    closed windows instead of holding every window ever seen — the
+    unbounded-runtime requirement for a continuous 10^12-doc ingest."""
+    src = spark.readStream.schema(DOCUMENTS).parquet(input_dir)
+    is_text = F.filter("spans", lambda s: s["kind"] == F.lit("text"))
+    is_media = F.filter("spans", lambda s: s["kind"] == F.lit("media"))
+    agg = (src.withColumn("ingest_ts", F.current_timestamp())
+           .withWatermark("ingest_ts", watermark)
+           .groupBy(F.window("ingest_ts", window).alias("win"))
+           .agg(F.count("*").alias("docs"),
+                F.sum(F.size(is_text)).alias("text_spans"),
+                F.sum(F.size(is_media)).alias("media_spans"),
+                F.sum(F.aggregate(
+                    is_text, F.lit(0),
+                    lambda a, s: a + F.length(s["text"])))
+                .alias("text_chars"))
+           .select(F.col("win.start").alias("win_start"),
+                   F.col("win.end").alias("win_end"),
+                   "docs", "text_spans", "media_spans", "text_chars"))
+
+    def sink(batch_df, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(f"{out_dir}/ingest_metrics"))
+
+    writer = (agg.writeStream
+              .outputMode("update")
+              .foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def read_eer_state(spark: SparkSession, out_dir: str) -> DataFrame:
     """Current EER table from the upsert changelog: the latest update per
     equivalence class (same schema as triples.assemble_triples)."""

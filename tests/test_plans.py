@@ -239,6 +239,39 @@ def test_stateful_eer_rollup_matches_batch(spark, tmp_path):
     assert 0 < touched.count() < exp.count()
 
 
+def test_stream_ingest_metrics_watermarked(spark, tmp_path):
+    """Watermarked windowed ingest telemetry: the update-mode changelog's
+    latest rows account for every input doc/span, and the streaming plan
+    carries the watermark + stateful window aggregate (eviction-capable
+    state — the unbounded-ingest requirement)."""
+    from reach_spark.streaming import stream_ingest_metrics
+    from reach_spark.synth import make_documents
+    docs_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "out")
+    docs = make_documents(spark, n_docs=8, skew_every=4, skew_repeat=3)
+    docs.write.parquet(docs_dir)
+    q = stream_ingest_metrics(spark, docs_dir, out_dir,
+                              str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    m = spark.read.parquet(out_dir + "/ingest_metrics")
+    latest = (m.groupBy("win_start", "win_end")
+              .agg(F.max_by(F.struct("docs", "text_spans", "media_spans",
+                                     "text_chars"), "batch_id").alias("s"))
+              .select("s.*"))
+    tot = latest.groupBy().sum("docs", "text_spans", "media_spans",
+                               "text_chars").first()
+    exp = docs.select(
+        F.count("*"),
+        F.sum(F.size(F.filter("spans",
+                              lambda s: s["kind"] == F.lit("text")))),
+        F.sum(F.size(F.filter("spans",
+                              lambda s: s["kind"] == F.lit("media")))),
+        F.sum(F.aggregate(
+            F.filter("spans", lambda s: s["kind"] == F.lit("text")),
+            F.lit(0), lambda a, s: a + F.length(s["text"])))).first()
+    assert tuple(tot) == tuple(exp)
+
+
 def test_kb_bioresources_join_broadcasts(spark):
     """The ≥300k-row bioresources KB join must broadcast the KB side: the
     document/term side streams through a BroadcastHashJoin (no shuffle of
