@@ -153,6 +153,17 @@ def n5_crf_ner(spark: SparkSession, sf_dir: str) -> DataFrame:
     return crf_ner_df(docs)
 
 
+def o1_token_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[O1] Token-pattern rule engine over the interleaved corpus: the
+    mentions produced by the compiled rules/entity_tokens.yml patterns
+    (reach_spark.odin Thompson-NFA TokenPattern analog) as they survive
+    the cascade; one row per distinct (rule, label, start, end, text,
+    canonical) with SEEN."""
+    from reach_spark.extract import token_rules_df
+    docs = _interleaved_documents(spark, sf_dir)
+    return token_rules_df(docs)
+
+
 def p2_polarity_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[P2] Statistical polarity over the interleaved corpus: the
     averaged-perceptron analog of the DL polarity engine
@@ -182,6 +193,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["t5_precedence"] = t5_precedence
     out["o2_dep_events"] = o2_dep_events
     out["n5_crf_ner"] = n5_crf_ner
+    out["o1_token_rules"] = o1_token_rules
     out["p2_polarity_ml"] = p2_polarity_ml
     return out
 
@@ -350,6 +362,28 @@ GROUP BY f.label, f.start, f."end", f.text
 """
 
 
+def _o1_token_rules_oracle() -> str:
+    """o1_token_rules oracle: per-fixture expected rows precomputed by
+    tools/gen_kg_oracle.py calling the same extract.o1_rows the Spark
+    mapInPandas calls."""
+    from reach_spark import _kg_expected as E
+    vals = ",\n".join(
+        f"({f}, {_sql_lit(r)}, {_sql_lit(lab)}, {st}, {en}, "
+        f"{_sql_lit(t)}, {_sql_lit(c)})"
+        for f, r, lab, st, en, t, c in E.O1_SITES)
+    return f"""
+WITH fx(fidx, rule, label, start, "end", text, canonical) AS (VALUES
+{vals}
+), occ AS (
+  {_kg_doc_fixture_cte()}
+)
+SELECT f.rule, f.label, f.start, f."end", f.text, f.canonical,
+       count(*) AS seen
+FROM occ o JOIN fx f ON f.fidx = o.fidx
+GROUP BY f.rule, f.label, f.start, f."end", f.text, f.canonical
+"""
+
+
 def _polarity_ml_oracle() -> str:
     """p2_polarity_ml oracle: per-fixture expected rows precomputed by
     tools/gen_kg_oracle.py calling the same polarity_ml.polarity_rows."""
@@ -382,5 +416,6 @@ def oracle_sql() -> dict[str, str]:
     out["t5_precedence"] = _t5_oracle()
     out["o2_dep_events"] = _dep_events_oracle()
     out["n5_crf_ner"] = _crf_ner_oracle()
+    out["o1_token_rules"] = _o1_token_rules_oracle()
     out["p2_polarity_ml"] = _polarity_ml_oracle()
     return out

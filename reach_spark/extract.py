@@ -4138,3 +4138,70 @@ def extract_sentence(doc_id: str, sent_idx: int, sent_text: str,
                            emit_generic=emit_generic)
     mentions = ex.run()
     return ann, mentions
+
+
+# ---------------------------------------------------------------------------
+# [O1] token-rule query surface (driver row o1_token_rules)
+# ---------------------------------------------------------------------------
+
+def o1_rows(sent_text: str,
+            dictionary: dict[str, tuple[str, ...]]) -> list[tuple]:
+    """(rule, label, start, end, text, canonical) rows for one sentence:
+    the mentions produced by the compiled entity_tokens.yml token rules
+    (found_by carries the action stamp, all `site-*`) as they survive the
+    full cascade — the unit shared by the Spark query and the oracle
+    generator (one code path, like crf.crf_rows / odin_graph.match_rows).
+    The mutant_tokens.yml family surfaces as Mutant mods on entities and
+    is exercised through the flagship oracle instead."""
+    _, mentions = extract_sentence("d", 0, sent_text, dictionary)
+    out = [(m["found_by"], m["label"], m["start"], m["end"], m["text"],
+            m.get("canonical"))
+           for m in mentions if m.get("found_by", "").startswith("site-")]
+    out.sort()
+    return out
+
+
+def token_rules_df(documents) -> "DataFrame":  # noqa: F821
+    """[O1] Corpus-wide token-rule mention table over interleaved
+    documents: one row per distinct (rule, label, start, end, text,
+    canonical) with corpus SEEN count. Spark shape: span explode →
+    Arrow-batched mapInPandas memoized per distinct span text → hash
+    aggregate with map-side combine."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from .annotate import text_spans
+    from .resources import entity_dictionary
+
+    spans = text_spans(documents)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dictionary = entity_dictionary()
+        memo: dict[str, list[tuple]] = {}
+        cols = ["doc_id", "rule", "label", "start", "end", "text",
+                "canonical"]
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["span_text"]):
+                if not text:
+                    continue
+                res = memo.get(text)
+                if res is None:
+                    res = []
+                    for si, sent in enumerate(split_sentences(text)):
+                        res.extend((r[0], r[1], si * 1000 + r[2],
+                                    si * 1000 + r[3], r[4], r[5])
+                                   for r in o1_rows(sent, dictionary))
+                    if len(memo) < 100_000:
+                        memo[text] = res
+                for r in res:
+                    rows.append((doc_id,) + r)
+            yield pd.DataFrame(rows, columns=cols)
+
+    ev = spans.mapInPandas(
+        gen, schema="doc_id string, rule string, label string, start int, "
+                    "end int, text string, canonical string")
+    return (ev.groupBy("rule", "label", "start", "end", "text", "canonical")
+              .agg(F.count("*").alias("seen")))

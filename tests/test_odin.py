@@ -173,3 +173,21 @@ rules:
     f = F(["Ser-785", "binds", "RBD"], lemma=["ser-785", "bind", "rbd"])
     hits = [(r.name, s, e) for r, s, e in eng.match_sentence(f)]
     assert hits == [("site_3letter", 0, 1), ("site_known_domain", 2, 3)]
+
+
+class TestO1QuerySurface:
+    def test_o1_rows_shared_code_path(self):
+        from reach_spark.extract import o1_rows
+        from reach_spark.resources import entity_dictionary
+        rows = o1_rows(
+            "MEK phosphorylates ERK at serine 125 and threonine 202.",
+            entity_dictionary())
+        assert ("site-aa-num", "Site", 4, 6, "serine 125", "S125") in rows
+        assert ("site-aa-num", "Site", 7, 9, "threonine 202", "T202") \
+            in rows
+
+    def test_o1_rows_only_token_rule_mentions(self):
+        from reach_spark.extract import o1_rows
+        from reach_spark.resources import entity_dictionary
+        rows = o1_rows("MEK activates ERK.", entity_dictionary())
+        assert rows == []  # dictionary NER + events are not O1 output

@@ -173,6 +173,18 @@ def main() -> None:
                                 txt))
     crf_ner.sort()
 
+    # ---- per-fixture token-rule rows (o1_token_rules oracle) ------------
+    # extract.o1_rows is the same function the Spark mapInPandas calls per
+    # sentence (si*1000 span offsets match extract.token_rules_df)
+    from reach_spark.extract import o1_rows
+    o1_sites = []
+    for i, s in enumerate(sents):
+        for si, sent in enumerate(split_sentences(s)):
+            for rule, lab, st, en, txt, canon in o1_rows(sent, dictionary):
+                o1_sites.append((i, rule, lab, si * 1000 + st,
+                                 si * 1000 + en, txt, canon))
+    o1_sites.sort()
+
     # ---- per-fixture ML-polarity rows (p2_polarity_ml oracle) -----------
     # polarity_ml.polarity_rows is the same function the Spark mapInPandas
     # calls per sentence — one code path defines query and oracle.
@@ -222,11 +234,16 @@ def main() -> None:
                 "ML-polarity rows (polarity_ml)\nPOLARITY_ML = [\n")
         for d in pol_ml:
             f.write(f"    {d!r},\n")
+        f.write("]\n\n# (fidx, rule, label, start, end, text, canonical) —"
+                " token-rule rows (o1)\nO1_SITES = [\n")
+        for d in o1_sites:
+            f.write(f"    {d!r},\n")
         f.write("]\n")
     print(f"wrote {out}: {len(triples)} triple rows, {len(edges)} edge "
           f"rows, {len(events)} event rows, {len(pair_tams)} pair rows, "
           f"{len(dep_events)} dep-event rows, "
           f"{len(crf_ner)} crf-ner rows, {len(pol_ml)} polarity-ml rows, "
+          f"{len(o1_sites)} o1-site rows, "
           f"N={n}, sha={fixture_corpus_sha()}")
     spark.stop()
 
