@@ -389,7 +389,10 @@ def _mutant_shapes() -> list[tuple[re.Pattern, str]]:
     return _MUTANT_SHAPES
 
 
+@lru_cache(maxsize=65536)
 def _mutant_shape(w: str) -> str | None:
+    """Pure function of the token (patterns are static rule data) —
+    memoized like _match_trigger_cached; hot in attach_entity_mods."""
     for pat, mtype in _mutant_shapes():
         if pat.search(w):
             return mtype
