@@ -174,6 +174,40 @@ def p2_polarity_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polarity_ml_df(docs)
 
 
+def _eer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The materialized triples (EER) table for the downstream graph
+    queries — same pipeline invocation as kg_triples_flagship."""
+    from reach_spark.pipeline import extract_dataframe
+    docs = _interleaved_documents(spark, sf_dir)
+    res = extract_dataframe(spark, docs, with_coref=False)
+    return res["triples"].select("subj", "pred", "obj", "negated", "seen")
+
+
+def kg_entity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph] Per-node degree/evidence over the materialized KG: in/out
+    class-degree and SEEN mass per entity node (graph_ops.entity_degree —
+    one union + one hash aggregate over the EER table)."""
+    from reach_spark.graph_ops import entity_degree
+    return entity_degree(_eer_table(spark, sf_dir))
+
+
+def kg_reg_chains_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph] Two-hop interaction chains a→b→c over asserted triples:
+    equi self-join of the EER table on the chain node, weakest-link
+    support (graph_ops.two_hop_chains)."""
+    from reach_spark.graph_ops import two_hop_chains
+    return two_hop_chains(_eer_table(spark, sf_dir))
+
+
+def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph] Fixed-point integer PageRank (3 iterations, damping 0.85,
+    scale 1e6) over the distinct asserted edge set of the materialized KG
+    (graph_ops.pagerank_fp) — all-integer arithmetic so ranks are
+    bit-identical across engines and summation orders."""
+    from reach_spark.graph_ops import pagerank_fp
+    return pagerank_fp(_eer_table(spark, sf_dir), iters=3)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return kg_triples_flagship(spark, "/root/testdata/sf0.001")
@@ -195,6 +229,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["n5_crf_ner"] = n5_crf_ner
     out["o1_token_rules"] = o1_token_rules
     out["p2_polarity_ml"] = p2_polarity_ml
+    out["kg_entity_degree"] = kg_entity_degree
+    out["kg_reg_chains_2hop"] = kg_reg_chains_2hop
+    out["kg_pagerank"] = kg_pagerank
     return out
 
 
@@ -211,27 +248,109 @@ def _kg_doc_fixture_cte() -> str:
             f"UNION ALL SELECT ((doc_id * 7 + 3) % {n}) FROM documents")
 
 
-def _flagship_oracle() -> str:
-    """The extraction cascade is not SQL-expressible, but its OUTPUT on the
-    deterministic fixture corpus is: per-fixture expected triples were
-    precomputed once by tools/gen_kg_oracle.py (running the real pipeline
-    per fixture, with cross-fixture independence validated), so the corpus
-    EER table = per-fixture triples × the doc→fixture mapping, aggregated
-    on the equivalence key."""
+def _eer_cte() -> str:
+    """Shared WITH-clause body reconstructing the corpus EER (triples)
+    table from per-fixture expected triples (precomputed by
+    tools/gen_kg_oracle.py running the real pipeline per fixture, with
+    cross-fixture independence validated) × the doc→fixture mapping,
+    aggregated on the equivalence key. Used by the flagship oracle and by
+    every downstream graph-analytics oracle (degree / chains / pagerank)."""
     from reach_spark import _kg_expected as E
     vals = ",\n".join(
         f"({f}, {_sql_lit(s)}, {_sql_lit(p)}, {_sql_lit(o)}, "
         f"{'TRUE' if neg else 'FALSE'})"
         for f, s, p, o, neg in E.TRIPLES)
-    return f"""
-WITH fx(fidx, subj, pred, obj, negated) AS (VALUES
+    return f"""fx(fidx, subj, pred, obj, negated) AS (VALUES
 {vals}
 ), occ AS (
   {_kg_doc_fixture_cte()}
+), eer AS (
+  SELECT f.subj, f.pred, f.obj, f.negated, count(*) AS seen
+  FROM occ o JOIN fx f ON f.fidx = o.fidx
+  GROUP BY f.subj, f.pred, f.obj, f.negated
+)"""
+
+
+def _flagship_oracle() -> str:
+    """The extraction cascade is not SQL-expressible, but its OUTPUT on the
+    deterministic fixture corpus is — see _eer_cte."""
+    return f"""
+WITH {_eer_cte()}
+SELECT subj, pred, obj, negated, seen FROM eer
+"""
+
+
+def _entity_degree_oracle() -> str:
+    """kg_entity_degree oracle: per-node class-degree + evidence mass over
+    the reconstructed EER table (same union+aggregate as
+    graph_ops.entity_degree). SUMs are cast to BIGINT because DuckDB
+    widens integer SUM to HUGEINT."""
+    return f"""
+WITH {_eer_cte()},
+ud AS (
+  SELECT subj AS node, 1 AS od, 0 AS id_, seen AS os, 0 AS is_
+  FROM eer WHERE subj IS NOT NULL
+  UNION ALL
+  SELECT obj, 0, 1, 0, seen FROM eer WHERE obj IS NOT NULL
 )
-SELECT f.subj, f.pred, f.obj, f.negated, count(*) AS seen
-FROM occ o JOIN fx f ON f.fidx = o.fidx
-GROUP BY f.subj, f.pred, f.obj, f.negated
+SELECT node,
+       CAST(sum(od) AS BIGINT) AS out_deg,
+       CAST(sum(id_) AS BIGINT) AS in_deg,
+       CAST(sum(os) AS BIGINT) AS out_seen,
+       CAST(sum(is_) AS BIGINT) AS in_seen
+FROM ud GROUP BY node
+"""
+
+
+def _two_hop_chains_oracle() -> str:
+    """kg_reg_chains_2hop oracle: asserted-triple self-join on the chain
+    node (t1.obj = t2.subj), weakest-link support."""
+    return f"""
+WITH {_eer_cte()},
+t AS (
+  SELECT subj, pred, obj, seen FROM eer
+  WHERE NOT negated AND subj IS NOT NULL AND obj IS NOT NULL
+)
+SELECT t1.subj AS a, t1.pred AS pred1, t1.obj AS b,
+       t2.pred AS pred2, t2.obj AS c,
+       CAST(least(t1.seen, t2.seen) AS BIGINT) AS support
+FROM t t1 JOIN t t2 ON t1.obj = t2.subj
+"""
+
+
+def _pagerank_oracle(iters: int = 3) -> str:
+    """kg_pagerank oracle: the fixed-point integer PageRank of
+    graph_ops.pagerank_fp unrolled to `iters` join+aggregate rounds.
+    Integer (truncating-on-positives) division in both engines makes the
+    scaled ranks bit-identical — float PageRank could not be
+    hash-compared."""
+    from reach_spark.graph_ops import (PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE,
+                                       PR_TELEPORT)
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(f"""c{i} AS (
+  SELECT e.dst AS node, CAST(sum(r.pr // o.outdeg) AS BIGINT) AS contrib
+  FROM edges e JOIN {prev} r ON r.node = e.src JOIN od o ON o.src = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT n.node,
+         CAST({PR_TELEPORT} + ({PR_DAMP_NUM} * coalesce(c.contrib, 0))
+              // {PR_DAMP_DEN} AS BIGINT) AS pr
+  FROM nodes n LEFT JOIN c{i} c ON c.node = n.node
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH {_eer_cte()},
+edges AS (
+  SELECT DISTINCT subj AS src, obj AS dst FROM eer
+  WHERE NOT negated AND subj IS NOT NULL AND obj IS NOT NULL
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes),
+{",".join(steps)}
+SELECT node, pr AS pr_fp FROM {prev}
 """
 
 
@@ -418,4 +537,7 @@ def oracle_sql() -> dict[str, str]:
     out["n5_crf_ner"] = _crf_ner_oracle()
     out["o1_token_rules"] = _o1_token_rules_oracle()
     out["p2_polarity_ml"] = _polarity_ml_oracle()
+    out["kg_entity_degree"] = _entity_degree_oracle()
+    out["kg_reg_chains_2hop"] = _two_hop_chains_oracle()
+    out["kg_pagerank"] = _pagerank_oracle(iters=3)
     return out

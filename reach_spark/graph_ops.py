@@ -1,0 +1,151 @@
+"""Downstream KG analytics over the materialized triples (EER) table.
+
+The reference stops at exporting the assembled triples (export/.../arizona/
+ArizonaOutputter.scala:14-62; assembly/.../export/AssemblyExporter.scala:
+114-180) — downstream consumption happens in the DARPA pipeline outside the
+repo. For a Spark-native KG engine the natural next layer is first-class:
+graph queries over the materialized `(subj, pred, obj, negated, seen)`
+table. Three operators, each a pure DataFrame composition (no Python UDF):
+
+- `entity_degree`     — per-node in/out class-degree and evidence mass.
+- `two_hop_chains`    — regulation chains a -pred1-> b -pred2-> c via a
+                        self-join on the node key (obj == subj).
+- `pagerank_fp`       — fixed-iteration PageRank in *fixed-point integer*
+                        arithmetic (scaled 1e6, integer division), so the
+                        result is bit-identical across engines and
+                        summation orders — float PageRank cannot be
+                        hash-compared between Spark and an oracle; this
+                        can.
+
+Scale notes (10^12-doc corpus): all three consume the EER table, whose
+cardinality is bounded by the distinct-interaction vocabulary (classes, not
+occurrences) — orders of magnitude smaller than the corpus. `two_hop_chains`
+shuffles both sides on the chain node key (an equi-join Catalyst plans as
+sort-merge/shuffled-hash; never a cartesian — plan-guarded in
+tests/test_plans.py). `pagerank_fp` keeps the rank vector keyed by node and
+re-joins the static edge list each iteration: at cluster scale the edge list
+would be pre-partitioned/bucketed on `src` once and reused, and the bounded
+iteration count (default 3) keeps lineage shallow (no checkpoint needed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# PageRank fixed-point parameters: ranks are scaled by 1e6; damping 0.85 is
+# applied as  new = 150_000 + (850 * contrib_sum) div 1000  — all-integer,
+# deterministic regardless of partitioning / summation order.
+PR_SCALE = 1_000_000
+PR_TELEPORT = 150_000  # 0.15 * PR_SCALE
+PR_DAMP_NUM = 850      # 0.85 as 850/1000
+PR_DAMP_DEN = 1_000
+
+
+def kg_edges(triples: DataFrame, asserted_only: bool = True) -> DataFrame:
+    """Distinct directed (src, dst) node pairs from the EER table.
+
+    subj is null for un-regulated simple events (those rows are node
+    *occurrences* of obj but not edges). `asserted_only` drops negated
+    classes — a chain through a negated assertion is not evidence of a
+    pathway.
+    """
+    t = triples
+    if asserted_only:
+        t = t.filter(~F.col("negated"))
+    return (t.filter(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+             .select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+             .distinct())
+
+
+def entity_degree(triples: DataFrame) -> DataFrame:
+    """Per-node degree over EER classes: out_deg / in_deg count distinct
+    interaction classes the node participates in as subject / object;
+    out_seen / in_seen sum the corpus evidence (SEEN) of those classes.
+
+    One union + one hash aggregate (map-side combinable) — no join, no
+    window. Nodes appearing only as obj get out_deg 0 and vice versa.
+    """
+    as_subj = (triples.filter(F.col("subj").isNotNull())
+               .select(F.col("subj").alias("node"),
+                       F.lit(1).cast("long").alias("od"),
+                       F.lit(0).cast("long").alias("id_"),
+                       F.col("seen").cast("long").alias("os"),
+                       F.lit(0).cast("long").alias("is_")))
+    as_obj = (triples.filter(F.col("obj").isNotNull())
+              .select(F.col("obj").alias("node"),
+                      F.lit(0).cast("long").alias("od"),
+                      F.lit(1).cast("long").alias("id_"),
+                      F.lit(0).cast("long").alias("os"),
+                      F.col("seen").cast("long").alias("is_")))
+    return (as_subj.unionByName(as_obj)
+            .groupBy("node")
+            .agg(F.sum("od").alias("out_deg"),
+                 F.sum("id_").alias("in_deg"),
+                 F.sum("os").alias("out_seen"),
+                 F.sum("is_").alias("in_seen")))
+
+
+def two_hop_chains(triples: DataFrame) -> DataFrame:
+    """Two-hop interaction chains a -pred1-> b -pred2-> c over asserted
+    (non-negated) EER classes: an equi self-join on the chain node
+    (t1.obj == t2.subj). `support` is the weakest-link evidence
+    min(seen1, seen2).
+
+    Rows are distinct by construction: the EER table is unique on
+    (subj, pred, obj, negated) and both sides are filtered to
+    negated = false.
+    """
+    t = (triples.filter(~F.col("negated") & F.col("subj").isNotNull()
+                        & F.col("obj").isNotNull())
+         .select("subj", "pred", "obj", "seen"))
+    t1 = t.select(F.col("subj").alias("a"), F.col("pred").alias("pred1"),
+                  F.col("obj").alias("b"), F.col("seen").alias("_s1"))
+    t2 = t.select(F.col("subj").alias("b"), F.col("pred").alias("pred2"),
+                  F.col("obj").alias("c"), F.col("seen").alias("_s2"))
+    return (t1.join(t2, "b")
+            .select("a", "pred1", "b", "pred2", "c",
+                    F.least("_s1", "_s2").cast("long").alias("support")))
+
+
+def pagerank_fp(triples: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-point integer PageRank over the distinct asserted edge set.
+
+    Every node starts at PR_SCALE; each iteration a node sends
+    rank div outdeg along each out-edge and receives
+    PR_TELEPORT + (PR_DAMP_NUM * sum(received)) div PR_DAMP_DEN.
+    Dangling nodes (no out-edges) redistribute nothing — the standard
+    simplification; ranks then measure received endorsement mass rather
+    than forming a strict probability distribution, which is what a
+    KG-importance ranking needs. All arithmetic is int64 with truncating
+    division, so the result is deterministic across engines, partition
+    counts and summation orders (why: float `sum` is order-dependent and
+    would break hash comparison against the DuckDB oracle).
+
+    Output: (node, pr_fp) — pr_fp is the scaled-integer rank after
+    `iters` iterations.
+    """
+    # edges is consumed by nodes/outdeg/send and re-read every iteration;
+    # eagerly truncate its lineage once so the (potentially expensive)
+    # upstream pipeline plan isn't replayed per consumer and the iteration
+    # plans stay small
+    edges = kg_edges(triples).localCheckpoint(eager=True)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    # the static (src, outdeg, dst) relation is reused every iteration
+    send = edges.join(outdeg, "src")
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("pr_fp"))
+    for _ in range(iters):
+        contrib = (send.join(ranks.withColumnRenamed("node", "src"), "src")
+                   .select(F.col("dst").alias("node"),
+                           F.expr("pr_fp div outdeg").alias("c"))
+                   .groupBy("node")
+                   .agg(F.sum("c").alias("contrib")))
+        ranks = (nodes.join(contrib, "node", "left")
+                 .select("node",
+                         (F.lit(PR_TELEPORT)
+                          + F.expr(f"({PR_DAMP_NUM} * coalesce(contrib, 0L))"
+                                   f" div {PR_DAMP_DEN}"))
+                         .cast("long").alias("pr_fp")))
+    return ranks

@@ -1,0 +1,104 @@
+"""Downstream KG analytics (graph_ops) over the materialized triples table:
+degree, two-hop chains, fixed-point PageRank — hand-computed expectations on
+a small synthetic EER table, determinism/invariance properties, and a plan
+gate (the chain self-join must be an equi-join, never cartesian/BNLJ).
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from reach_spark.graph_ops import (PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE,
+                                   PR_TELEPORT, entity_degree, kg_edges,
+                                   pagerank_fp, two_hop_chains)
+
+SCHEMA = "subj string, pred string, obj string, negated boolean, seen long"
+
+# a -P-> b (seen 3), b -Q-> c (seen 1), a -R-> c (seen 2),
+# negated a->b (dropped from edges/chains), subj-null simple event on c
+ROWS = [
+    ("a", "P", "b", False, 3),
+    ("b", "Q", "c", False, 1),
+    ("a", "R", "c", False, 2),
+    ("a", "N", "b", True, 5),
+    (None, "Phosphorylation", "c", False, 7),
+]
+
+
+@pytest.fixture()
+def eer(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def test_kg_edges_distinct_asserted(eer):
+    got = {(r.src, r.dst) for r in kg_edges(eer).collect()}
+    assert got == {("a", "b"), ("b", "c"), ("a", "c")}
+    # negated rows kept when asserted_only=False
+    got_all = {(r.src, r.dst)
+               for r in kg_edges(eer, asserted_only=False).collect()}
+    assert got_all == got  # (a,b) already present — still distinct
+
+
+def test_entity_degree(eer):
+    rows = {r.node: r for r in entity_degree(eer).collect()}
+    # a: subj of 3 classes (incl. negated), never obj
+    assert (rows["a"].out_deg, rows["a"].in_deg) == (3, 0)
+    assert rows["a"].out_seen == 3 + 2 + 5 and rows["a"].in_seen == 0
+    # b: subj of 1, obj of 2 (asserted + negated)
+    assert (rows["b"].out_deg, rows["b"].in_deg) == (1, 2)
+    assert rows["b"].out_seen == 1 and rows["b"].in_seen == 3 + 5
+    # c: obj of 3 classes incl. the subj-null simple event
+    assert (rows["c"].out_deg, rows["c"].in_deg) == (0, 3)
+    assert rows["c"].in_seen == 1 + 2 + 7
+
+
+def test_two_hop_chains(eer):
+    got = {(r.a, r.pred1, r.b, r.pred2, r.c, r.support)
+           for r in two_hop_chains(eer).collect()}
+    # only asserted 2-hop path: a -P-> b -Q-> c, support = min(3, 1)
+    assert got == {("a", "P", "b", "Q", "c", 1)}
+
+
+def test_pagerank_hand_computed(eer):
+    """One iteration by hand on the 3-edge graph: a has outdeg 2, b outdeg 1.
+    contrib(b) = PR_SCALE div 2; contrib(c) = PR_SCALE div 2 + PR_SCALE."""
+    ranks = {r.node: r.pr_fp for r in pagerank_fp(eer, iters=1).collect()}
+    half = PR_SCALE // 2
+
+    def step(contrib):
+        return PR_TELEPORT + (PR_DAMP_NUM * contrib) // PR_DAMP_DEN
+
+    assert ranks["a"] == PR_TELEPORT  # no in-edges
+    assert ranks["b"] == step(half)
+    assert ranks["c"] == step(half + PR_SCALE)
+
+
+def test_pagerank_deterministic_across_partitioning(eer, spark):
+    """Fixed-point integer arithmetic: identical ranks regardless of
+    partition count (float PageRank would differ in the last ulps)."""
+    base = sorted((r.node, r.pr_fp)
+                  for r in pagerank_fp(eer, iters=3).collect())
+    re = sorted((r.node, r.pr_fp)
+                for r in pagerank_fp(eer.repartition(7), iters=3).collect())
+    assert base == re
+    # iterating changes ranks (the fixpoint is not reached at iter 1)
+    one = sorted((r.node, r.pr_fp)
+                 for r in pagerank_fp(eer, iters=1).collect())
+    assert base != one
+
+
+def test_pagerank_mass_bounds(eer):
+    """Every rank is >= teleport mass; sink ranks exceed source ranks on
+    this DAG (endorsement flows a -> b -> c)."""
+    ranks = {r.node: r.pr_fp for r in pagerank_fp(eer, iters=3).collect()}
+    assert all(v >= PR_TELEPORT for v in ranks.values())
+    assert ranks["c"] > ranks["b"] > ranks["a"]
+
+
+def test_two_hop_join_is_equi_not_cartesian(eer):
+    """Plan gate: the chain self-join must hash/sort-merge on the node key —
+    a cartesian or broadcast-nested-loop here is the 100 TB killer."""
+    plan = two_hop_chains(eer)._sc._jvm.PythonSQLUtils.explainString(
+        two_hop_chains(eer)._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
