@@ -1,0 +1,94 @@
+"""Out-of-fixture generalization gate: sentences built from symbols that
+appear in NO fixture and NO KB dictionary, through the full pipeline.
+
+The fixture corpus (810 cases) gates parity with the reference; this file
+gates the opposite risk — an engine tuned to its own test set. Every clause
+shape here exercises a grammar family on entities only the shape-NER/CRF
+tier can catch (digit/camel-case symbols → uaz failsafe grounding,
+AzFailsafeKB.scala analog), so a regression that narrows recall to
+memorized surface forms fails here even with fixtures green.
+"""
+
+import pytest
+
+from pyspark.sql import Row
+
+from reach_spark.pipeline import extract_dataframe
+
+# deliberately unattested symbols: not in fixtures.py, kb_data, or rules
+SENTS = [
+    "ZQX741 phosphorylates YWB233.",                                # active
+    "YWB233 is ubiquitinated by ZQX741.",                           # passive
+    "The binding of ZQX741 to YWB233 was observed.",                # nominal
+    "ZQX741 inhibits the transcription of YWB233.",                 # neg reg
+    "Overexpression of ZQX741 increased the acetylation of YWB233 "
+    "by QRT55.",                                                    # nested
+    "ZQX741 fails to promote the hydrolysis of YWB233.",            # negation
+]
+
+
+@pytest.fixture(scope="module")
+def novel_results(spark):
+    rows = [Row(doc_id=f"nov{i}",
+                spans=[Row(kind="text", text=s, media_ref="", offset=0)])
+            for i, s in enumerate(SENTS)]
+    res = extract_dataframe(spark, spark.createDataFrame(rows),
+                            with_coref=False)
+    return {"triples": res["triples"].collect(),
+            "entities": res["entities"].collect()}
+
+
+def _has(trips, subj_sym, pred, obj_sym, negated=False):
+    return any(
+        (t["subj"] or "").startswith(f"{subj_sym}::uaz:")
+        and t["pred"] == pred
+        and (t["obj"] or "").startswith(f"{obj_sym}::uaz:")
+        and t["negated"] is negated
+        for t in trips)
+
+
+def test_novel_symbols_ground_to_failsafe(novel_results):
+    """Unseen symbols are still mentions — caught by the shape tier and
+    grounded with uaz failsafe ids (never dropped, never crashing the
+    broadcast-join grounding on an empty hit set)."""
+    ents = {e["text"]: e["g_ns"] for e in novel_results["entities"]}
+    for sym in ("ZQX741", "YWB233", "QRT55"):
+        assert ents.get(sym) == "uaz"
+
+
+def test_active_voice_regulation(novel_results):
+    assert _has(novel_results["triples"], "ZQX741",
+                "Positive_regulation->Phosphorylation", "YWB233")
+
+
+def test_passive_voice_regulation(novel_results):
+    assert _has(novel_results["triples"], "ZQX741",
+                "Positive_regulation->Ubiquitination", "YWB233")
+
+
+def test_nominal_binding(novel_results):
+    bind = [t for t in novel_results["triples"] if t["pred"] == "Binding"
+            and "ZQX741" in (t["subj"] or "") + (t["obj"] or "")
+            and "YWB233" in (t["subj"] or "") + (t["obj"] or "")]
+    assert len(bind) == 1
+
+
+def test_negative_regulation_verb(novel_results):
+    assert _has(novel_results["triples"], "ZQX741",
+                "Negative_regulation->Transcription", "YWB233")
+
+
+def test_nested_wrapper_and_by_phrase(novel_results):
+    """'Overexpression of A increased the acetylation of B by C' →
+    both the wrapper subject A and the by-phrase agent C control the
+    acetylation (multi-controller nested regulation)."""
+    trips = novel_results["triples"]
+    assert _has(trips, "ZQX741", "Positive_regulation->Acetylation",
+                "YWB233")
+    assert _has(trips, "QRT55", "Positive_regulation->Acetylation",
+                "YWB233")
+
+
+def test_negation_parity_on_novel_event(novel_results):
+    assert _has(novel_results["triples"], "ZQX741",
+                "Positive_regulation->Hydrolysis", "YWB233", negated=True)
