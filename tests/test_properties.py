@@ -1,0 +1,144 @@
+"""Property-based tests (hypothesis) for the contracts the engine's
+correctness rests on but example tests can only spot-check:
+
+- tokenizer offset algebra (every token is an exact slice of the
+  dash-normalized source; spans ascending and non-overlapping; no
+  non-whitespace character lost),
+- the north-rule span-sequence invariant (extract_text reassembles the
+  text spans in offset order for ANY interleaving/permutation of spans),
+- connected-components equivalence to a union-find oracle on random
+  graphs,
+- fixed-point PageRank partitioning invariance on random graphs.
+
+Spark-backed properties cap max_examples (each example is a Spark job);
+the pure-Python tokenizer property runs at full default volume.
+"""
+
+import string
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import Row
+
+from reach_spark.extract import annotate_sentence
+
+ALPHABET = (string.ascii_letters + string.digits +
+            " ()-,./?!:;'\"%+=[]*&#@αβΔ–‐−")
+# the tokenizer normalizes unicode dash variants to ASCII '-' (1:1 length,
+# extract.py en-dash complex handling) before matching
+_DASHES = str.maketrans({"–": "-", "‐": "-", "−": "-"})
+
+
+@given(st.text(alphabet=ALPHABET, max_size=60))
+@settings(max_examples=300)
+def test_tokenizer_offset_algebra(s):
+    a = annotate_sentence(s)
+    words, starts, ends = a["words"], a["start_offsets"], a["end_offsets"]
+    norm = s.translate(_DASHES)
+    prev_end = -1
+    for w, st_, en in zip(words, starts, ends):
+        assert st_ < en, (s, w)
+        assert st_ >= prev_end, (s, w)          # ascending, non-overlapping
+        assert norm[st_:en] == w, (s, w)        # exact source slice
+        prev_end = en
+    # nothing lost: concatenated tokens == source minus whitespace
+    assert "".join(words) == "".join(norm.split())
+    # parallel arrays stay parallel through POS/lemma annotation
+    assert len(words) == len(a["tags"]) == len(a["lemmas"])
+
+
+# --- Spark-backed properties (module-scoped session from conftest) ------
+
+spans_strategy = st.lists(
+    st.tuples(st.sampled_from(["text", "media"]),
+              st.text(alphabet=string.ascii_lowercase + " ", min_size=1,
+                      max_size=12)),
+    min_size=1, max_size=6,
+)
+
+
+@given(spans=spans_strategy, perm_seed=st.integers(0, 10**6))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_span_reassembly_invariant(spark, spans, perm_seed):
+    """North-rule per-row invariant: whatever order span structs arrive in,
+    extract_text concatenates the text spans in offset order and media
+    spans never leak into the text."""
+    import random
+
+    from reach_spark.annotate import extract_text
+
+    rows = [Row(kind=k, text=(t if k == "text" else ""),
+                media_ref=("" if k == "text" else f"m://{i}"),
+                offset=i)
+            for i, (k, t) in enumerate(spans)]
+    shuffled = rows[:]
+    random.Random(perm_seed).shuffle(shuffled)
+    df = spark.createDataFrame(
+        [Row(doc_id="d", spans=shuffled)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    got = extract_text(df).collect()[0]
+    expected = " ".join(t for k, t in spans if k == "text")
+    assert got["text"] == expected
+    assert got["n_spans"] == len(spans)
+    assert got["n_text_spans"] == sum(1 for k, _ in spans if k == "text")
+
+
+edges_strategy = st.lists(
+    st.tuples(st.integers(0, 9), st.integers(0, 9)),
+    min_size=1, max_size=15,
+)
+
+
+def _union_find(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(edges=edges_strategy)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, edges):
+    from reach_spark.canonicalize import connected_components
+
+    df = spark.createDataFrame(
+        [(f"n{a}", f"n{b}") for a, b in edges], "src string, dst string")
+    got = {r["node"]: r["component"]
+           for r in connected_components(df).collect()}
+    oracle = {f"n{n}": f"n{c}" for n, c in _union_find(edges).items()}
+    # same node set, same partition into components, same min-label rep
+    assert got == oracle
+
+
+@given(edges=edges_strategy, nparts=st.integers(1, 6))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_pagerank_partitioning_invariance(spark, edges, nparts):
+    """Fixed-point integer PageRank must be bit-identical under any
+    repartitioning of the triples input (the property float PageRank
+    lacks)."""
+    from reach_spark.graph_ops import pagerank_fp
+
+    rows = [(f"n{a}", "P", f"n{b}", False, 1) for a, b in edges]
+    schema = "subj string, pred string, obj string, negated boolean, seen long"
+    base = spark.createDataFrame(rows, schema)
+    r1 = sorted((r["node"], r["pr_fp"])
+                for r in pagerank_fp(base, iters=2).collect())
+    r2 = sorted((r["node"], r["pr_fp"])
+                for r in pagerank_fp(base.repartition(nparts),
+                                     iters=2).collect())
+    assert r1 == r2
