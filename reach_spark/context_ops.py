@@ -22,7 +22,8 @@ CONTEXT_LABELS = ["Species", "CellLine", "Organ", "CellType", "TissueType",
 
 
 def assign_context(mentions: DataFrame, padding: int = 3,
-                   policy: str = "padded") -> DataFrame:
+                   policy: str = "padded",
+                   species_fallback: bool = True) -> DataFrame:
     """mentions → (doc_id, sent_idx, context_species, context_all).
 
     context_all is a sorted array of 'Type=ns:id' strings from the policy
@@ -39,10 +40,22 @@ def assign_context(mentions: DataFrame, padding: int = 3,
                     earlier in the document (unbounded preceding).
     The dummy engine (C3) is passing context_df=None downstream.
 
+    `species_fallback` mirrors the reference default-species mechanism
+    (RuleBasedEngine.infer computes the doc's most frequent species key;
+    BoundedPaddingContext.assign adds it when a mention's window has no
+    species, Policies.scala:27-35, RuleBasedEngine.scala:13-38): a
+    sentence whose policy window contains no Species mention inherits the
+    document-dominant species in both context_species and context_all.
+    Frequency ties are broken toward the lexicographically LARGEST key
+    (one max(struct) aggregate); the reference's maxBy over a hash map
+    leaves ties unspecified, so any deterministic choice is conformant.
+
     Shape: ONE shuffle by doc_id feeds both windows — per-sentence context
     arrays are pre-aggregated in the same pass (map-side combine), then
     dense_rank + range windows share the partitioning. No distinct /
-    dropDuplicates stages.
+    dropDuplicates stages. The fallback adds one per-doc aggregate (rows =
+    docs, never broadcastable at corpus scale) joined back on doc_id — the
+    same key the window already partitioned by.
     """
     is_ctx = F.col("kind") == F.lit("tbm")
     ckey = F.when(is_ctx & F.col("label").isin(CONTEXT_LABELS),
@@ -66,7 +79,7 @@ def assign_context(mentions: DataFrame, padding: int = 3,
         w = base.rangeBetween(Window.unboundedPreceding, 0)
     else:
         raise ValueError(f"unknown context policy: {policy!r}")
-    return (
+    out = (
         per_sent
         .withColumn("sent_ord", F.dense_rank().over(wo))
         .withColumn("context_all", F.array_sort(F.array_distinct(
@@ -74,4 +87,31 @@ def assign_context(mentions: DataFrame, padding: int = 3,
         .withColumn("context_species", F.array_sort(F.array_distinct(
             F.flatten(F.collect_list("skeys").over(w)))))
         .select("doc_id", "sent_idx", "context_all", "context_species")
+    )
+    if not species_fallback:
+        return out
+    defaults = (
+        mentions
+        .select("doc_id", skey.alias("skey"))
+        .where(F.col("skey").isNotNull())
+        .groupBy("doc_id", "skey").agg(F.count("*").alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max(F.struct("cnt", "skey"))["skey"]
+             .alias("default_species"))
+    )
+    fill_species = ((F.size("context_species") == 0)
+                    & F.col("default_species").isNotNull())
+    return (
+        out.join(defaults, "doc_id", "left")
+        .withColumn("context_all",
+                    F.when(fill_species,
+                           F.array_sort(F.array_union(
+                               "context_all",
+                               F.array(F.concat(F.lit("Species="),
+                                                "default_species")))))
+                     .otherwise(F.col("context_all")))
+        .withColumn("context_species",
+                    F.when(fill_species, F.array("default_species"))
+                     .otherwise(F.col("context_species")))
+        .drop("default_species")
     )

@@ -79,8 +79,9 @@ def test_context_policies(spark):
     res = extract_dataframe(spark, docs, with_coref=False)
     m = res["mentions"]
 
-    def species_at(policy):
-        ctx = assign_context(m, policy=policy).collect()
+    def species_at(policy, fallback=False):
+        ctx = assign_context(m, policy=policy,
+                             species_fallback=fallback).collect()
         return {r["sent_idx"]: list(r["context_species"] or []) for r in ctx}
 
     padded = species_at("padded")
@@ -91,6 +92,15 @@ def test_context_policies(spark):
     assert prec[3000] and not prec[6000]
     # 'preceding' at the species sentence itself still sees it
     assert prec[0]
+    # default-species fallback (Policies.scala:27-35): with it on (the
+    # production default), the out-of-window sentence 6 inherits the
+    # document-dominant species — the reference's "have fallback species"
+    # behavior (context/TestDeterministicPolicies.scala)
+    padded_fb = species_at("padded", fallback=True)
+    assert padded_fb[6000] == padded_fb[1000]  # inherits the doc default
+    ctx_all = {r["sent_idx"]: list(r["context_all"] or [])
+               for r in assign_context(m, species_fallback=True).collect()}
+    assert any(s.startswith("Species=") for s in ctx_all[6000])
 
 
 def test_fries_frame_linking(spark, tmp_path):
