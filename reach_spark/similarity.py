@@ -179,6 +179,118 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "rank", "neighbor_id", "sim"))
 
 
+# ---------------------------------------------------------------------------
+# IVF-Flat ANN — the third point on the brute-force / LSH / IVF spectrum and
+# the classic inverted-file scale path (FAISS IVF-Flat shape): a small coarse
+# quantizer partitions the collection into K cells; each vector is assigned
+# to its nearest centroid ONCE at build time; a query probes only its
+# _IVF_NPROBE nearest cells and re-ranks the candidates with exact cosine.
+#
+# Centroids here are a deterministic stride-sample of the collection itself
+# (stride = max(1, N div K), so K stays ~constant as N grows — sampled
+# centroids are the standard bootstrap before Lloyd refinement; Lloyd is
+# deliberately omitted because float centroid averaging is summation-order-
+# dependent and would break bit-identical cross-engine comparison).
+#
+# Scale shape (10^12 rows): the K-row centroid table broadcasts; assignment
+# is one map-side pass over the collection (bounded K-way fan-out per row,
+# never all-pairs) folded by a map-side-combinable max_by hash aggregate —
+# no window shuffle on the big side; at cluster scale the assignment is the
+# amortized index build, persisted partitioned BY cell so a probe reads only
+# its cells' files (partition pruning). Search joins the (tiny, broadcast)
+# probe side against the assignment on cell equality — candidates are
+# O(queries * nprobe * cell_size).
+_IVF_K = 64
+_IVF_NPROBE = 2
+
+
+def _cos(a: str, b: str) -> str:
+    """Rounded-6dp cosine between two double-array columns (pure JVM
+    higher-order functions — the same expression shape as _COS_SPARK)."""
+    return f"""
+round(
+  aggregate(zip_with({a}, {b}, (x, y) -> x * y), 0d, (acc, v) -> acc + v)
+  / (sqrt(aggregate({a}, 0d, (acc, v) -> acc + v * v))
+     * sqrt(aggregate({b}, 0d, (acc, v) -> acc + v * v))), 6)
+"""
+
+
+@_register("ann_ivf_topk", f"""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), s AS (
+  SELECT greatest(1, count(*) // {_IVF_K}) AS stride FROM e
+), cent AS (
+  SELECT vec_id AS cid, v AS cv FROM e, s WHERE vec_id % stride = 0
+), asg AS (
+  SELECT vec_id AS neighbor_id, v AS nv, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(list_cosine_similarity(v, cv), 6)
+                                     DESC, cid) AS rn
+  FROM e CROSS JOIN cent
+), a1 AS (
+  SELECT neighbor_id, nv, cid AS cell FROM asg WHERE rn = 1
+), pr AS (
+  SELECT vec_id AS query_id, v AS qv, cid,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY round(list_cosine_similarity(v, cv), 6)
+                                     DESC, cid) AS rn
+  FROM e CROSS JOIN cent WHERE vec_id < {_N_QUERIES}
+), p1 AS (
+  SELECT query_id, qv, cid AS cell FROM pr WHERE rn <= {_IVF_NPROBE}
+), pairs AS (
+  SELECT p.query_id, a.neighbor_id,
+         round(list_cosine_similarity(p.qv, a.nv), 6) AS sim
+  FROM p1 p JOIN a1 a ON a.cell = p.cell
+  WHERE p.query_id <> a.neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY sim DESC, neighbor_id) AS rank
+  FROM pairs)
+SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= {_TOP_K}
+""")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("v")))
+    # stride = max(1, N div K) keeps the coarse quantizer ~K cells at any
+    # collection size; computed in-plan (scalar 1-row side) so the query
+    # stays a single lazy DataFrame
+    stride = emb.agg(F.greatest(
+        F.lit(1).cast("long"),
+        (F.count("*") / _IVF_K).cast("long")).alias("stride"))
+    cent = (emb.crossJoin(F.broadcast(stride))
+            .where(F.col("vec_id") % F.col("stride") == 0)
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+    # build: nearest-centroid assignment — broadcast K-way fan-out + argmin
+    # as a max_by hash aggregate (map-side combinable; deliberately NOT a
+    # window, which would shuffle the full collection on vec_id)
+    scored = (emb.crossJoin(F.broadcast(cent))
+              .withColumn("csim", F.expr(_cos("v", "cv"))))
+    assign = (scored.groupBy("vec_id")
+              .agg(F.expr("max_by(cid, struct(csim, -cid))").alias("cell"),
+                   F.first("v").alias("nv"))
+              .withColumnRenamed("vec_id", "neighbor_id"))
+    # search: each query probes its _IVF_NPROBE nearest cells (window is
+    # fine here — the query side is tiny by construction)
+    pscored = (emb.where(F.col("vec_id") < _N_QUERIES)
+               .crossJoin(F.broadcast(cent))
+               .withColumn("csim", F.expr(_cos("v", "cv"))))
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cid")
+    probes = (pscored.withColumn("rn", F.row_number().over(wq))
+              .where(F.col("rn") <= _IVF_NPROBE)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("v").alias("qa"), F.col("cid").alias("cell")))
+    pairs = (F.broadcast(probes).join(assign, "cell")
+             .where(F.col("query_id") != F.col("neighbor_id"))
+             .withColumn("sim", F.expr(_cos("qa", "nv"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _TOP_K)
+            .select("query_id", "rank", "neighbor_id", "sim"))
+
+
 @_register("embedding_stats", """
 SELECT label,
        count(*) AS n,

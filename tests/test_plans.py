@@ -127,6 +127,37 @@ def test_multiprobe_no_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_ivf_plan_and_recall(spark):
+    """IVF-Flat ANN: the coarse quantizer is a broadcast K-way fan-out
+    (BroadcastNestedLoopJoin against the tiny centroid table — bounded
+    K=64 candidates per row, never an all-pairs product of the collection
+    against itself), and the probe→assignment search join is a hash join
+    on the cell key. The big side must never shuffle-sort (no
+    SortMergeJoin, no non-broadcast CartesianProduct). Recall is checked
+    against the exact brute-force baseline."""
+    from reach_spark.similarity import ann_ivf_topk, ann_topk_bruteforce
+    df = ann_ivf_topk(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan  # probes ⋈ assignment on cell
+    ivf = df.collect()
+    by_q = {}
+    for r in ivf:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rows in by_q.items():
+        assert len(rows) <= 10
+        assert sorted(r["rank"] for r in rows) == list(
+            range(1, len(rows) + 1))
+        assert all(-1.000001 <= r["sim"] <= 1.000001 for r in rows)
+    got = {(r["query_id"], r["neighbor_id"]) for r in ivf}
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in ann_topk_bruteforce(spark, SF_DIR).collect()}
+    # random-embedding corpus at nprobe=2/K=64 measures 0.38; the gate
+    # guards against a silent degeneration (empty cells, broken probe)
+    assert len(got & exact) / len(exact) >= 0.25
+
+
 def test_streaming_availablenow(spark, tmp_path):
     """Structured Streaming wrapper: one availableNow micro-batch over the
     documents dir produces the same triples as the batch pipeline."""
