@@ -208,6 +208,15 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fp(_eer_table(spark, sf_dir), iters=3)
 
 
+def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph] Distinct undirected triangles over the asserted edge set of
+    the materialized KG (graph_ops.triangles): ordered wedge enumeration
+    closed against the edge set — two equi-joins, each triangle emitted
+    once as a < b < c."""
+    from reach_spark.graph_ops import triangles
+    return triangles(_eer_table(spark, sf_dir))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return kg_triples_flagship(spark, "/root/testdata/sf0.001")
@@ -232,6 +241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_entity_degree"] = kg_entity_degree
     out["kg_reg_chains_2hop"] = kg_reg_chains_2hop
     out["kg_pagerank"] = kg_pagerank
+    out["kg_triangles"] = kg_triangles
     return out
 
 
@@ -351,6 +361,24 @@ od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
 r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes),
 {",".join(steps)}
 SELECT node, pr AS pr_fp FROM {prev}
+"""
+
+
+def _triangles_oracle() -> str:
+    """kg_triangles oracle: undirected-normalized distinct edges over the
+    reconstructed EER, ordered wedge join closed against the edge set —
+    the same a < b < c enumeration as graph_ops.triangles."""
+    return f"""
+WITH {_eer_cte()},
+und AS (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM eer
+  WHERE NOT negated AND subj IS NOT NULL AND obj IS NOT NULL
+        AND subj <> obj
+)
+SELECT w1.u AS a, w1.v AS b, w2.v AS c
+FROM und w1 JOIN und w2 ON w2.u = w1.v
+     JOIN und cl ON cl.u = w1.u AND cl.v = w2.v
 """
 
 
@@ -540,4 +568,5 @@ def oracle_sql() -> dict[str, str]:
     out["kg_entity_degree"] = _entity_degree_oracle()
     out["kg_reg_chains_2hop"] = _two_hop_chains_oracle()
     out["kg_pagerank"] = _pagerank_oracle(iters=3)
+    out["kg_triangles"] = _triangles_oracle()
     return out

@@ -5,11 +5,13 @@ ArizonaOutputter.scala:14-62; assembly/.../export/AssemblyExporter.scala:
 114-180) — downstream consumption happens in the DARPA pipeline outside the
 repo. For a Spark-native KG engine the natural next layer is first-class:
 graph queries over the materialized `(subj, pred, obj, negated, seen)`
-table. Three operators, each a pure DataFrame composition (no Python UDF):
+table. Four operators, each a pure DataFrame composition (no Python UDF):
 
 - `entity_degree`     — per-node in/out class-degree and evidence mass.
 - `two_hop_chains`    — regulation chains a -pred1-> b -pred2-> c via a
                         self-join on the node key (obj == subj).
+- `triangles`         — distinct undirected triangles via ordered wedge
+                        enumeration + edge-closure equi-join.
 - `pagerank_fp`       — fixed-iteration PageRank in *fixed-point integer*
                         arithmetic (scaled 1e6, integer division), so the
                         result is bit-identical across engines and
@@ -105,6 +107,41 @@ def two_hop_chains(triples: DataFrame) -> DataFrame:
     return (t1.join(t2, "b")
             .select("a", "pred1", "b", "pred2", "c",
                     F.least("_s1", "_s2").cast("long").alias("support")))
+
+
+def triangles(triples: DataFrame) -> DataFrame:
+    """Distinct triangles {a,b,c} in the *undirected* asserted interaction
+    graph — the canonical graph-analytics primitive behind clustering
+    coefficients and community seeds.
+
+    Edge direction is semantic in the KG (controller → controlled) but
+    triangle membership is not: each directed edge is normalized to an
+    undirected (u, v) with u < v, self-loops dropped, then the classic
+    node-iterator enumeration — join wedges (a<b, b<c) on the middle node
+    and close them against the edge set on (a, c). The a<b<c ordering means
+    every triangle is emitted exactly once (no 6-way permutation dedup).
+
+    Scale shape: both joins are equi-joins on node keys (never a
+    cartesian — plan-guarded in tests/test_plans.py); the wedge relation is
+    the size-critical intermediate (sum of deg² over middle nodes), the
+    standard cost of distributed triangle listing. On a skewed corpus the
+    hub-node wedge blowup is handled the same way the dedup ops handle hot
+    shingles: cap or salt the top-degree nodes — at EER-table cardinality
+    (vocabulary-bounded, not corpus-bounded) this is not reached.
+
+    Output: (a, b, c) with a < b < c lexicographically.
+    """
+    e = kg_edges(triples)
+    und = (e.select(F.least("src", "dst").alias("u"),
+                    F.greatest("src", "dst").alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .distinct())
+    w1 = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    wedges = w1.join(w2, "b")  # a < b < c by construction
+    closing = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    return (wedges.join(closing, ["a", "c"])
+            .select("a", "b", "c"))
 
 
 def pagerank_fp(triples: DataFrame, iters: int = 3) -> DataFrame:

@@ -102,3 +102,37 @@ def test_two_hop_join_is_equi_not_cartesian(eer):
         two_hop_chains(eer)._jdf.queryExecution(), "formatted")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_triangles_hand_computed(eer):
+    """ROWS closes exactly one triangle {a,b,c}; the negated a->b edge must
+    not be needed for it (the asserted a-P->b supplies that side), and the
+    null-subj occurrence row contributes no edge."""
+    from reach_spark.graph_ops import triangles
+    got = {(r.a, r.b, r.c) for r in triangles(eer).collect()}
+    assert got == {("a", "b", "c")}
+
+
+def test_triangles_direction_and_dup_insensitive(spark):
+    """A triangle is found regardless of edge orientation, reverse edges do
+    not double-count it, and self-loops never form one."""
+    from reach_spark.graph_ops import triangles
+    rows = [
+        ("y", "P", "x", False, 1),   # reversed orientation
+        ("y", "Q", "z", False, 1),
+        ("z", "R", "x", False, 1),   # reversed orientation
+        ("x", "S", "y", False, 1),   # duplicate of x-y, other direction
+        ("x", "L", "x", False, 1),   # self-loop
+    ]
+    eer = spark.createDataFrame(rows, SCHEMA)
+    got = [(r.a, r.b, r.c) for r in triangles(eer).collect()]
+    assert got == [("x", "y", "z")]
+
+
+def test_triangles_plan_no_cartesian(eer):
+    from reach_spark.graph_ops import triangles
+    df = triangles(eer)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
