@@ -44,6 +44,7 @@ HEADLINE = [
     "ann_topk_bruteforce",
     "ann_lsh_bucketed",
     "ann_lsh_multiprobe",
+    "ann_ivf_topk",
     "s8_bm25_search",
     "q1_pricing_summary",
     "q3_topk_revenue",

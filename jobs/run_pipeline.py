@@ -23,6 +23,11 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--tables-prefix", default=None,
+                    help="also materialize the graph as named partitioned "
+                         "catalog tables <prefix>_triples/<prefix>_entities "
+                         "(Iceberg when a V2 catalog is plugged; "
+                         "session-catalog parquet tables otherwise)")
     args = ap.parse_args()
 
     from reach_spark.session import get_spark
@@ -40,7 +45,8 @@ def main() -> None:
         if args.partitions:
             docs = docs.repartition(args.partitions, "doc_id")
         counts = run_batch(spark, docs, args.output,
-                           resume=not args.no_resume)
+                           resume=not args.no_resume,
+                           catalog_prefix=args.tables_prefix)
         print(counts)
 
 

@@ -210,11 +210,15 @@ def partition_metrics(df: DataFrame, stage: str) -> DataFrame:
 
 
 def run_batch(spark: SparkSession, documents: DataFrame, out_dir: str,
-              resume: bool = True) -> dict[str, int]:
+              resume: bool = True,
+              catalog_prefix: str | None = None) -> dict[str, int]:
     """Batch driver with checkpoint/resume. Writes parquet tables
     (production target is Iceberg `writeTo(...).partitionedBy(...)`; parquet
     keeps the sandbox dependency-free — the table layout is identical).
-    Returns row counts per output."""
+    With `catalog_prefix` the final graph (triples EER + canonical
+    entities) is ALSO materialized as named partitioned catalog tables via
+    reach_spark.tables (V2 writeTo under a plugged Iceberg/Delta catalog,
+    V1 saveAsTable otherwise). Returns row counts per output."""
     ckpt_path = os.path.join(out_dir, "checkpoint_docs")
     todo = documents
     if resume and os.path.exists(ckpt_path):
@@ -256,6 +260,16 @@ def run_batch(spark: SparkSession, documents: DataFrame, out_dir: str,
     _assemble(occ_all).write.mode("overwrite").partitionBy("pred") \
         .parquet(tri_path)
     counts["triples"] = spark.read.parquet(tri_path).count()
+
+    if catalog_prefix:
+        # read the already-written parquet back rather than re-deriving
+        # from `results` — the CC canonicalization loop must not run twice
+        from .tables import materialize_graph
+        materialize_graph(
+            {"triples": spark.read.parquet(tri_path),
+             "canonical_entities": spark.read.parquet(
+                 os.path.join(out_dir, "canonical_entities"))},
+            prefix=catalog_prefix, mode="overwrite")
 
     # checkpoint finished docs LAST (all-or-nothing per batch)
     todo.select("doc_id").write.mode("append").parquet(ckpt_path)

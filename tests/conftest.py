@@ -1,3 +1,5 @@
+import tempfile
+
 import pytest
 
 from reach_spark.session import get_spark
@@ -5,8 +7,11 @@ from reach_spark.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
+    # warehouse in a tmpdir so saveAsTable tests never write into the repo
+    wh = tempfile.mkdtemp(prefix="reach_spark_wh_")
     s = get_spark(app_name="reach-spark-tests", cores=4,
-                  shuffle_partitions=8)
+                  shuffle_partitions=8,
+                  extra_conf={"spark.sql.warehouse.dir": wh})
     yield s
 
 
