@@ -215,6 +215,25 @@ round(
 """
 
 
+_NORM = "sqrt(aggregate({v}, 0d, (acc, v) -> acc + v * v))"
+
+
+def _cos_prenormed(dot_a: str, dot_b: str, nrm_a: str, nrm_b: str) -> str:
+    """Rounded-6dp cosine with the per-row norms hoisted OUT of the pair
+    expression: `nrm_a`/`nrm_b` are columns precomputed once per row
+    (via _NORM) instead of re-aggregated per candidate pair — on the K-way
+    assignment fan-out that removes 2·K-1 of the 2·K norm scans per row.
+    The per-pair float ops (dot, multiply, divide, round) are literally the
+    same values in the same order as _cos, so results stay bit-identical
+    and hash-comparable against the oracle."""
+    return f"""
+round(
+  aggregate(zip_with({dot_a}, {dot_b}, (x, y) -> x * y), 0d,
+            (acc, v) -> acc + v)
+  / ({nrm_a} * {nrm_b}), 6)
+"""
+
+
 @_register("ann_ivf_topk", f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -253,7 +272,12 @@ SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= {_TOP_K}
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .select("vec_id",
-                   F.col("embedding").cast("array<double>").alias("v")))
+                   F.col("embedding").cast("array<double>").alias("v"))
+           # per-row norm computed ONCE here, not per candidate pair —
+           # the K-way fan-out below would otherwise re-aggregate it K
+           # times per row (bit-identical per-pair arithmetic, see
+           # _cos_prenormed)
+           .withColumn("nrm", F.expr(_NORM.format(v="v"))))
     # stride = max(1, N div K) keeps the coarse quantizer ~K cells at any
     # collection size; computed in-plan (scalar 1-row side) so the query
     # stays a single lazy DataFrame
@@ -262,29 +286,35 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.count("*") / _IVF_K).cast("long")).alias("stride"))
     cent = (emb.crossJoin(F.broadcast(stride))
             .where(F.col("vec_id") % F.col("stride") == 0)
-            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv")))
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+                    F.col("nrm").alias("cnrm")))
     # build: nearest-centroid assignment — broadcast K-way fan-out + argmin
     # as a max_by hash aggregate (map-side combinable; deliberately NOT a
     # window, which would shuffle the full collection on vec_id)
     scored = (emb.crossJoin(F.broadcast(cent))
-              .withColumn("csim", F.expr(_cos("v", "cv"))))
+              .withColumn("csim", F.expr(
+                  _cos_prenormed("v", "cv", "nrm", "cnrm"))))
     assign = (scored.groupBy("vec_id")
               .agg(F.expr("max_by(cid, struct(csim, -cid))").alias("cell"),
-                   F.first("v").alias("nv"))
+                   F.first("v").alias("nv"),
+                   F.first("nrm").alias("nnrm"))
               .withColumnRenamed("vec_id", "neighbor_id"))
     # search: each query probes its _IVF_NPROBE nearest cells (window is
     # fine here — the query side is tiny by construction)
     pscored = (emb.where(F.col("vec_id") < _N_QUERIES)
                .crossJoin(F.broadcast(cent))
-               .withColumn("csim", F.expr(_cos("v", "cv"))))
+               .withColumn("csim", F.expr(
+                   _cos_prenormed("v", "cv", "nrm", "cnrm"))))
     wq = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cid")
     probes = (pscored.withColumn("rn", F.row_number().over(wq))
               .where(F.col("rn") <= _IVF_NPROBE)
               .select(F.col("vec_id").alias("query_id"),
-                      F.col("v").alias("qa"), F.col("cid").alias("cell")))
+                      F.col("v").alias("qa"), F.col("nrm").alias("qnrm"),
+                      F.col("cid").alias("cell")))
     pairs = (F.broadcast(probes).join(assign, "cell")
              .where(F.col("query_id") != F.col("neighbor_id"))
-             .withColumn("sim", F.expr(_cos("qa", "nv"))))
+             .withColumn("sim", F.expr(
+                 _cos_prenormed("qa", "nv", "qnrm", "nnrm"))))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
     return (pairs.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= _TOP_K)
