@@ -1,15 +1,21 @@
-"""Multimodal column handling: media spans as opaque refs with typed
-metadata; decode / feature-extract as Arrow-batched pandas UDFs.
+"""Multimodal column handling: media spans as opaque refs/binary with
+typed metadata; decode / feature-extract as Arrow-batched pandas UDFs.
 
-The container has no image/audio libraries, so the decode step is a
-clearly-marked deterministic fake (md5-derived dimensions) behind the same
-mapInPandas plumbing a real decoder would use — schema, batching, and
-partitioning are real and tested; swap `_fake_decode` for PIL/librosa in
-production. `decode_real` raises NotImplementedError by design.
+Two decode tiers:
 
-The media table is derived deterministically from `documents` (one media
-ref per doc) so the operator has a DuckDB oracle: the fake decode is pure
-md5 arithmetic, expressible identically in SQL.
+- **Header-level decode is REAL** (`parse_media_header` /
+  `media_header_meta`): PNG/GIF/JPEG/WAV container headers parsed with
+  stdlib `struct` over the binary column — the cheap routing stage a
+  100 TB media crawl runs on every blob before any pixel work. Tested
+  against real format bytes in tests/test_multimodal.py.
+- **Pixel/sample decode is stubbed** (`decode_pixels` raises — the
+  container has no PIL/librosa); the md5-derived `_fake_decode` keeps the
+  oracle-checked metadata queries deterministic behind the same
+  mapInPandas plumbing a codec would use.
+
+The media table for the driver queries is derived deterministically from
+`documents` (one media ref per doc) so the operator has a DuckDB oracle:
+the fake decode is pure md5 arithmetic, expressible identically in SQL.
 """
 
 from __future__ import annotations
@@ -41,13 +47,96 @@ MEDIA_META = T.StructType([
 ])
 
 
-def decode_real(media_bytes: bytes) -> dict:
-    """Real decoder entry point — image/audio libs are not in this
-    container. Production: PIL.Image.open / librosa.load inside the same
-    mapInPandas batch loop as `decode_media_meta`."""
+def decode_pixels(media_bytes: bytes) -> dict:
+    """Pixel/sample decoder entry point — image/audio codecs are not in
+    this container. Production: PIL.Image.open / librosa.load inside the
+    same mapInPandas batch loop as `media_header_meta`."""
     raise NotImplementedError(
-        "media decoding requires PIL/librosa; use the deterministic fake "
-        "for plumbing tests")
+        "pixel/sample decoding requires PIL/librosa; header-level decode "
+        "(parse_media_header) and the plumbing are real")
+
+
+# kept under the old name for callers/tests written against round 2
+decode_real = decode_pixels
+
+
+def parse_media_header(b: bytes | None) -> tuple[str, int, int, int]:
+    """REAL container-header decode — pure stdlib byte parsing, no codec
+    libraries. Returns (format, width, height, n_channels_or_frames); all
+    zeros with format 'unknown' for unrecognized/truncated payloads
+    (never raises — a 100 TB media crawl always contains garbage rows).
+
+    Formats (the header layouts are public file-format specs):
+      PNG  — 8-byte signature, IHDR width/height big-endian u32 at 16/20.
+      GIF  — 'GIF87a'/'GIF89a', logical-screen w/h little-endian u16 at 6/8.
+      JPEG — marker scan to SOF0/1/2 (baseline/extended/progressive),
+             height/width big-endian u16 at +5/+7 in the SOF segment.
+      WAV  — 'RIFF'+'WAVE', channels LE u16 at 22, sample rate LE u32 at 24
+             (returned in the third slot as 'frames' per second analog).
+
+    This is the routing stage a real multimodal pipeline runs on every
+    blob BEFORE any expensive pixel decode: cheap, branchy, pure-Python —
+    but batch-amortized under mapInPandas (Arrow transfer, one Python
+    roundtrip per batch, not per row).
+    """
+    import struct
+    if not b or len(b) < 12:
+        return ("unknown", 0, 0, 0)
+    if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24 and b[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", b[16:24])
+        return ("png", w, h, 1)
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        w, h = struct.unpack("<HH", b[6:10])
+        # frame count = number of image-descriptor separators; exact
+        # counting needs full block walking, so report at least 1
+        return ("gif", w, h, max(1, b.count(b"\x00\x2c")))
+    if b[:2] == b"\xff\xd8":  # JPEG SOI; scan segment markers
+        i = 2
+        while i + 9 < len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
+                h, w = struct.unpack(">HH", b[i + 5:i + 9])
+                return ("jpeg", w, h, b[i + 9] if i + 9 < len(b) else 0)
+            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if i + 4 > len(b):
+                break
+            seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+            i += 2 + seglen
+        return ("jpeg", 0, 0, 0)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 28:
+        channels = struct.unpack("<H", b[22:24])[0]
+        rate = struct.unpack("<I", b[24:28])[0]
+        return ("wav", channels, 0, rate)
+    return ("unknown", 0, 0, 0)
+
+
+MEDIA_HEADER = T.StructType([
+    T.StructField("doc_id", T.LongType(), False),
+    T.StructField("format", T.StringType(), False),
+    T.StructField("width", T.IntegerType(), False),
+    T.StructField("height", T.IntegerType(), False),
+    T.StructField("extra", T.IntegerType(), False),
+])
+
+
+def media_header_meta(media: DataFrame) -> DataFrame:
+    """Header-decode a `(doc_id long, media binary)` DataFrame into typed
+    metadata via parse_media_header — the REAL decode path (mapInPandas,
+    Arrow-batched; one Python roundtrip per batch). Unrecognized payloads
+    yield format='unknown' rows rather than failing the partition."""
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_media_header(x) for x in pdf["media"]]
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "format": [p[0] for p in parsed],
+                "width": [p[1] for p in parsed],
+                "height": [p[2] for p in parsed],
+                "extra": [p[3] for p in parsed],
+            })
+    return media.mapInPandas(decode, schema=MEDIA_HEADER)
 
 
 def _fake_decode(ref: str) -> tuple[int, int, int]:

@@ -1,0 +1,72 @@
+"""Media header decode: REAL stdlib parsing of PNG/GIF/JPEG/WAV container
+headers over a Spark binary column (mapInPandas), plus the guarantee that
+garbage never fails a partition.
+"""
+
+import struct
+
+import pytest
+
+from reach_spark.multimodal import media_header_meta, parse_media_header
+
+
+def _png(w, h):
+    return (b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", 13) + b"IHDR"
+            + struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+            + b"\x00\x00\x00\x00")
+
+
+def _gif(w, h):
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 6
+
+
+def _jpeg(w, h):
+    # SOI + APP0 (JFIF) + SOF0 carrying the dimensions
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 11)
+            + b"\x08" + struct.pack(">HH", h, w) + b"\x03" + b"\x00")
+    return b"\xff\xd8" + app0 + sof0
+
+
+def _wav(channels, rate):
+    return (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<IHH", 16, 1, channels)
+            + struct.pack("<I", rate) + b"\x00" * 8)
+
+
+@pytest.mark.parametrize("blob,expect", [
+    (_png(640, 480), ("png", 640, 480, 1)),
+    (_gif(320, 200), ("gif", 320, 200, 1)),
+    (_jpeg(1920, 1080), ("jpeg", 1920, 1080, 3)),
+    (_wav(2, 44100), ("wav", 2, 0, 44100)),
+    (b"not media at all", ("unknown", 0, 0, 0)),
+    (b"", ("unknown", 0, 0, 0)),
+    (None, ("unknown", 0, 0, 0)),
+    (b"\x89PNG\r\n\x1a\nIH", ("unknown", 0, 0, 0)),  # truncated PNG
+])
+def test_parse_media_header(blob, expect):
+    assert parse_media_header(blob) == expect
+
+
+def test_media_header_meta_spark(spark):
+    rows = [(0, _png(64, 32)), (1, _jpeg(800, 600)), (2, _gif(10, 20)),
+            (3, _wav(1, 16000)), (4, b"\x00garbage\x00"), (5, None)]
+    media = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: (r["format"], r["width"], r["height"], r["extra"])
+           for r in media_header_meta(media).collect()}
+    assert got == {
+        0: ("png", 64, 32, 1),
+        1: ("jpeg", 800, 600, 3),
+        2: ("gif", 10, 20, 1),
+        3: ("wav", 1, 0, 16000),
+        4: ("unknown", 0, 0, 0),
+        5: ("unknown", 0, 0, 0),
+    }
+
+
+def test_decode_pixels_still_stubbed():
+    from reach_spark.multimodal import decode_pixels, decode_real
+    with pytest.raises(NotImplementedError):
+        decode_pixels(_png(1, 1))
+    assert decode_real is decode_pixels  # round-2 name kept
