@@ -208,6 +208,15 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fp(_eer_table(spark, sf_dir), iters=3)
 
 
+def media_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[multimodal] Caption pairing over the interleaved corpus: each media
+    span with the text of its nearest preceding text span in document order
+    (multimodal.pair_media_captions — one doc-keyed window, no join)."""
+    from reach_spark.multimodal import pair_media_captions
+    docs = _interleaved_documents(spark, sf_dir)
+    return pair_media_captions(docs)
+
+
 def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[graph] Distinct undirected triangles over the asserted edge set of
     the materialized KG (graph_ops.triangles): ordered wedge enumeration
@@ -242,6 +251,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_reg_chains_2hop"] = kg_reg_chains_2hop
     out["kg_pagerank"] = kg_pagerank
     out["kg_triangles"] = kg_triangles
+    out["media_caption_pairs"] = media_caption_pairs
     return out
 
 
@@ -361,6 +371,26 @@ od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
 r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes),
 {",".join(steps)}
 SELECT node, pr AS pr_fp FROM {prev}
+"""
+
+
+def _caption_oracle() -> str:
+    """media_caption_pairs oracle: in the interleaved layout the media span
+    (offset 1) is preceded only by the offset-0 text span, which carries
+    fixture sentence doc_id % N — so the expected caption is a pure
+    doc→fixture lookup. The Spark side computes it GENERICALLY from the
+    span array (window carry-forward); the oracle states the answer."""
+    from reach_spark.fixtures import fixture_sentences
+    sents = fixture_sentences()
+    vals = ",\n".join(f"({i}, {_sql_lit(s)})" for i, s in enumerate(sents))
+    return f"""
+WITH fx(fidx, fsent) AS (VALUES
+{vals}
+)
+SELECT CAST(d.doc_id AS VARCHAR) AS doc_id,
+       'img://' || d.doc_id AS media_ref,
+       fx.fsent AS caption
+FROM documents d JOIN fx ON fx.fidx = d.doc_id % {len(sents)}
 """
 
 
@@ -569,4 +599,5 @@ def oracle_sql() -> dict[str, str]:
     out["kg_reg_chains_2hop"] = _two_hop_chains_oracle()
     out["kg_pagerank"] = _pagerank_oracle(iters=3)
     out["kg_triangles"] = _triangles_oracle()
+    out["media_caption_pairs"] = _caption_oracle()
     return out

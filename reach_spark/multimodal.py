@@ -191,6 +191,36 @@ def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_frames").cast("bigint").alias("n_frames"))
 
 
+def pair_media_captions(docs: DataFrame) -> DataFrame:
+    """Caption pairing over the interleaved spans: each media span gets the
+    text of its NEAREST PRECEDING text span in document order (the standard
+    caption-extraction heuristic for image-text training pairs mined from
+    interleaved documents).
+
+    Pure column ops: explode the span array, one running `last(text,
+    ignorenulls)` window per document ordered by span offset, filter to
+    media spans. No join; the window partitions on doc_id, so the shuffle
+    is the one doc-keyed exchange and per-partition state is a single
+    carried string — the same carry-forward shape as the as-of join
+    (relational.asof_latest_order). A media span with no preceding text
+    span keeps caption NULL (callers decide whether to drop or
+    back-fill).
+
+    Output: (doc_id, media_ref, caption).
+    """
+    from pyspark.sql import Window
+    sp = docs.select("doc_id", F.explode("spans").alias("s"))
+    w = (Window.partitionBy("doc_id").orderBy(F.col("s.offset"))
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cap = sp.withColumn(
+        "caption",
+        F.last(F.when(F.col("s.kind") == "text", F.col("s.text")),
+               ignorenulls=True).over(w))
+    return (cap.where(F.col("s.kind") == "media")
+            .select("doc_id", F.col("s.media_ref").alias("media_ref"),
+                    "caption"))
+
+
 @_register("media_frame_sample", """
 WITH m AS (
   SELECT doc_id, 'img://' || doc_id || '/' || (n_chars % 3) AS media_ref

@@ -70,3 +70,43 @@ def test_decode_pixels_still_stubbed():
     with pytest.raises(NotImplementedError):
         decode_pixels(_png(1, 1))
     assert decode_real is decode_pixels  # round-2 name kept
+
+
+def test_pair_media_captions_generic(spark):
+    """Caption = nearest PRECEDING text span; media before any text keeps
+    caption NULL; multiple media spans each resolve independently."""
+    from reach_spark.multimodal import pair_media_captions
+
+    def span(kind, text, ref, off):
+        return {"kind": kind, "text": text, "media_ref": ref, "offset": off}
+
+    rows = [
+        ("d1", [span("media", "", "m0", 0),          # nothing precedes
+                span("text", "first caption", "", 1),
+                span("media", "", "m1", 2),
+                span("text", "second caption", "", 3),
+                span("media", "", "m2", 4),
+                span("media", "", "m3", 5)]),        # same caption as m2
+        ("d2", [span("text", "only text", "", 0)]),  # no media → no rows
+    ]
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    docs = spark.createDataFrame(rows, schema)
+    got = {r["media_ref"]: r["caption"]
+           for r in pair_media_captions(docs).collect()}
+    assert got == {"m0": None, "m1": "first caption",
+                   "m2": "second caption", "m3": "second caption"}
+
+
+def test_pair_media_captions_plan_single_exchange(spark):
+    """The op must be one doc-keyed window — no join, no cartesian."""
+    from reach_spark.multimodal import pair_media_captions
+    docs = spark.createDataFrame(
+        [], "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>")
+    df = pair_media_captions(docs)
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Window" in plan
+    for bad in ("Join", "CartesianProduct"):
+        assert bad not in plan
