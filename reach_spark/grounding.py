@@ -95,6 +95,58 @@ def kb_dataframe(spark: SparkSession,
     return out
 
 
+def adhoc_kb_df(spark: SparkSession,
+                entries,
+                default_label: str = "Gene_or_gene_product") -> DataFrame:
+    """Ad-hoc KB tier (reference AdHocIMKBFactory.scala:35-66 +
+    ReachEntityLookup adhoc-first routing): a user-supplied dictionary
+    consulted BEFORE every built-in tier.
+
+    `entries` is either a path to a reference-format ad-hoc TSV —
+    4-5 columns (text, id, species, namespace[, type]); empty species
+    defaults to 'human' per AdHocIMKBFactory.processFields — or an
+    in-memory list of (text, ns, id[, species[, label]]) tuples.
+
+    Rows take `kb_priority=0`; `_best_hits` ranks `kb_priority <= 0` ahead
+    of EVERYTHING (before even the transform rank), so an ad-hoc hit on any
+    key transform overrides any built-in hit — the Spark re-expression of
+    "adhoc KBs are searched first". Union it in with `kb_with_adhoc`, or
+    pass `adhoc_kb=` to pipeline.extract_dataframe.
+    """
+    import pandas as pd
+    if isinstance(entries, str):
+        rows = []
+        with open(entries, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if not line.strip():
+                    continue
+                f = line.split("\t")
+                if len(f) < 4 or not f[0].strip() or not f[1].strip():
+                    continue
+                rows.append((f[0], f[3], f[1],
+                             f[2].strip() or "human", default_label))
+        entries = rows
+    norm = []
+    for e in entries:
+        text, ns, rid = e[0], e[1], e[2]
+        species = e[3] if len(e) > 3 else ""
+        label = e[4] if len(e) > 4 else default_label
+        norm.append((label, text, ns, rid, species.lower(), 0, False, False))
+    df = spark.createDataFrame(
+        pd.DataFrame(norm, columns=KB_COLUMNS)
+    ).withColumn("kb_priority", F.col("kb_priority").cast("int")) \
+     .withColumn("tclass", F.lit("default"))
+    # keys are canonized exactly like every built-in tier, so the same
+    # transform expressions match
+    return df.withColumn("key", canon_expr(F.col("key")))
+
+
+def kb_with_adhoc(kb: DataFrame, adhoc: DataFrame | None) -> DataFrame:
+    """The KB union with an optional ad-hoc tier on top (no-op when None)."""
+    return kb if adhoc is None else adhoc.unionByName(kb)
+
+
 def _sq(s: str) -> str:
     """Single-quoted SQL string literal."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
@@ -240,12 +292,19 @@ def _best_hits(base: DataFrame, kb: DataFrame,
         .when(F.col("species") == "", 1)
         .otherwise(2)
     )
+    # ad-hoc tier (kb_priority <= 0) outranks EVERYTHING — reference
+    # ReachEntityLookup consults adhoc KBs before the labeled sequence, so
+    # the adhoc rank precedes even the transform rank. Constant 1 when no
+    # ad-hoc rows are loaded (built-in priorities start at 1): ordering is
+    # then byte-identical to the pre-adhoc engine.
+    adhoc_rank = F.when(F.col("kb_priority") <= 0, 0).otherwise(1)
     # first hit = min over the composite rank — one hash aggregation with
     # map-side partial combine (vs row_number window: shuffle + full sort)
     return (
         joined
         .groupBy("canonical", "label", "text")
         .agg(F.min(F.struct(
+            adhoc_rank.alias("adhoc_rank"),
             F.col("t_rank"), label_rank.alias("label_rank"),
             F.col("kb_priority"), species_rank.alias("species_rank"),
             F.col("id"), F.col("ns"), F.col("species"))).alias("b"))

@@ -34,7 +34,9 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
                       with_coref: bool = True,
                       persist: bool = True,
                       alias_propagation: bool = True,
-                      corpus_aliases: bool = False) -> dict[str, DataFrame]:
+                      corpus_aliases: bool = False,
+                      adhoc_kb: DataFrame | None = None
+                      ) -> dict[str, DataFrame]:
     """The programmatic API (reference ReachSystem.extractFrom,
     ReachSystem.scala:167-175): documents → dict of result DataFrames.
 
@@ -89,6 +91,11 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
                   ~F.col("label").startswith("Generic"))
     ents = mentions.where(groundable)
     kb = kb_dataframe(spark)
+    if adhoc_kb is not None:
+        # user dictionary tier, consulted before every built-in KB
+        # (grounding.adhoc_kb_df / reference AdHocIMKBFactory)
+        from .grounding import kb_with_adhoc
+        kb = kb_with_adhoc(kb, adhoc_kb)
     gmap = ground_map(ents, kb)
     if persist:
         # exposed as results["grounding_map"] so batch callers can
