@@ -208,6 +208,14 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fp(_eer_table(spark, sf_dir), iters=3)
 
 
+def kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph] Per-node local-clustering inputs over the materialized KG:
+    integer triangle + wedge counts (graph_ops.clustering_counts — the
+    coefficient is tri/wedges, left as integers for hash comparability)."""
+    from reach_spark.graph_ops import clustering_counts
+    return clustering_counts(_eer_table(spark, sf_dir))
+
+
 def media_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[multimodal] Caption pairing over the interleaved corpus: each media
     span with the text of its nearest preceding text span in document order
@@ -251,6 +259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_reg_chains_2hop"] = kg_reg_chains_2hop
     out["kg_pagerank"] = kg_pagerank
     out["kg_triangles"] = kg_triangles
+    out["kg_clustering"] = kg_clustering
     out["media_caption_pairs"] = media_caption_pairs
     return out
 
@@ -371,6 +380,38 @@ od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
 r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes),
 {",".join(steps)}
 SELECT node, pr AS pr_fp FROM {prev}
+"""
+
+
+def _clustering_oracle() -> str:
+    """kg_clustering oracle: the triangle CTE of _triangles_oracle credited
+    to each corner + one degree aggregate over the normalized edge set."""
+    return f"""
+WITH {_eer_cte()},
+und AS (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM eer
+  WHERE NOT negated AND subj IS NOT NULL AND obj IS NOT NULL
+        AND subj <> obj
+),
+tris AS (
+  SELECT w1.u AS a, w1.v AS b, w2.v AS c
+  FROM und w1 JOIN und w2 ON w2.u = w1.v
+       JOIN und cl ON cl.u = w1.u AND cl.v = w2.v
+),
+deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und) GROUP BY node
+),
+tpn AS (
+  SELECT node, count(*) AS tri FROM (
+    SELECT a AS node FROM tris UNION ALL SELECT b FROM tris
+    UNION ALL SELECT c FROM tris) GROUP BY node
+)
+SELECT d.node,
+       CAST(coalesce(t.tri, 0) AS BIGINT) AS tri,
+       CAST(d.deg * (d.deg - 1) // 2 AS BIGINT) AS wedges
+FROM deg d LEFT JOIN tpn t ON t.node = d.node
 """
 
 
@@ -599,5 +640,6 @@ def oracle_sql() -> dict[str, str]:
     out["kg_reg_chains_2hop"] = _two_hop_chains_oracle()
     out["kg_pagerank"] = _pagerank_oracle(iters=3)
     out["kg_triangles"] = _triangles_oracle()
+    out["kg_clustering"] = _clustering_oracle()
     out["media_caption_pairs"] = _caption_oracle()
     return out

@@ -5,13 +5,15 @@ ArizonaOutputter.scala:14-62; assembly/.../export/AssemblyExporter.scala:
 114-180) — downstream consumption happens in the DARPA pipeline outside the
 repo. For a Spark-native KG engine the natural next layer is first-class:
 graph queries over the materialized `(subj, pred, obj, negated, seen)`
-table. Four operators, each a pure DataFrame composition (no Python UDF):
+table. Five operators, each a pure DataFrame composition (no Python UDF):
 
 - `entity_degree`     — per-node in/out class-degree and evidence mass.
 - `two_hop_chains`    — regulation chains a -pred1-> b -pred2-> c via a
                         self-join on the node key (obj == subj).
 - `triangles`         — distinct undirected triangles via ordered wedge
                         enumeration + edge-closure equi-join.
+- `clustering_counts` — per-node triangle + wedge counts (the integer
+                        inputs of the local clustering coefficient).
 - `pagerank_fp`       — fixed-iteration PageRank in *fixed-point integer*
                         arithmetic (scaled 1e6, integer division), so the
                         result is bit-identical across engines and
@@ -142,6 +144,41 @@ def triangles(triples: DataFrame) -> DataFrame:
     closing = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
     return (wedges.join(closing, ["a", "c"])
             .select("a", "b", "c"))
+
+
+def clustering_counts(triples: DataFrame) -> DataFrame:
+    """Per-node local clustering INPUTS over the undirected asserted graph:
+    `tri` = triangles through the node, `wedges` = deg·(deg−1)/2. Both
+    int64, so the result hash-compares across engines; the float
+    coefficient tri/wedges is one division away for the consumer (float
+    output would be summation/rounding-order territory — the same reason
+    pagerank_fp is fixed-point).
+
+    Built from `triangles` (each a<b<c triangle credits all three nodes)
+    and one degree aggregate over the normalized edge set; nodes in no
+    triangle report tri=0. Two hash aggregates + one left join — no new
+    join shapes beyond the triangle listing itself.
+    """
+    e = kg_edges(triples)
+    und = (e.select(F.least("src", "dst").alias("u"),
+                    F.greatest("src", "dst").alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .distinct())
+    deg = (und.select(F.col("u").alias("node"))
+           .unionAll(und.select(F.col("v").alias("node")))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    tri = triangles(triples)
+    tri_per_node = (tri.select(F.col("a").alias("node"))
+                    .unionAll(tri.select(F.col("b").alias("node")))
+                    .unionAll(tri.select(F.col("c").alias("node")))
+                    .groupBy("node").agg(F.count("*").alias("tri")))
+    return (deg.join(tri_per_node, "node", "left")
+            .select("node",
+                    F.coalesce("tri", F.lit(0)).cast("long").alias("tri"),
+                    # integer div: deg·(deg−1) is even, and int64 `div`
+                    # avoids float rounding at extreme hub degrees
+                    F.expr("(deg * (deg - 1)) div 2")
+                    .cast("long").alias("wedges")))
 
 
 def pagerank_fp(triples: DataFrame, iters: int = 3) -> DataFrame:

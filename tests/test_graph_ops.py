@@ -136,3 +136,16 @@ def test_triangles_plan_no_cartesian(eer):
         df._jdf.queryExecution(), "formatted")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_clustering_counts_hand_computed(spark):
+    """K3 plus a pendant: triangle nodes get tri=1; the pendant and its
+    attachment have the right wedge counts; coefficient inputs are exact
+    integers."""
+    from reach_spark.graph_ops import clustering_counts
+    rows = [("a", "P", "b", False, 1), ("b", "P", "c", False, 1),
+            ("a", "P", "c", False, 1), ("c", "P", "d", False, 1)]
+    eer = spark.createDataFrame(rows, SCHEMA)
+    got = {r.node: (r.tri, r.wedges)
+           for r in clustering_counts(eer).collect()}
+    assert got == {"a": (1, 1), "b": (1, 1), "c": (1, 3), "d": (0, 0)}

@@ -8,7 +8,8 @@ correctness rests on but example tests can only spot-check:
   text spans in offset order for ANY interleaving/permutation of spans),
 - connected-components equivalence to a union-find oracle on random
   graphs,
-- fixed-point PageRank partitioning invariance on random graphs.
+- fixed-point PageRank partitioning invariance on random graphs,
+- media-header decode totality on arbitrary/adversarial byte strings.
 
 Spark-backed properties cap max_examples (each example is a Spark job);
 the pure-Python tokenizer property runs at full default volume.
@@ -142,3 +143,22 @@ def test_pagerank_partitioning_invariance(spark, edges, nparts):
                 for r in pagerank_fp(base.repartition(nparts),
                                      iters=2).collect())
     assert r1 == r2
+
+
+@given(blob=st.one_of(
+    st.none(),
+    st.binary(max_size=256),
+    # adversarial: valid magic bytes followed by arbitrary garbage —
+    # exercises the truncation guards in every format branch
+    st.sampled_from([b"\x89PNG\r\n\x1a\n", b"GIF89a", b"\xff\xd8",
+                     b"RIFF", b"RIFFxxxxWAVE"]).flatmap(
+        lambda m: st.binary(max_size=64).map(lambda t: m + t))))
+@settings(max_examples=200, deadline=None)
+def test_media_header_total_on_arbitrary_bytes(blob):
+    """parse_media_header is TOTAL: any byte string (including truncated
+    valid magics) yields a well-typed 4-tuple, never an exception — the
+    property that keeps one garbage blob from failing a 100 TB partition."""
+    from reach_spark.multimodal import parse_media_header
+    fmt, a, b, c = parse_media_header(blob)
+    assert fmt in ("png", "gif", "jpeg", "wav", "unknown")
+    assert all(isinstance(x, int) and x >= 0 for x in (a, b, c))
