@@ -174,13 +174,34 @@ def p2_polarity_ml(spark: SparkSession, sf_dir: str) -> DataFrame:
     return polarity_ml_df(docs)
 
 
+_EER_CACHE: dict[tuple[str, str], DataFrame] = {}
+
+
 def _eer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The materialized triples (EER) table for the downstream graph
-    queries — same pipeline invocation as kg_triples_flagship."""
+    queries — same pipeline invocation as kg_triples_flagship.
+
+    Memoized per (session, sf_dir) behind an eager localCheckpoint: six
+    graph queries consume this table, and without the memo each would
+    re-run the whole extraction pipeline in the driver's correctness gate.
+    The checkpoint holds only the vocabulary-bounded EER rows, so the
+    pipeline's big persisted intermediates are released immediately
+    (LazyResults.cleanup) instead of accumulating across queries."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _EER_CACHE.get(key)
+    if hit is not None:
+        return hit
     from reach_spark.pipeline import extract_dataframe
     docs = _interleaved_documents(spark, sf_dir)
     res = extract_dataframe(spark, docs, with_coref=False)
-    return res["triples"].select("subj", "pred", "obj", "negated", "seen")
+    eer = (res["triples"]
+           .select("subj", "pred", "obj", "negated", "seen")
+           .localCheckpoint(eager=True))
+    res.cleanup()
+    if len(_EER_CACHE) > 4:
+        _EER_CACHE.clear()
+    _EER_CACHE[key] = eer
+    return eer
 
 
 def kg_entity_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
