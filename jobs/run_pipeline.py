@@ -23,6 +23,11 @@ def main() -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--max-doc-spans", type=int, default=10000,
+                    help="cap a pathological document's span array "
+                         "(bounds the worst single task; docs are the "
+                         "atomic unit — coref/context/alias are "
+                         "doc-scoped); 0 disables")
     ap.add_argument("--tables-prefix", default=None,
                     help="also materialize the graph as named partitioned "
                          "catalog tables <prefix>_triples/<prefix>_entities "
@@ -46,7 +51,8 @@ def main() -> None:
             docs = docs.repartition(args.partitions, "doc_id")
         counts = run_batch(spark, docs, args.output,
                            resume=not args.no_resume,
-                           catalog_prefix=args.tables_prefix)
+                           catalog_prefix=args.tables_prefix,
+                           max_doc_spans=args.max_doc_spans or None)
         print(counts)
 
 

@@ -35,7 +35,8 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
                       persist: bool = True,
                       alias_propagation: bool = True,
                       corpus_aliases: bool = False,
-                      adhoc_kb: DataFrame | None = None
+                      adhoc_kb: DataFrame | None = None,
+                      max_doc_spans: int | None = None
                       ) -> dict[str, DataFrame]:
     """The programmatic API (reference ReachSystem.extractFrom,
     ReachSystem.scala:167-175): documents → dict of result DataFrames.
@@ -53,6 +54,19 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
     corpus-wide (reference extractFrom(Seq(docs)), TestCoreference
     sent61); that mode genuinely needs a global barrier, so it uses the
     unfused two-pass path (pass-1 + broadcast-join rescan)."""
+    if max_doc_spans:
+        # Pathological-document guard (the doc-level analog of the
+        # reference's 100-token sentence parse cap, BioNLPProcessor.scala:
+        # 24): documents are the atomic processing unit — coref, context
+        # windows and the alias rescan are doc-scoped, exactly as the
+        # reference is paper-atomic — so a crawl-scale mega-doc cannot be
+        # split across tasks without changing semantics. Instead its span
+        # array is capped here, bounding the worst single task. A cheap
+        # column slice (no-op for every normal doc); run_pipeline.py
+        # defaults this on for production crawls, the library default
+        # stays exact.
+        documents = documents.withColumn(
+            "spans", F.slice("spans", 1, max_doc_spans))
     _extra_persisted: list[DataFrame] = []
     if alias_propagation and not corpus_aliases:
         # hot path: ONE mapInPandas stage does span-order → sentence split
@@ -218,7 +232,8 @@ def partition_metrics(df: DataFrame, stage: str) -> DataFrame:
 
 def run_batch(spark: SparkSession, documents: DataFrame, out_dir: str,
               resume: bool = True,
-              catalog_prefix: str | None = None) -> dict[str, int]:
+              catalog_prefix: str | None = None,
+              max_doc_spans: int | None = None) -> dict[str, int]:
     """Batch driver with checkpoint/resume. Writes parquet tables
     (production target is Iceberg `writeTo(...).partitionedBy(...)`; parquet
     keeps the sandbox dependency-free — the table layout is identical).
@@ -239,7 +254,7 @@ def run_batch(spark: SparkSession, documents: DataFrame, out_dir: str,
     if n_docs == 0:
         return {"docs": 0}
 
-    results = extract_dataframe(spark, todo)
+    results = extract_dataframe(spark, todo, max_doc_spans=max_doc_spans)
     counts: dict[str, int] = {}
     t0 = time.time()
     for name in ("mentions", "triple_occurrences", "canonical_entities"):

@@ -296,3 +296,27 @@ def test_corpus_alias_propagation(spark):
     nonces = [m for m in ms if m["text"] == "23peM"]
     assert {m["doc_id"] for m in nonces} == {"testDoc1", "testDoc2"}
     assert all(m["canonical"] == "aspp1" for m in nonces)
+
+
+def test_max_doc_spans_guard(spark):
+    """Pathological-document guard: max_doc_spans caps the span array
+    (bounding the worst single task) while a doc under the cap is exact.
+    Docs are the atomic unit — the cap is the doc-level analog of the
+    100-token sentence parse guard."""
+    span = {"kind": "text", "text": "Ras phosphorylates MEK.",
+            "media_ref": "", "offset": 0}
+    many = [dict(span, offset=i) for i in range(30)]
+    docs = spark.createDataFrame(
+        [("big", many), ("small", many[:2])],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+    capped = extract_dataframe(spark, docs, with_coref=False,
+                               persist=False, max_doc_spans=5)
+    per_doc = {r["doc_id"]: r["n"] for r in
+               capped["mentions"].where("kind = 'tbm'")
+               .groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    assert per_doc["big"] == 5 * per_doc["small"] / 2  # 5 spans survive
+    exact = extract_dataframe(spark, docs, with_coref=False, persist=False)
+    n_exact = (exact["mentions"].where("kind = 'tbm'")
+               .where("doc_id = 'big'").count())
+    assert n_exact == 30 * per_doc["small"] / 2  # default: no cap
