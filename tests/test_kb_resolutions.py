@@ -328,3 +328,21 @@ def test_bioresources_fills_failsafe_gap(spark):
     assert gm["neuroblastoma"][0] == "mesh"
     assert gm["U-87 MG"][0] == "cellosaurus"
     assert gm["glycogen biosynthesis"][0] == "go"
+
+
+def test_context_kb_lister_types(spark):
+    """ReachContextKBLister analog: every reference context type
+    (ReachContextKBLister.scala:13) is represented, entries carry ns:id,
+    and rows are distinct."""
+    from reach_spark.kg_queries import QUERIES
+    fn, _ = QUERIES["c1_context_kb_entries"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    by_type = {r["ctx_type"]: r["n"] for r in
+               df.groupBy("ctx_type").agg(F.count("*").alias("n"))
+               .collect()}
+    for t in ("CellLine", "CellType", "Species", "TissueType", "Organ",
+              "Cellular_component"):
+        assert by_type.get(t, 0) > 0, t
+    row = df.first()
+    assert row["ns_id"] == f"{row['ns']}:{row['id']}"
+    assert df.count() == df.distinct().count()
