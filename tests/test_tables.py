@@ -112,3 +112,29 @@ def test_run_batch_materializes_catalog_tables(spark, tmp_path):
     assert "pred" in plan.split("PartitionFilters")[1].splitlines()[0]
     for t in ("t_e2e_triples", "t_e2e_entities"):
         spark.sql(f"DROP TABLE {t}")
+
+
+def test_catalog_tables_under_resume(spark, tmp_path):
+    """Two resumed batches with catalog_prefix: the catalog triples table
+    is overwritten from the FULL occurrence log each batch, so after batch
+    2 it equals a single-batch run over the whole corpus (corpus-wide SEEN,
+    not batch-local)."""
+    from reach_spark.pipeline import run_batch
+    from reach_spark.synth import make_documents
+    full = make_documents(spark, n_docs=8, skew_every=0)
+    half = full.where(F.col("doc_id") < "doc-0004")
+    out = str(tmp_path / "out")
+    run_batch(spark, half, out, catalog_prefix="t_res")
+    run_batch(spark, full, out, catalog_prefix="t_res")  # resumes the rest
+    got = {(r["subj"], r["pred"], r["obj"], r["negated"]): r["seen"]
+           for r in spark.table("t_res_triples")
+           .select("subj", "pred", "obj", "negated", "seen").collect()}
+    ref_out = str(tmp_path / "ref")
+    run_batch(spark, full, ref_out, catalog_prefix="t_ref")
+    ref = {(r["subj"], r["pred"], r["obj"], r["negated"]): r["seen"]
+           for r in spark.table("t_ref_triples")
+           .select("subj", "pred", "obj", "negated", "seen").collect()}
+    assert got == ref
+    for t in ("t_res_triples", "t_res_entities",
+              "t_ref_triples", "t_ref_entities"):
+        spark.sql(f"DROP TABLE {t}")
