@@ -276,18 +276,23 @@ def _simhash_sql(hexmap: str, substr: str) -> str:
     return ", ".join(bit_terms)
 
 
-@_register("dedup_simhash", f"""
-WITH toks AS (
+_SIMHASH_CTE = f"""toks AS (
   SELECT doc_id, md5(unnest(regexp_split_to_array(text, ' '))) AS h
   FROM documents
 ), bits AS (
   SELECT doc_id, {_simhash_sql(_HEXMAP_DUCK, 'substr')}
   FROM toks GROUP BY doc_id
-)
-SELECT doc_id,
+), sig AS (
+  SELECT doc_id,
   {' + '.join(f"(CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(16))}
   AS simhash16
-FROM bits
+  FROM bits
+)"""
+
+
+@_register("dedup_simhash", f"""
+WITH {_SIMHASH_CTE}
+SELECT doc_id, simhash16 FROM sig
 """)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (_docs(spark, sf_dir)
@@ -304,6 +309,66 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(F.col(f"b{j}") > 0, 2 ** j).otherwise(0)
         acc = term if acc is None else acc + term
     return bits.select("doc_id", acc.cast("bigint").alias("simhash16"))
+
+
+# --------------------------------------------------------------------------
+# simhash near-dup pairs: banded Hamming search. Pigeonhole: two 16-bit
+# signatures within Hamming distance 3 must agree EXACTLY on at least one
+# of four 4-bit bands, so candidates come from a band-key equi self-join
+# (O(n · 4) index rows, never all-pairs) and the exact popcount(xor) check
+# confirms. The same band trick scales to 64/128-bit simhash at 100 TB —
+# bands are the shuffle key; hot bands (e.g. all-zero band from empty-ish
+# docs) would be df-capped like the Jaccard shingle join.
+# --------------------------------------------------------------------------
+_SIMHASH_HAMMING_MAX = 3
+_SIMHASH_BANDS = 4
+
+
+@_register("dedup_simhash_pairs", f"""
+WITH {_SIMHASH_CTE},
+bands AS (
+  SELECT doc_id, simhash16, b AS band_idx,
+         (simhash16 // CAST(power(2, 4 * b) AS BIGINT)) % 16 AS band_bits
+  FROM sig, unnest([0, 1, 2, 3]) AS t(b)
+),
+cand AS (
+  SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+                  greatest(x.doc_id, y.doc_id) AS doc_b
+  FROM bands x JOIN bands y
+       ON x.band_idx = y.band_idx AND x.band_bits = y.band_bits
+          AND x.doc_id < y.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST(bit_count(xor(sa.simhash16, sb.simhash16)) AS BIGINT) AS hamming
+FROM cand c
+JOIN sig sa ON sa.doc_id = c.doc_a
+JOIN sig sb ON sb.doc_id = c.doc_b
+WHERE bit_count(xor(sa.simhash16, sb.simhash16)) <= {_SIMHASH_HAMMING_MAX}
+""")
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = dedup_simhash(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", "simhash16",
+        F.explode(F.sequence(F.lit(0), F.lit(_SIMHASH_BANDS - 1)))
+         .alias("band_idx"))
+    bands = bands.withColumn(
+        "band_bits",
+        F.expr("(simhash16 div cast(pow(2, 4 * band_idx) as bigint)) % 16"))
+    x = bands.select(F.col("doc_id").alias("da"), "band_idx", "band_bits")
+    y = bands.select(F.col("doc_id").alias("db"), "band_idx", "band_bits")
+    cand = (x.join(y, ["band_idx", "band_bits"])
+            .where(F.col("da") < F.col("db"))
+            .select(F.col("da").alias("doc_a"), F.col("db").alias("doc_b"))
+            .distinct())
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    F.col("simhash16").alias("_sa"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    F.col("simhash16").alias("_sb"))
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("hamming",
+                        F.expr("bit_count(_sa ^ _sb)").cast("long"))
+            .where(F.col("hamming") <= _SIMHASH_HAMMING_MAX)
+            .select("doc_a", "doc_b", "hamming"))
 
 
 # --------------------------------------------------------------------------

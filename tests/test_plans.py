@@ -328,3 +328,28 @@ def test_ground_map_broadcasts_full_kb(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_simhash_pairs_banded_no_allpairs(spark):
+    """SimHash pair generation joins on the (band_idx, band_bits) key —
+    never an all-pairs product — and every emitted pair is within the
+    Hamming bound with doc_a < doc_b (pigeonhole completeness is exact for
+    4 bands over 16 bits at max distance 3)."""
+    from reach_spark.textops import QUERIES
+    fn, _ = QUERIES["dedup_simhash_pairs"]
+    df = fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    assert rows
+    assert all(r["doc_a"] < r["doc_b"] and 0 <= r["hamming"] <= 3
+               for r in rows)
+    # exhaustive cross-check on the signatures: banded candidates + confirm
+    # find EXACTLY the same pair set as brute force (pigeonhole guarantee)
+    sig = {r["doc_id"]: r["simhash16"] for r in
+           QUERIES["dedup_simhash"][0](spark, SF_DIR).collect()}
+    ids = sorted(sig)
+    brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
+             if bin(sig[a] ^ sig[b]).count("1") <= 3}
+    assert {(r["doc_a"], r["doc_b"]) for r in rows} == brute
