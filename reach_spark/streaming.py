@@ -30,9 +30,16 @@ from .schemas import DOCUMENTS, TRIPLE_OCCURRENCES
 
 
 def stream_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
-                    checkpoint_dir: str, available_now: bool = True):
+                    checkpoint_dir: str, available_now: bool = True,
+                    catalog_prefix: str | None = None):
     """readStream over the documents directory → foreachBatch extraction →
-    append triples. Returns the StreamingQuery (caller awaits)."""
+    append triples. Returns the StreamingQuery (caller awaits).
+
+    With `catalog_prefix` each micro-batch ALSO refreshes the named
+    partitioned catalog triples table (reach_spark.tables) from the
+    rolled-up EER — the streaming arm of the "materialize the graph back
+    to tables" mandate; with an Iceberg catalog plugged this is a
+    snapshot-isolated commit per micro-batch."""
     from .pipeline import extract_dataframe
 
     src = (spark.readStream
@@ -55,9 +62,14 @@ def stream_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
          .write.mode("append")
          .parquet(f"{out_dir}/entities"))
         from .triples import assemble_triples
-        (assemble_triples(spark.read.parquet(f"{out_dir}/triples"))
-         .write.mode("overwrite").partitionBy("pred")
-         .parquet(f"{out_dir}/triples_eer"))
+        eer = assemble_triples(spark.read.parquet(f"{out_dir}/triples"))
+        (eer.write.mode("overwrite").partitionBy("pred")
+            .parquet(f"{out_dir}/triples_eer"))
+        if catalog_prefix:
+            from .tables import materialize
+            materialize(spark.read.parquet(f"{out_dir}/triples_eer"),
+                        f"{catalog_prefix}_triples",
+                        partition_by=("pred",), mode="overwrite")
         # release per-batch caches — a long-lived stream must not
         # accumulate blocks across micro-batches (same contract as
         # pipeline.run_batch)
