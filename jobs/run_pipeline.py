@@ -42,7 +42,8 @@ def main() -> None:
     if args.streaming:
         from reach_spark.streaming import stream_pipeline
         q = stream_pipeline(spark, args.input, args.output,
-                            f"{args.output}/_stream_checkpoint")
+                            f"{args.output}/_stream_checkpoint",
+                            catalog_prefix=args.tables_prefix)
         q.awaitTermination()
     else:
         from reach_spark.pipeline import run_batch
