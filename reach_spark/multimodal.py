@@ -191,6 +191,87 @@ def media_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_frames").cast("bigint").alias("n_frames"))
 
 
+_FEAT_DIM = 8
+
+
+@_register("media_feature_extract", f"""
+WITH m AS (
+  SELECT doc_id,
+         'img://' || doc_id || '/' || (n_chars % 3) AS media_ref
+  FROM documents)
+SELECT doc_id, media_ref, d AS dim_idx,
+       round((strpos('0123456789abcdef',
+                     substr(md5(media_ref), d + 1, 1)) - 1) / 15.0, 6)
+         AS value
+FROM m, unnest(range(0, {_FEAT_DIM})) AS t(d)
+""")
+def media_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extraction plumbing: one {_FEAT_DIM}-dim embedding row per
+    media ref, exploded to (doc_id, media_ref, dim_idx, value) for exact
+    cross-engine comparison. The featurizer itself is the documented
+    deterministic fake (md5-nibble / 15 → [0,1] floats) standing in for a
+    CNN/CLIP encoder — in production the same mapInPandas batch loop calls
+    the model on decoded pixels; the schema, batching, and downstream
+    compatibility (the ANN/embedding ops consume `array<double>`) are the
+    real contract."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        "doc_id",
+        F.concat(F.lit("img://"), F.col("doc_id").cast("string"),
+                 F.lit("/"), (F.col("n_chars") % 3).cast("string"))
+         .alias("media_ref"))
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        hexmap = "0123456789abcdef"
+        for pdf in batches:
+            rows = []
+            for doc_id, ref in zip(pdf["doc_id"], pdf["media_ref"]):
+                h = hashlib.md5(ref.encode()).hexdigest()
+                for d in range(_FEAT_DIM):
+                    rows.append((doc_id, ref, d,
+                                 round(hexmap.index(h[d]) / 15.0, 6)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "media_ref", "dim_idx", "value"])
+
+    return media.mapInPandas(
+        feats, schema="doc_id long, media_ref string, dim_idx long, "
+                      "value double")
+
+
+def media_resize_plan(media: DataFrame, target_w: int,
+                      target_h: int) -> DataFrame:
+    """Resize planning over a `(doc_id, media binary)` DataFrame: REAL
+    header parse (parse_media_header) + REAL aspect-fit arithmetic — the
+    output dims and scale factors a resampler would use to fit each image
+    inside (target_w, target_h) without distortion. The pixel resampling
+    itself is the stubbed step (decode_pixels); everything up to handing
+    (bytes, out_w, out_h) to a codec is the production path.
+
+    Non-image payloads (wav/unknown/truncated) yield out_w = out_h = 0 —
+    the skip signal, never a partition failure.
+    """
+    def plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["media"]):
+                fmt, w, h, _ = parse_media_header(blob)
+                if fmt in ("png", "gif", "jpeg") and w > 0 and h > 0:
+                    scale = min(target_w / w, target_h / h)
+                    ow = max(1, int(w * scale))
+                    oh = max(1, int(h * scale))
+                    rows.append((doc_id, fmt, w, h, ow, oh,
+                                 round(scale, 6)))
+                else:
+                    rows.append((doc_id, fmt, w, h, 0, 0, 0.0))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "format", "width", "height", "out_w", "out_h",
+                "scale"])
+
+    return media.mapInPandas(
+        plan, schema="doc_id long, format string, width int, height int, "
+                     "out_w int, out_h int, scale double")
+
+
 def pair_media_captions(docs: DataFrame) -> DataFrame:
     """Caption pairing over the interleaved spans: each media span gets the
     text of its NEAREST PRECEDING text span in document order (the standard

@@ -6,6 +6,7 @@ garbage never fails a partition.
 import struct
 
 import pytest
+from pyspark.sql import functions as F
 
 from reach_spark.multimodal import media_header_meta, parse_media_header
 
@@ -110,3 +111,34 @@ def test_pair_media_captions_plan_single_exchange(spark):
     assert "Window" in plan
     for bad in ("Join", "CartesianProduct"):
         assert bad not in plan
+
+
+def test_media_resize_plan(spark):
+    """Aspect-fit resize planning: real header dims -> real scale math;
+    landscape/portrait/fit-exact cases plus the non-image skip signal."""
+    from reach_spark.multimodal import media_resize_plan
+    rows = [(0, _png(640, 480)),    # landscape: fit 256x256 -> 256x192
+            (1, _jpeg(480, 640)),   # portrait: -> 192x256
+            (2, _gif(256, 256)),    # exact fit -> 256x256, scale 1.0
+            (3, _wav(2, 44100)),    # non-image -> skip signal
+            (4, b"junk")]
+    media = spark.createDataFrame(rows, "doc_id long, media binary")
+    got = {r["doc_id"]: (r["format"], r["out_w"], r["out_h"], r["scale"])
+           for r in media_resize_plan(media, 256, 256).collect()}
+    assert got[0] == ("png", 256, 192, 0.4)
+    assert got[1] == ("jpeg", 192, 256, 0.4)
+    assert got[2] == ("gif", 256, 256, 1.0)
+    assert got[3][0] == "wav" and got[3][1:] == (0, 0, 0.0)
+    assert got[4] == ("unknown", 0, 0, 0.0)
+
+
+def test_media_features_shape(spark):
+    """Feature rows: 8 dims per media ref, values in [0,1], deterministic
+    across runs (same ref -> same vector)."""
+    from reach_spark.multimodal import QUERIES
+    fn, _ = QUERIES["media_feature_extract"]
+    df = fn(spark, "/root/testdata/sf0.001")
+    per_ref = df.groupBy("media_ref").count().select("count").distinct()
+    assert [r["count"] for r in per_ref.collect()] == [8]
+    vals = df.select(F.min("value"), F.max("value")).first()
+    assert 0.0 <= vals[0] <= vals[1] <= 1.0
