@@ -214,3 +214,63 @@ def connected_components_bipartite(spark: SparkSession,
         F.concat(F.lit("n:"), F.lpad(F.col("c_nationkey").cast("string"),
                                      12, "0")).alias("dst"))
     return connected_components(edges).select("node", "component")
+
+
+# gap-based sessionization: the canonical behavioral-data operator (and
+# the batch shape of a streaming session window). A new session starts
+# when the gap to the previous event exceeds 30 min. All time arithmetic
+# is integer MICROSECONDS (unix_micros / epoch_us) so both engines compare
+# and aggregate exactly — second-truncating functions disagree on
+# sub-second boundaries. One user-keyed window + one hash aggregate; at
+# 100 TB the shuffle key is user_id and per-user history is the partition
+# unit (the same shape Structured Streaming's session_window state uses).
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@_register("sessionize_events", f"""
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+), flagged AS (
+  SELECT user_id, event_id, tus,
+         CASE WHEN tus - lag(tus) OVER w > {_SESSION_GAP_US}
+              OR lag(tus) OVER w IS NULL THEN 1 ELSE 0 END AS new_s
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+), sess AS (
+  SELECT user_id, event_id, tus,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id)
+           AS session_idx
+  FROM flagged
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       CAST(count(*) AS BIGINT) AS n_events,
+       min(event_id) AS first_event_id,
+       max(event_id) AS last_event_id,
+       CAST(max(tus) - min(tus) AS BIGINT) AS duration_us
+FROM sess GROUP BY user_id, session_idx
+""")
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .select("user_id", "event_id",
+                 # ts is TIMESTAMP_NTZ; the session TZ is pinned UTC
+                 # (session.py), so the cast is the identity instant and
+                 # matches DuckDB's naive epoch_us exactly
+                 F.unix_micros(F.col("ts").cast("timestamp")).alias("tus")))
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = e.withColumn(
+        "new_s",
+        F.when(F.lag("tus").over(w).isNull()
+               | ((F.col("tus") - F.lag("tus").over(w))
+                  > _SESSION_GAP_US), 1).otherwise(0))
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (sess.groupBy("user_id", "session_idx")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("event_id").alias("first_event_id"),
+                 F.max("event_id").alias("last_event_id"),
+                 (F.max("tus") - F.min("tus")).alias("duration_us"))
+            .select("user_id",
+                    F.col("session_idx").cast("long").alias("session_idx"),
+                    F.col("n_events").cast("long").alias("n_events"),
+                    "first_event_id", "last_event_id",
+                    F.col("duration_us").cast("long").alias("duration_us")))

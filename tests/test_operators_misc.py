@@ -382,3 +382,32 @@ def test_triple_eer_dedup(spark):
     occ = res["triple_occurrences"].where(
         F.col("pred") == "Positive_regulation->Phosphorylation")
     assert occ.count() == 3
+
+
+def test_sessionize_events_semantics(spark):
+    """Gap-based sessionization: a >30-min gap starts a new session;
+    within-gap events accrue; sessions index from 1 per user."""
+    import datetime as dt
+    from reach_spark.relational import sessionize_events
+    import tempfile, os
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base, 1, "a", 0.0, "{}"),
+        (1, base + dt.timedelta(minutes=10), 1, "a", 0.0, "{}"),
+        (2, base + dt.timedelta(minutes=50), 1, "a", 0.0, "{}"),  # gap 40m
+        (3, base, 2, "a", 0.0, "{}"),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string") \
+        .write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    got = {(r["user_id"], r["session_idx"]):
+           (r["n_events"], r["first_event_id"], r["last_event_id"],
+            r["duration_us"])
+           for r in sessionize_events(spark, d).collect()}
+    assert got == {
+        (1, 1): (2, 0, 1, 10 * 60 * 1_000_000),
+        (1, 2): (1, 2, 2, 0),
+        (2, 1): (1, 3, 3, 0),
+    }
