@@ -500,3 +500,76 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.min(F.md5("shingle")), 1, 16).alias("fp_min"),
         F.substring(F.max(F.md5("shingle")), 1, 16).alias("fp_max"),
         F.countDistinct("shingle").alias("n_shingles"))
+
+
+# --------------------------------------------------------------------------
+# winnowing fingerprint selection (the MOSS algorithm, Schleimer et al.
+# SIGMOD'03): over the ordered shingle-hash sequence, slide a window of
+# W hashes and keep the window minimum (position-tiebroken) — any match of
+# length >= W + k - 1 tokens between two documents is then GUARANTEED to
+# share a selected fingerprint, while storage shrinks ~2/(W+1) per token.
+# The window min is ordered-window work per doc (doc-keyed shuffle only);
+# the (hash,pos) pair is tie-broken by encoding both into one fixed-width
+# string so the SAME lexicographic min runs on both engines.
+# --------------------------------------------------------------------------
+_WINNOW_W = 4
+# 32-bit shingle hash from the first 8 md5 nibbles (the simhash nibble
+# trick: identical integer arithmetic on both engines)
+_H32_SPARK = " + ".join(
+    f"(cast({_HEXMAP_SPARK.format(c=f'substring(h, {j + 1}, 1)')} as bigint)"
+    f" * {16 ** j})" for j in range(8))
+_H32_DUCK = " + ".join(
+    f"(CAST({_HEXMAP_DUCK.format(c=f'substr(h, {j + 1}, 1)')} AS BIGINT)"
+    f" * {16 ** j})" for j in range(8))
+
+
+@_register("doc_winnow", f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLE_DUCK} AS arr FROM documents
+), pos AS (
+  SELECT doc_id, i AS p, md5(arr[i + 1]) AS h
+  FROM sh, unnest(range(0, len(arr))) AS t(i)
+), hashed AS (
+  SELECT doc_id, p, {_H32_DUCK} AS h32,
+         count(*) OVER (PARTITION BY doc_id) AS n
+  FROM pos
+), winmin AS (
+  -- window FIRST (over every row), valid-start filter AFTER: SQL's WHERE
+  -- runs before window functions and would amputate the tail rows from
+  -- the lookahead
+  SELECT doc_id, p, n,
+         min(lpad(CAST(h32 AS VARCHAR), 10, '0') || '|' ||
+             lpad(CAST(p AS VARCHAR), 10, '0'))
+           OVER (PARTITION BY doc_id ORDER BY p
+                 ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING)
+           AS s
+  FROM hashed
+), sel AS (
+  SELECT doc_id, s FROM winmin WHERE p <= greatest(0, n - {_WINNOW_W})
+)
+SELECT DISTINCT doc_id,
+       CAST(substr(s, 12, 10) AS BIGINT) AS pos,
+       CAST(substr(s, 1, 10) AS BIGINT) AS fp
+FROM sel
+""")
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = (_docs(spark, sf_dir)
+          .select("doc_id",
+                  F.posexplode(F.expr(_SHINGLE_SPARK)).alias("p", "s"))
+          .select("doc_id", "p", F.md5("s").alias("h")))
+    hashed = (sh.withColumn("h32", F.expr(_H32_SPARK))
+              .withColumn("n", F.count("*").over(
+                  Window.partitionBy("doc_id"))))
+    enc = F.concat(F.lpad(F.col("h32").cast("string"), 10, "0"),
+                   F.lit("|"),
+                   F.lpad(F.col("p").cast("string"), 10, "0"))
+    w = (Window.partitionBy("doc_id").orderBy("p")
+         .rowsBetween(Window.currentRow, _WINNOW_W - 1))
+    sel = (hashed.withColumn("s", F.min(enc).over(w))
+           .where(F.col("p") <= F.greatest(
+               F.lit(0), F.col("n") - _WINNOW_W)))
+    return (sel.select(
+        "doc_id",
+        F.substring("s", 12, 10).cast("bigint").alias("pos"),
+        F.substring("s", 1, 10).cast("bigint").alias("fp"))
+        .distinct())

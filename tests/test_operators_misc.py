@@ -411,3 +411,33 @@ def test_sessionize_events_semantics(spark):
         (1, 2): (1, 2, 2, 0),
         (2, 1): (1, 3, 3, 0),
     }
+
+
+def test_winnow_guarantee(spark):
+    """Winnowing's core property (Schleimer et al. SIGMOD'03): two
+    documents sharing a run of >= W + k - 1 tokens (here 4 + 3 - 1 = 6)
+    MUST share at least one selected fingerprint value; selection is also
+    far sparser than the full shingle set."""
+    import tempfile, os
+    from reach_spark.textops import QUERIES
+    shared = "alpha beta gamma delta epsilon zeta"   # 6 shared tokens
+    rows = [
+        (0, "x1 x2 x3 " + shared + " x4 x5", "en", "s", 0),
+        (1, "y1 " + shared + " y2 y3 y4 y5 y6", "en", "s", 0),
+        (2, "totally different words only here never matching", "en",
+         "s", 0),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long") \
+        .write.mode("overwrite").parquet(os.path.join(d,
+                                                      "documents.parquet"))
+    fp = QUERIES["doc_winnow"][0](spark, d)
+    by_doc = {}
+    for r in fp.collect():
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    assert by_doc[0] & by_doc[1], "shared 6-token run must share a print"
+    assert not (by_doc[0] & by_doc.get(2, set()))
+    # sparsity: fewer selections than shingles (n_tokens - 2 shingles/doc)
+    assert all(len(v) < 10 for v in by_doc.values())
