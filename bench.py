@@ -53,35 +53,39 @@ HEADLINE = [
 ]
 
 
-def run_suite(spark, sf_dir: str) -> tuple[dict[str, float], int]:
+def run_suite(spark, sf_dir: str,
+              repeats: int) -> tuple[dict, dict, dict, int]:
+    """Each query runs `repeats` times; the headline number per query is
+    the MIN wall (the clean-window estimate — this box's hypervisor steal
+    and noisy neighbors only ever ADD time, so min is the least-biased
+    single-shot estimator; all walls are recorded for audit). The first
+    wall additionally carries per-plan codegen, so min-of-N also stops
+    session constants from being billed to whichever query runs first."""
     import __spark_entry__ as entrymod
     qs = entrymod.queries()
     timings: dict[str, float] = {}
+    walls_all: dict[str, list[float]] = {}
+    rows: dict[str, int] = {}
     n_docs = 0
     for name in HEADLINE:
-        # each query is self-contained (the driver's correctness gate runs
-        # them the same way); caches/broadcasts left by the previous query
-        # are bench artifacts — at 8g driver heap they turn into full-GC
-        # pauses attributed to whatever query runs next (measured: minhash
-        # 6s -> 52s when it follows the flagship's persisted intermediates)
-        spark.catalog.clearCache()
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        if name == "kg_triples_flagship":
-            n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
-            timings["_kg_triples_rows"] = n
-            # steady-state number: the cold timing above carries the
-            # session's one-time costs (whole-stage codegen, Python worker
-            # spawn, first KB scan) because the flagship runs first; the
-            # warm repeat is what a long-lived batch driver sees per batch
-            # (same rationale as the --scaling-level codegen warmup)
+        walls = []
+        for _ in range(repeats):
+            # each run is self-contained (the driver's correctness gate
+            # runs them the same way); caches/broadcasts left by a prior
+            # run are bench artifacts — at 8g driver heap they turn into
+            # full-GC pauses attributed to whatever query runs next
+            # (measured: minhash 6s -> 52s when it follows the flagship's
+            # persisted intermediates)
             spark.catalog.clearCache()
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
-            timings["kg_triples_flagship_warm"] = round(time.time() - t0, 3)
-    return timings, n_docs
+            n = qs[name](spark, sf_dir).count()
+            walls.append(round(time.time() - t0, 3))
+        timings[name] = min(walls)
+        walls_all[name] = walls
+        rows[name] = n
+        if name == "kg_triples_flagship":
+            n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    return timings, walls_all, rows, n_docs
 
 
 def _read_steal() -> tuple[float, float]:
@@ -96,6 +100,19 @@ def _read_steal() -> tuple[float, float]:
         return sum(vals), vals[7]
     except Exception:
         return 0.0, 0.0
+
+
+def _calibrate(n: int = 3_000_000) -> float:
+    """Single-thread sha1 spin (Mhash/s) — a fixed-work hardware probe run
+    before and after the suite. Two healthy windows on this box read ~the
+    same number; a degraded window (steal, neighbor contention) reads
+    lower, flagging the whole file's walls as suspect."""
+    import hashlib
+    h = b"x" * 64
+    t0 = time.time()
+    for _ in range(n):
+        h = hashlib.sha1(h).digest()
+    return round(n / (time.time() - t0) / 1e6, 2)
 
 
 def _cpu_burn(per_worker: int = 6_000_000) -> dict:
@@ -277,29 +294,34 @@ def main():
 
     spark = get_spark(app_name="bench", cores=cpus,
                       shuffle_partitions=max(cpus, 8))
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    cal0 = _calibrate()
     tot0, st0 = _read_steal()
-    timings, n_docs = run_suite(spark, sf_dir)
+    timings, walls_all, _rows, n_docs = run_suite(spark, sf_dir, repeats)
     tot1, st1 = _read_steal()
+    cal1 = _calibrate()
     steal_pct = round(100.0 * (st1 - st0) / max(tot1 - tot0, 1e-9), 1)
-    # suite total = the headline queries only (the auxiliary warm repeat
-    # of the flagship is reported separately, not double-counted)
     total = round(sum(timings[n] for n in HEADLINE), 3)
-    kg_docs_per_sec = round(
-        n_docs / max(timings["kg_triples_flagship"], 1e-9), 2)
+    flagship = walls_all["kg_triples_flagship"]
     print(json.dumps({
-        "metric": "headline-suite wall-clock (KG pipeline + dedup + ANN + "
+        "metric": "headline-suite wall-clock, per-query min of "
+                  f"{repeats} repeats (KG pipeline + dedup + ANN + "
                   "relational)",
         "value": total,
         "unit": "sec",
-        "queries": {k: v for k, v in timings.items()
-                    if not k.startswith("_")},
+        "queries": timings,
+        # audit trail: every wall of every repeat, plus the window
+        # instrumentation — a run whose window was hypervisor-stolen or
+        # neighbor-degraded is identifiable in-file (BASELINE.md documents
+        # identical code swinging 2-4x wall-to-wall on this box)
+        "queries_walls": walls_all,
+        "repeats": repeats,
         "sf": _sf_from_dir(sf_dir),
-        "kg_docs_per_sec": kg_docs_per_sec,
-        "kg_docs_per_sec_warm": round(
-            n_docs / max(timings.get("kg_triples_flagship_warm",
-                                     timings["kg_triples_flagship"]),
-                         1e-9), 2),
+        "kg_docs_per_sec": round(n_docs / max(min(flagship), 1e-9), 2),
+        "kg_docs_per_sec_first": round(
+            n_docs / max(flagship[0], 1e-9), 2),
         "hypervisor_steal_pct": steal_pct,
+        "calibration_mhash_per_s": [cal0, cal1],
         "cores": cpus,
     }))
 

@@ -43,7 +43,8 @@ def main() -> None:
         from reach_spark.streaming import stream_pipeline
         q = stream_pipeline(spark, args.input, args.output,
                             f"{args.output}/_stream_checkpoint",
-                            catalog_prefix=args.tables_prefix)
+                            catalog_prefix=args.tables_prefix,
+                            max_doc_spans=args.max_doc_spans or None)
         q.awaitTermination()
     else:
         from reach_spark.pipeline import run_batch

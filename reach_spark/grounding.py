@@ -122,7 +122,10 @@ def adhoc_kb_df(spark: SparkSession,
                 if not line.strip():
                     continue
                 f = line.split("\t")
-                if len(f) < 4 or not f[0].strip() or not f[1].strip():
+                # reference AdHocIMKBFactory.tsvValidateFields requires
+                # text, id AND namespace non-empty (fields 0, 1, 3)
+                if (len(f) < 4 or not f[0].strip() or not f[1].strip()
+                        or not f[3].strip()):
                     continue
                 rows.append((f[0], f[3], f[1],
                              f[2].strip() or "human", default_label))

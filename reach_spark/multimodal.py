@@ -93,11 +93,19 @@ def parse_media_header(b: bytes | None) -> tuple[str, int, int, int]:
     if b[:2] == b"\xff\xd8":  # JPEG SOI; scan segment markers
         i = 2
         while i + 9 < len(b) and b[i] == 0xFF:
+            # fill bytes: any run of 0xFF before a marker is padding
+            # (ITU T.81 §B.1.1.2) — consume it one byte at a time
+            if b[i + 1] == 0xFF:
+                i += 1
+                continue
             marker = b[i + 1]
             if marker in (0xC0, 0xC1, 0xC2):  # SOF0/1/2
                 h, w = struct.unpack(">HH", b[i + 5:i + 9])
                 return ("jpeg", w, h, b[i + 9] if i + 9 < len(b) else 0)
-            if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            # standalone (no length word): SOI, RSTn, TEM, EOI
+            if marker in (0xD8, 0x01, 0xD9) or 0xD0 <= marker <= 0xD7:
+                if marker == 0xD9:  # EOI — no SOF seen
+                    break
                 i += 2
                 continue
             if i + 4 > len(b):
@@ -105,10 +113,20 @@ def parse_media_header(b: bytes | None) -> tuple[str, int, int, int]:
             seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
             i += 2 + seglen
         return ("jpeg", 0, 0, 0)
-    if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 28:
-        channels = struct.unpack("<H", b[22:24])[0]
-        rate = struct.unpack("<I", b[24:28])[0]
-        return ("wav", channels, 0, rate)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE" and len(b) >= 12:
+        # walk RIFF chunks to the 'fmt ' chunk — encoders commonly emit a
+        # leading JUNK/LIST chunk, so fixed offsets 22/24 are wrong in the
+        # wild; unparseable chunk sequences fall through to 'unknown'
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i:i + 4]
+            (clen,) = struct.unpack("<I", b[i + 4:i + 8])
+            if cid == b"fmt " and i + 16 <= len(b):
+                channels = struct.unpack("<H", b[i + 10:i + 12])[0]
+                rate = struct.unpack("<I", b[i + 12:i + 16])[0]
+                return ("wav", channels, 0, rate)
+            i += 8 + clen + (clen & 1)  # chunks are word-aligned
+        return ("unknown", 0, 0, 0)
     return ("unknown", 0, 0, 0)
 
 
@@ -270,6 +288,100 @@ def media_resize_plan(media: DataFrame, target_w: int,
     return media.mapInPandas(
         plan, schema="doc_id long, format string, width int, height int, "
                      "out_w int, out_h int, scale double")
+
+
+def _synth_media(doc_id: int) -> bytes:
+    """Deterministic real-format bytes for the media_resize_plan driver
+    query: PNG / GIF / JPEG (with marker fill bytes) / WAV (half with a
+    leading JUNK chunk, the encoder layout the chunk walker exists for) /
+    garbage, keyed on doc_id so the DuckDB oracle can mirror the parsed
+    dimensions with pure arithmetic."""
+    import struct
+    k = doc_id % 7
+    w = 100 + (doc_id * 37) % 1900
+    h = 100 + (doc_id * 53) % 1900
+    if k == 0:
+        fmt = (b"fmt " + struct.pack("<I", 16) +
+               struct.pack("<HHI", 1, 2, 44100) + b"\x00" * 8)
+        junk = (b"JUNK" + struct.pack("<I", 4) + b"\x00" * 4
+                if (doc_id // 7) % 2 == 1 else b"")
+        body = b"WAVE" + junk + fmt
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+    if k == 1:
+        # pad past the 12-byte minimum the parser's truncation guard uses
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x3b"
+    if k == 3:
+        return b"notamediafile123"
+    if k == 5:
+        # SOI, fill byte, APP0(len 4), SOF0(len 11): h/w at +5/+7
+        return (b"\xff\xd8\xff" + b"\xff\xe0" + struct.pack(">H", 4) +
+                b"\x00\x00" + b"\xff\xc0" + struct.pack(">H", 11) +
+                b"\x08" + struct.pack(">HH", h, w) + b"\x03")
+    return (b"\x89PNG\r\n\x1a\n" + struct.pack(">I", 13) + b"IHDR" +
+            struct.pack(">II", w, h))
+
+
+_RESIZE_TGT = 512
+
+_RESIZE_PLAN_SQL = f"""
+WITH m AS (
+  SELECT doc_id, doc_id % 7 AS k,
+         100 + (doc_id * 37) % 1900 AS w,
+         100 + (doc_id * 53) % 1900 AS h
+  FROM documents),
+parsed AS (
+  SELECT doc_id,
+         CASE WHEN k = 0 THEN 'wav' WHEN k = 1 THEN 'gif'
+              WHEN k = 3 THEN 'unknown' WHEN k = 5 THEN 'jpeg'
+              ELSE 'png' END AS format,
+         CASE WHEN k = 0 THEN 2 WHEN k = 3 THEN 0 ELSE w END AS width,
+         CASE WHEN k IN (0, 3) THEN 0 ELSE h END AS height
+  FROM m),
+plan AS (
+  SELECT doc_id, format, width, height,
+         CASE WHEN format IN ('png', 'gif', 'jpeg')
+                   AND width > 0 AND height > 0
+              THEN least({_RESIZE_TGT}.0 / width, {_RESIZE_TGT}.0 / height)
+              ELSE 0.0 END AS s
+  FROM parsed)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, format,
+       CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CASE WHEN s > 0
+            THEN greatest(1, CAST(floor(width * s) AS BIGINT))
+            ELSE 0 END AS out_w,
+       CASE WHEN s > 0
+            THEN greatest(1, CAST(floor(height * s) AS BIGINT))
+            ELSE 0 END AS out_h,
+       round(s, 6) AS scale
+FROM plan
+"""
+
+
+@_register("media_resize_plan", _RESIZE_PLAN_SQL)
+def media_resize_plan_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver row for the resize planner: synthesize real container bytes
+    per doc (mapInPandas), run media_resize_plan — REAL header parse +
+    REAL aspect-fit math over them — and return the exploded plan. The
+    byte synthesis is the only fake; every parse branch (PNG/GIF/JPEG
+    fill-byte scan/WAV chunk walk/garbage skip) runs on real bytes."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id")
+
+    def mk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media": [_synth_media(int(d)) for d in pdf["doc_id"]]})
+
+    media = docs.mapInPandas(mk, schema="doc_id long, media binary")
+    plan = media_resize_plan(media, _RESIZE_TGT, _RESIZE_TGT)
+    return plan.select(
+        "doc_id", "format",
+        F.col("width").cast("bigint").alias("width"),
+        F.col("height").cast("bigint").alias("height"),
+        F.col("out_w").cast("bigint").alias("out_w"),
+        F.col("out_h").cast("bigint").alias("out_h"),
+        "scale")
 
 
 def pair_media_captions(docs: DataFrame) -> DataFrame:

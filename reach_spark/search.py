@@ -61,7 +61,14 @@ def build_index(documents: DataFrame,
                 .select("doc_id", F.explode("toks").alias("term"))
                 .groupBy("term", "doc_id")
                 .agg(F.count("*").alias("tf")))
-    return {"postings": postings, "doclens": doclens}
+    # global stats live in the index artifact, exactly like Lucene's
+    # segment metadata: computed ONCE at build, so searches never pay a
+    # full doclens aggregate job (they are two scalars per index)
+    stats = doclens.agg(F.count("*").alias("n"),
+                        F.avg("len").alias("avglen")).collect()[0]
+    return {"postings": postings, "doclens": doclens,
+            "n_docs": int(stats["n"]),
+            "avglen": float(stats["avglen"] or 0.0)}
 
 
 def bm25_search(index: dict[str, DataFrame], query: str,
@@ -78,11 +85,14 @@ def bm25_search(index: dict[str, DataFrame], query: str,
     if not terms:
         return spark.createDataFrame(
             [], "doc_id long, rank int, score double")
-    # global stats: N docs, average length (two scalars — computed once;
-    # at scale these live in the index metadata instead of a count())
-    stats = doclens.agg(F.count("*").alias("n"),
-                        F.avg("len").alias("avglen")).collect()[0]
-    n_docs, avglen = stats["n"], float(stats["avglen"] or 0.0)
+    # global stats come from the index metadata (build_index); indexes
+    # built by older callers without them fall back to one aggregate
+    if "n_docs" in index:
+        n_docs, avglen = index["n_docs"], index["avglen"]
+    else:
+        stats = doclens.agg(F.count("*").alias("n"),
+                            F.avg("len").alias("avglen")).collect()[0]
+        n_docs, avglen = stats["n"], float(stats["avglen"] or 0.0)
 
     hit = postings.where(F.col("term").isin(terms))
     # per-term df over the pruned postings only

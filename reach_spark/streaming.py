@@ -31,15 +31,20 @@ from .schemas import DOCUMENTS, TRIPLE_OCCURRENCES
 
 def stream_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
                     checkpoint_dir: str, available_now: bool = True,
-                    catalog_prefix: str | None = None):
+                    catalog_prefix: str | None = None,
+                    max_doc_spans: int | None = None):
     """readStream over the documents directory → foreachBatch extraction →
     append triples. Returns the StreamingQuery (caller awaits).
 
     With `catalog_prefix` each micro-batch ALSO refreshes the named
-    partitioned catalog triples table (reach_spark.tables) from the
-    rolled-up EER — the streaming arm of the "materialize the graph back
-    to tables" mandate; with an Iceberg catalog plugged this is a
-    snapshot-isolated commit per micro-batch."""
+    partitioned catalog triples (from the rolled-up EER) and entities
+    tables (reach_spark.tables) — the streaming arm of the "materialize
+    the graph back to tables" mandate; with an Iceberg catalog plugged
+    this is a snapshot-isolated commit per micro-batch.
+
+    `max_doc_spans` caps a pathological document's span array exactly as
+    in run_batch — a firehose needs the mega-doc bound at least as much as
+    a backfill does."""
     from .pipeline import extract_dataframe
 
     src = (spark.readStream
@@ -49,7 +54,8 @@ def stream_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
     def process_batch(batch_df, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        res = extract_dataframe(spark, batch_df, with_coref=False)
+        res = extract_dataframe(spark, batch_df, with_coref=False,
+                                max_doc_spans=max_doc_spans)
         # the append-safe unit is the occurrence log (one row per event
         # occurrence); appending pre-aggregated EER rows per micro-batch
         # would double-count seen, so the deduped table is re-rolled-up
@@ -70,6 +76,13 @@ def stream_pipeline(spark: SparkSession, input_dir: str, out_dir: str,
             materialize(spark.read.parquet(f"{out_dir}/triples_eer"),
                         f"{catalog_prefix}_triples",
                         partition_by=("pred",), mode="overwrite")
+            # entity rows are mention-keyed and deterministic, so replayed
+            # micro-batches rewrite identical rows — dedup on mention_id
+            # makes the catalog table idempotent under at-least-once
+            # delivery (the triples analog of this is the EER rollup)
+            materialize(spark.read.parquet(f"{out_dir}/entities")
+                        .dropDuplicates(["mention_id"]),
+                        f"{catalog_prefix}_entities", mode="overwrite")
         # release per-batch caches — a long-lived stream must not
         # accumulate blocks across micro-batches (same contract as
         # pipeline.run_batch)
