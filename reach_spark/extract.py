@@ -116,24 +116,22 @@ def tokenize(sent: str) -> tuple[list[str], list[int], list[int]]:
     # matching so the compound stays one token — 1:1 in length, so
     # character offsets are unchanged
     sent = sent.replace("–", "-").replace("‐", "-").replace("−", "-")
+    aw, ast, aen = words.append, starts.append, ends.append
     for m in _TOKEN_RE.finditer(sent):
-        w = m.group(0)
-        s = m.start()
+        s, e = m.span()
+        w = sent[s:e]
         # split trailing sentence punctuation glued to a word
-        while len(w) > 1 and w[-1] in ".,;:":
-            w2 = w[:-1]
-            words.append(w2)
-            starts.append(s)
-            ends.append(s + len(w2))
-            words.append(w[-1])
-            starts.append(s + len(w2))
-            ends.append(s + len(w))
-            w = ""
-            break
-        if w:
-            words.append(w)
-            starts.append(s)
-            ends.append(s + len(w))
+        if e - s > 1 and w[-1] in ".,;:":
+            aw(w[:-1])
+            ast(s)
+            aen(e - 1)
+            aw(w[-1])
+            ast(e - 1)
+            aen(e)
+        else:
+            aw(w)
+            ast(s)
+            aen(e)
     return words, starts, ends
 
 
@@ -681,33 +679,51 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
     for e in out:
         covered.update(range(e["start"], e["end"]))
     for i, w in enumerate(words):
-        if i in covered or len(w) < 3 or len(w) > 12:
+        if i in covered:
             continue
-        if "-" in w or "/" in w or "." in w or "," in w or "_" in w:
-            continue
-        if w.lower() in R.NER_STOPLIST or w.lower() in dictionary:
-            continue
-        if _SITE_AA_RE.match(w) or _MUTANT_RE.match(w) or _AA3_RE.match(w):
+        ck = _shape_ner_key(w)   # all token-only predicates, memoized
+        if ck is None or lows[i] in dictionary:
             continue
         if i > 0 and lows[i - 1].rstrip(".") in (
                 "figure", "figures", "fig", "table", "tables"):
             continue
-        if w.endswith("RNA") or w.endswith("DNA"):
-            continue  # mRNA/shRNA/tRNA/cDNA — nucleic acids, not proteins
-        low2 = w[:2].lower() if len(w) > 3 else ""
-        shape_digit = (w[0].isupper() and any(c.isdigit() for c in w) and
-                       sum(c.isalpha() for c in w) >= 2 and
-                       not w.isdigit())
-        shape_camel = (w[0].islower() and w.isalnum() and
-                       sum(c.isupper() for c in w) >= 2 and
-                       low2 not in ("sh", "si", "sg", "mi"))
-        if not (shape_digit or shape_camel):
-            continue
         m = _mk(doc_id, sent_idx, "tbm", "Gene_or_gene_product", i, i + 1,
                 words, "shape-ner")
-        m["canonical"] = R.canonical_key(w)
+        m["canonical"] = ck
         out.append(m)
     return out
+
+
+@lru_cache(maxsize=262144)
+def _shape_ner_key(w: str) -> str | None:
+    """Token-only half of the shape-NER predicate chain: returns the
+    canonical key for a shape candidate, None otherwise. Pure function of
+    the token, so it memoizes across every sentence a worker sees —
+    corpus token vocabularies are Zipf-bounded, which turns the regex +
+    character-class scans (the hottest per-token work in find_entities)
+    into one dict probe per occurrence. Position-dependent filters
+    (dictionary membership, coverage, figure/table left context) stay in
+    the caller."""
+    if len(w) < 3 or len(w) > 12:
+        return None
+    if "-" in w or "/" in w or "." in w or "," in w or "_" in w:
+        return None
+    if w.lower() in R.NER_STOPLIST:
+        return None
+    if _SITE_AA_RE.match(w) or _MUTANT_RE.match(w) or _AA3_RE.match(w):
+        return None
+    if w.endswith("RNA") or w.endswith("DNA"):
+        return None  # mRNA/shRNA/tRNA/cDNA — nucleic acids, not proteins
+    low2 = w[:2].lower() if len(w) > 3 else ""
+    shape_digit = (w[0].isupper() and any(c.isdigit() for c in w) and
+                   sum(c.isalpha() for c in w) >= 2 and
+                   not w.isdigit())
+    shape_camel = (w[0].islower() and w.isalnum() and
+                   sum(c.isupper() for c in w) >= 2 and
+                   low2 not in ("sh", "si", "sg", "mi"))
+    if not (shape_digit or shape_camel):
+        return None
+    return R.canonical_key(w)
 
 
 def _site_after(words: list[str], lows: list[str], entities: list[Mention],
@@ -756,6 +772,22 @@ def _is_binding_verb(lw: str) -> bool:
     return any(lw.startswith(s) for s in R.BINDING_VERB_STEMS)
 
 
+@lru_cache(maxsize=262144)
+def _mutant_halves_tok(w: str) -> tuple[tuple, tuple]:
+    """Token-only mutant detection, memoized: (slash-halves, shape-halves).
+    slash-halves = each '/'-separated substitution ('K156M/H204M'), valid
+    only when >1 half or the whole token matches; shape-halves = the
+    _mutant_shape fallback. The position-dependent '>'-substitution and
+    'mutation of' branches stay in attach_entity_mods."""
+    halves = tuple((h, "SubstitutionMutant") for h in w.split("/")
+                   if _MUTANT_RE.match(h))
+    if not (halves and (len(halves) > 1 or _MUTANT_RE.match(w))):
+        halves = ()
+    mtype = _mutant_shape(w)
+    shaped = ((w, mtype),) if mtype is not None else ()
+    return halves, shaped
+
+
 def attach_entity_mods(words: list[str], lows: list[str],
                        entities: list[Mention]) -> set[int]:
     """PTM participle modifiers ("ubiquitinated Ras", "Ras that is
@@ -801,16 +833,19 @@ def attach_entity_mods(words: list[str], lows: list[str],
     # (TestModifications sent15 paren mutant lists)
     _DETS_ANA = ("this", "the", "that", "these", "those")
     for i, w in enumerate(words):
+        slashed, shaped = _mutant_halves_tok(w)
+        if not slashed and not shaped and \
+                lows[i] not in ("mutation", "mutations") and \
+                (i + 2 >= n or words[i + 1] != ">"):
+            continue   # token can produce no mutant halves — fast path
         # "the K341L mutant" is a mutant ANAPHOR (resolve_mutant_anaphors),
         # not a modifier of the previous entity — skipping here prevents a
         # duplicate Mutant mod on the antecedent (TestCoreference sent32a)
         if i > 0 and i + 1 < n and lows[i - 1] in _DETS_ANA and \
                 lows[i + 1].startswith("mutant"):
             continue
-        halves = [(h, "SubstitutionMutant") for h in w.split("/")
-                  if _MUTANT_RE.match(h)]
-        if not (halves and (len(halves) > 1 or _MUTANT_RE.match(w))):
-            halves = []
+        halves = list(slashed)
+        if not halves:
             # split '>' substitution: '76A > T' tokenizes to three
             # tokens (mutantTest16 '76A>T')
             if (i + 2 < n and words[i + 1] == ">" and
@@ -818,9 +853,7 @@ def attach_entity_mods(words: list[str], lows: list[str],
                     re.match(r"^[A-Z]$", words[i + 2])):
                 halves = [(w + ">" + words[i + 2], "SubstitutionMutant")]
             else:
-                mtype = _mutant_shape(w)
-                if mtype is not None:
-                    halves = [(w, mtype)]
+                halves = list(shaped)
             # bare 'Mutation(s) of (the) ENT (gene)' → unspecified mutant
             # (mutantTest15); skipped when a specific mutant token sits
             # directly left ('Ser785His mutation of RAS' — the token rule
@@ -871,6 +904,46 @@ def _sign_of_stem(lw: str) -> int:
         if lw.startswith(s) and len(s) > best:
             best, sign = len(s), -1
     return sign
+
+
+@lru_cache(maxsize=262144)
+def _conv_token_gate(lw: str) -> bool:
+    """Can this token start ANY find_conversions branch? (nominal
+    'conversion of', CONVERSION_STEMS active/passive, '*ed by' PTM
+    passive-with-product)."""
+    return (lw.startswith("conversion")
+            or lw.startswith(R.CONVERSION_STEMS)
+            or lw.endswith("ed"))
+
+
+@lru_cache(maxsize=262144)
+def _binding_token_gate(lw: str) -> bool:
+    """Can this token start ANY find_bindings branch? (hyphen compound
+    triggers, 'bound' relative, binding verb stems, binding nouns,
+    complex-'formation')."""
+    return (lw.endswith(("-binding", "-bound"))
+            or lw == "bound" or lw == "formation"
+            or _is_binding_verb(lw)
+            or lw in R.BINDING_NOUNS)
+
+
+_SWITCH_TOKENS = frozenset({
+    "switch", "switches", "switched", "switching",
+    "turn", "turns", "turned", "turning"})
+
+
+@lru_cache(maxsize=262144)
+def _reg_token_gate(lw: str) -> bool:
+    """Can this token start ANY find_regulations branch? Pure function of
+    the lowered token — the union of every branch's token-level guard.
+    False for the overwhelming majority of corpus tokens, so the
+    regulation pass costs one dict probe per ordinary token."""
+    return (lw == "role"
+            or lw in R.POS_AGENT_NOUNS or lw in R.NEG_AGENT_NOUNS
+            or ("-" in lw and lw.endswith(("ing", "ed", "en")))
+            or lw in _SWITCH_TOKENS
+            or _sign_of_stem(lw) != 0
+            or lw.startswith("regul"))
 
 
 def _wrapper_sign(lw: str) -> int:
@@ -2288,6 +2361,11 @@ class SentenceExtractor:
         i = 0
         while i < self.n:
             lw = self.lows[i]
+            if not _conv_token_gate(lw):
+                # token starts no conversion branch (all three branches
+                # key on conversion*/CONVERSION_STEMS/*ed) — memoized skip
+                i += 1
+                continue
             trig = (i, i + 1)
             if lw.startswith("conversion") and i + 1 < self.n and \
                     self.lows[i + 1] == "of":
@@ -2368,6 +2446,12 @@ class SentenceExtractor:
                 i += 1
                 continue
             lw = self.lows[i]
+            if not _binding_token_gate(lw):
+                # token starts no binding branch (every branch keys on
+                # -binding/-bound/bound/binding-verb-stem/binding-noun/
+                # formation) — memoized skip
+                i += 1
+                continue
             # hyphenated "<ENT>-binding activity of <ENT>"
             if lw.endswith("-binding"):
                 prefix = lw[:-len("-binding")]
@@ -3169,6 +3253,12 @@ class SentenceExtractor:
             if i in self.consumed_triggers:
                 i += 1
                 continue
+            if not _reg_token_gate(lw):
+                # token can start NO regulation branch (every branch below
+                # keys on a pure-token predicate: role/agent-noun/hyphen-
+                # trigger/phrasal-switch/sign-stem/regul) — memoized skip
+                i += 1
+                continue
             # "X plays no/little role in the phosphorylation of Y" →
             # regulation; the no/little cue is picked up by the negation
             # handler (NegationHandler bigrams, NegationHandler.scala:10-112)
@@ -3736,6 +3826,8 @@ class SentenceExtractor:
                                        negated=True))
 
     def detect_hypotheses(self) -> None:
+        if not self.events:   # mods attach to events only — skip the scan
+            return
         cue_pos = [i for i, lw in enumerate(self.lows)
                    if lw in R.HYPOTHESIS_CUES]
         if not cue_pos:
@@ -3754,6 +3846,9 @@ class SentenceExtractor:
     def detect_regulation_types(self) -> None:
         """KD/KO/DN/OE/CHEM keyword counting (RegulationHandler.scala:19-172):
         max count wins, tie-break by distance to trigger."""
+        if not any(ev["label"].endswith(("regulation", "activation"))
+                   for ev in self.events):
+            return   # mods attach to reg/act events only — skip the scan
         text = " ".join(self.lows)
         counts = {k: sum(text.count(kw) for kw in kws)
                   for k, kws in R.REGTYPE_KEYWORDS.items()}
@@ -3975,6 +4070,14 @@ class SentenceExtractor:
         connected-components pass; shared canonicals implement the
         grounding share."""
         out: list[Mention] = []
+        # every alias construction needs a paren, a comma, or a homolog
+        # token; their absence (one C-level list probe each) skips the
+        # whole per-token scan — and with no construction fired, the
+        # InstanceFinder rescan below is vacuous too
+        ws = self.words
+        if "(" not in ws and "," not in ws and \
+                "homolog" not in self.lows and "homologs" not in self.lows:
+            return out
         # anchor = known entity OR nameish token followed by paren/comma
         i = 0
         while i < self.n:

@@ -165,7 +165,11 @@ def _install_complex_event_rules(rules: dict) -> None:
     # exists in sys.modules but its caches are not defined yet (and there
     # is nothing to invalidate then)
     for cache_name in ("_sign_of_stem", "_is_binding_verb",
-                       "_match_trigger_cached", "_ptm_participle_label"):
+                       "_match_trigger_cached", "_ptm_participle_label",
+                       # pass-level token gates are derived from the same
+                       # lexicons (union-of-branch-guards memos)
+                       "_reg_token_gate", "_conv_token_gate",
+                       "_binding_token_gate"):
         fn = getattr(extract, cache_name, None)
         if fn is not None:
             fn.cache_clear()
