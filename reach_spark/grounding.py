@@ -265,9 +265,19 @@ def _candidate_key_array() -> Column:
 
 
 def _best_hits(base: DataFrame, kb: DataFrame,
-               species: str | None = None) -> DataFrame:
+               species: str | None = None,
+               kb_broadcast: bool = True) -> DataFrame:
     """(canonical, label, text) → best (g_ns, g_id, g_species) among KB
-    matches; rows with no match are absent (no failsafe here)."""
+    matches; rows with no match are absent (no failsafe here).
+
+    Join strategy: the shipped 357k-row tier broadcasts comfortably
+    (~10 MB). Past broadcast comfort (UniProt-scale, 3M+ rows — see
+    kb.synth_kb), pass kb_broadcast=False: the CANDIDATE side broadcasts
+    instead — it is the distinct surface vocabulary × ~11 transforms,
+    bounded by dictionary size, never by corpus size — and the big KB is
+    streamed through the broadcast hash join with NO shuffle and NO
+    broadcast of the KB at any scale. Either way the big side of the
+    pipeline (mentions) never shuffles."""
     keys = _candidate_key_array()
     cand = (base
             .select("canonical", "label", "text",
@@ -277,9 +287,12 @@ def _best_hits(base: DataFrame, kb: DataFrame,
                     F.col("k.key").alias("key"),
                     F.col("k.req").alias("req"))
             .where(F.col("key") != ""))
-    joined = (cand.join(F.broadcast(kb), "key", "inner")
-              .where((F.col("req") == "any") |
-                     (F.col("req") == F.col("tclass"))))
+    if kb_broadcast:
+        joined = cand.join(F.broadcast(kb), "key", "inner")
+    else:
+        joined = F.broadcast(cand).join(kb, "key", "inner")
+    joined = joined.where((F.col("req") == "any") |
+                          (F.col("req") == F.col("tclass")))
     if species is not None:
         joined = joined.where(F.col("species") == species.lower())
     # routing: exact label match first, then protein KBs, then family KBs
@@ -317,7 +330,8 @@ def _best_hits(base: DataFrame, kb: DataFrame,
                 F.col("b.species").alias("g_species")))
 
 
-def ground_map(entities: DataFrame, kb: DataFrame) -> DataFrame:
+def ground_map(entities: DataFrame, kb: DataFrame,
+               kb_broadcast: bool = True) -> DataFrame:
     """(canonical, label, text) DISTINCT → (canonical, label, text, g_ns,
     g_id, g_species).
 
@@ -333,7 +347,7 @@ def ground_map(entities: DataFrame, kb: DataFrame) -> DataFrame:
                     .alias("canonical"),
                     "label", "text")
             .distinct())
-    best = _best_hits(base, kb)
+    best = _best_hits(base, kb, kb_broadcast=kb_broadcast)
     # failsafe (AzFailsafeKBML): deterministic uaz id from the canonical key
     uaz = F.concat(F.lit("UAZ"),
                    F.upper(F.substring(F.sha1(F.col("canonical")), 1, 8)))

@@ -167,6 +167,49 @@ def kb_full_stamp(kb_dir: str, inline_sha: str) -> str:
         (kb_tsv_sha(kb_dir) + ":" + inline_sha).encode()).hexdigest()
 
 
+SYNTH_KB_ROWS = 3_000_000
+SYNTH_KB_KEYS = 2_700_000
+
+
+def synth_kb(spark: SparkSession, n_rows: int = SYNTH_KB_ROWS,
+             n_keys: int = SYNTH_KB_KEYS) -> DataFrame:
+    """Deterministic UniProt-scale synthetic KB (grounding-schema rows).
+
+    The reference's full production dictionaries (uniprot-proteins-*.tsv /
+    chebi.tsv / PubChem.tsv, ~3M rows) are build-time fetches named in
+    `bioresources/src/main/resources/application.conf:42,158,178` and are
+    not in the checkout; this generator stands in for them at the same
+    cardinality so the grounding join strategy can be proven PAST
+    broadcast comfort (the shipped 357k-row tier broadcasts in ~10 MB; at
+    3M+ rows the executor-memory math flips and the vocabulary side must
+    broadcast instead — grounding.ground_map(kb_broadcast=False)).
+
+    Pure column expressions over spark.range — no driver lists, no
+    Python; generates distributed at any n. `n_keys < n_rows` makes the
+    tail keys ambiguous (multiple entries per key) so rank-1 routing is
+    exercised at scale. The identical arithmetic is SQL-expressible for
+    the DuckDB oracle (kg_queries.g1_kb_3m).
+    """
+    i = F.col("id")
+    return (spark.range(n_rows)
+            .select(
+                F.when(i % 3 == 0, "Gene_or_gene_product")
+                 .when(i % 3 == 1, "Family")
+                 .otherwise("Simple_chemical").alias("kb_label"),
+                F.concat(F.lit("syn"), (i % n_keys).cast("string"))
+                 .alias("key"),
+                F.when(i % 4 == 0, "uniprot").when(i % 4 == 1, "chebi")
+                 .when(i % 4 == 2, "go").otherwise("pubchem").alias("ns"),
+                F.concat(F.lit("P"), i.cast("string")).alias("id"),
+                F.when(i % 3 == 0, "human").when(i % 3 == 1, "")
+                 .otherwise("mouse").alias("species"),
+                (F.lit(1) + (i % 7)).cast("int").alias("kb_priority"),
+                (i % 3 == 0).alias("is_protein_kb"),
+                (i % 3 == 1).alias("is_family_kb"),
+                F.when(i % 3 == 0, "protein").when(i % 3 == 1, "family")
+                 .otherwise("default").alias("tclass")))
+
+
 def _norm_species(col: F.Column) -> F.Column:
     s = F.lower(F.trim(F.coalesce(col, F.lit(""))))
     return F.when(s.isin("human", "homo sapiens"), F.lit("human")) \
