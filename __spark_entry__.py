@@ -94,10 +94,16 @@ def kg_triples_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full KG-construction pipeline (annotate → NER → grammar
     cascade → grounding → triples → EER assembly dedup) over the
     interleaved table. One row per distinct equivalence class
-    (subj, pred, obj, negated) with corpus-wide SEEN evidence count."""
+    (subj, pred, obj, negated) with corpus-wide SEEN evidence count.
+
+    eager_persist=False: triples is the ONLY consumer here, so the lazy
+    gmap/grounded persists materialize along the single action's own
+    lineage (two fewer scheduler round-trips; mentions — the Python
+    stage — is still eagerly pinned inside extract_dataframe)."""
     from reach_spark.pipeline import extract_dataframe
     docs = _interleaved_documents(spark, sf_dir)
-    res = extract_dataframe(spark, docs, with_coref=False)
+    res = extract_dataframe(spark, docs, with_coref=False,
+                            eager_persist=False)
     return res["triples"].select("subj", "pred", "obj", "negated", "seen")
 
 
@@ -193,7 +199,9 @@ def _eer_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         return hit
     from reach_spark.pipeline import extract_dataframe
     docs = _interleaved_documents(spark, sf_dir)
-    res = extract_dataframe(spark, docs, with_coref=False)
+    # triples is the only branch consumed before cleanup() → lazy persists
+    res = extract_dataframe(spark, docs, with_coref=False,
+                            eager_persist=False)
     eer = (res["triples"]
            .select("subj", "pred", "obj", "negated", "seen")
            .localCheckpoint(eager=True))

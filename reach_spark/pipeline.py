@@ -36,7 +36,8 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
                       alias_propagation: bool = True,
                       corpus_aliases: bool = False,
                       adhoc_kb: DataFrame | None = None,
-                      max_doc_spans: int | None = None
+                      max_doc_spans: int | None = None,
+                      eager_persist: bool = True
                       ) -> dict[str, DataFrame]:
     """The programmatic API (reference ReachSystem.extractFrom,
     ReachSystem.scala:167-175): documents → dict of result DataFrames.
@@ -87,12 +88,24 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
     else:
         mentions = extract_mentions(split_sentences_df(documents))
     if persist:
-        # eager (here and for gmap/grounded below): the downstream AQE
-        # jobs and broadcast builds launch CONCURRENTLY, and concurrent
-        # jobs over an unmaterialized cache each recompute its whole
-        # lineage (no cross-job dedup) — measured 3x the extraction stage
-        # and 5x the grounded join. Three serial materializations pin the
-        # caches once; every later job is a cache read.
+        # ALWAYS eager for mentions (even under eager_persist=False): the
+        # downstream AQE jobs and broadcast builds launch CONCURRENTLY,
+        # and concurrent jobs over an unmaterialized cache each recompute
+        # its whole lineage (no cross-job dedup) — measured 3x the
+        # extraction stage (the one Python stage, by far the most
+        # expensive lineage to duplicate). Materializing it first pins
+        # the cache; every later job is a cache read.
+        #
+        # gmap/grounded below are eager only when eager_persist=True (the
+        # default, right for multi-branch consumers: triples + entities +
+        # context + canonical each branch from them in separate actions).
+        # Single-consumer callers (the flagship triples-only path) pass
+        # eager_persist=False: the one action materializes the lazy
+        # persists along its own lineage, saving two scheduler
+        # round-trips + cache-read passes — measured 6.5s -> 4.5s warm at
+        # sf0.1/local[32]. Worst case under concurrency is a duplicated
+        # gmap/grounded JOIN over the already-cached mentions, never a
+        # duplicated extraction.
         mentions = mentions.persist()
         mentions.count()
     # the fully annotated table is exposed (and persisted by run_batch) as
@@ -116,7 +129,8 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
         # unpersist when the batch is done (no leaked cache blocks in
         # long-lived sessions)
         gmap = gmap.persist()
-        gmap.count()
+        if eager_persist:
+            gmap.count()
     # grounding join-back in ONE scan of the mentions table: non-groundable
     # rows carry a NULL join key (never matches → g_* stay null). The
     # two-branch union this replaces scanned the cache twice and doubled
@@ -135,7 +149,8 @@ def extract_dataframe(spark: SparkSession, documents: DataFrame,
                 .drop("_gkey"))
     if persist:
         grounded = grounded.persist()
-        grounded.count()
+        if eager_persist:
+            grounded.count()
     grounded_ents = grounded.where(groundable)
 
     links = coref_links(grounded) if with_coref else None
