@@ -25,6 +25,23 @@ _GENERAL_PREPS = frozenset({"at", "on", "in", "to", "with", "for", "from",
 _NMOD_PREPS = frozenset({"of", "by"}) | _GENERAL_PREPS
 _FAIL_VERBS = frozenset({"fails", "fail", "failed", "failure"})
 _CONJ = frozenset({"and", "or", "nor"})
+_REL_PRONOUNS = frozenset({"which", "that", "who"})
+# subject-raising heads for xcomp ("X continues/appears/is able to V"):
+# lemma-ish forms the POS-lite tagger may read as nouns
+_XCOMP_HEADS = frozenset({"continue", "begin", "start", "appear", "seem",
+                          "tend", "serve", "act", "need", "able", "unable",
+                          "likely", "known", "shown", "reported"})
+
+
+def _lemma_ish(lw: str) -> str:
+    """Strip 3sg -s / past -d the way _XCOMP_HEADS is keyed (continues →
+    continue, tends → tend); leaves -ed/-n participles to the listed
+    forms."""
+    if lw.endswith("s") and not lw.endswith("ss"):
+        return lw[:-1]
+    if lw.endswith("ued") or lw.endswith("red"):
+        return lw[:-1]
+    return lw
 
 
 def _is_verb(tag: str) -> bool:
@@ -39,7 +56,9 @@ def light_deps(words: list[str], tags: list[str],
                lemmas: list[str]) -> list[tuple[int, int, str]]:
     """(src, dst, label) edges for the grammar-relevant UD subset:
     neg, nsubj, nsubjpass, dobj, nmod_of, nmod_by, nmod_<prep> for the
-    general prepositions (at/on/in/to/with/for/from), conj_and, aux."""
+    general prepositions (at/on/in/to/with/for/from), conj_and, aux,
+    plus the clause tier (vars.yml:55-68 census): xcomp, acl_relcl
+    (UD acl:relcl), acl (reduced relative participle), appos."""
     n = len(words)
     lows = [w.lower() for w in words]
     # determiner-governed gerunds are nominals in UD ("The binding of
@@ -134,6 +153,91 @@ def light_deps(words: list[str], tags: list[str],
         if lw in _CONJ and 0 < i < n - 1 and \
                 _is_nounish(tags[i - 1]) and _is_nounish(tags[i + 1]):
             edges.append((i - 1, i + 1, f"conj_{lw}"))
+
+    # --- xcomp: "fails/continues/was shown to phosphorylate" -----------
+    # (UD xcomp — vars.yml `complements: xcomp|ccomp`): open clausal
+    # complement with subject raising; head verb → infinitive verb across
+    # "to" (negation/adverbs transparent). Rule paths climb "<xcomp
+    # >nsubj" to recover the raised subject as cause/controller. Raising
+    # heads the POS-lite tagger reads as nouns (continues, appears, acts)
+    # are admitted by the lemma list and get their own nsubj repaired so
+    # the climb still lands on the subject NP.
+    for i, t in enumerate(tags):
+        is_head = _is_verb(t) or _lemma_ish(lows[i]) in _XCOMP_HEADS
+        if not is_head:
+            continue
+        j = i + 1
+        while j < n and (lows[j] in ("not", "never") or
+                         lows[j].endswith("ly")):
+            j += 1
+        if j + 1 < n and lows[j] == "to" and _is_verb(tags[j + 1]):
+            edges.append((i, j + 1, "xcomp"))
+            if not _is_verb(t) and not any(
+                    e[0] == i and e[2] in ("nsubj", "nsubjpass")
+                    for e in edges):
+                k = i - 1
+                while k >= 0 and tags[k] == "AUX":   # "was shown to",
+                    k -= 1                           # "is able to"
+                if k >= 0 and _is_nounish(tags[k]):
+                    edges.append((i, k, "nsubj"))
+
+    # --- acl_relcl: "X, which/that phosphorylates Y" --------------------
+    # (UD acl:relcl — vars.yml `relative_clause`; underscore spelling to
+    # stay in the layer's nmod_of label convention): head noun → clause
+    # verb across the relative pronoun. A complementizer "that" after a
+    # verb ("We show that ...") has no nounish head and is skipped.
+    for r, lw in enumerate(lows):
+        if lw not in _REL_PRONOUNS or r == 0:
+            continue
+        h = r - 1
+        if tags[h] == ".":                 # "X, which ..."
+            h -= 1
+        if h < 0 or not _is_nounish(tags[h]):
+            continue
+        j = r + 1
+        while j < n and (tags[j] == "AUX" or lows[j].endswith("ly") or
+                         lows[j] in ("not", "never")):
+            j += 1
+        if j < n and _is_verb(tags[j]):
+            edges.append((h, j, "acl_relcl"))
+
+    # --- acl: reduced relative participle "ERK phosphorylated by MEK
+    # accumulates" (UD acl — vars.yml `adjective_clause: acl|acl_by`):
+    # noun → directly-following VBN, only when the participle's right
+    # context is a prepositional attachment (by/at/on/in/with). A nounish
+    # right neighbour means simple-past transitive ("MEK phosphorylated
+    # ERK") — that reading stays with nsubj/dobj.
+    for h, t in enumerate(tags):
+        if not _is_nounish(t) or h + 2 >= n or tags[h + 1] != "VBN":
+            continue
+        if lows[h + 2] in ("by", "at", "on", "in", "with"):
+            edges.append((h, h + 1, "acl"))
+
+    # --- appos: "RAF, an activator of MEK, ..." -------------------------
+    # (UD appos — vars.yml `standalone_appositive`): noun → head of the
+    # determiner-introduced NP after the comma. The determiner requirement
+    # keeps plain list commas ("MEK, ERK, and RAF") out; the head is the
+    # last noun BEFORE any preposition (so "<appos" from the 'activator'
+    # trigger reaches RAF while '>nmod_of' still reaches MEK); any verb or
+    # auxiliary before the NP closes invalidates the appositive reading.
+    for a, t in enumerate(tags):
+        if not _is_nounish(t) or a + 2 >= n or tags[a + 1] != ".":
+            continue
+        if lows[a + 2] not in ("a", "an", "the"):
+            continue
+        b = -1
+        j = a + 3
+        while j < n and j <= a + 8 and tags[j] != ".":
+            if _is_verb(tags[j]) or tags[j] == "AUX":
+                b = -1
+                break
+            if tags[j] == "IN":
+                break
+            if _is_nounish(tags[j]):
+                b = j
+            j += 1
+        if b > 0:
+            edges.append((a, b, "appos"))
 
     return edges
 

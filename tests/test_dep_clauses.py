@@ -1,0 +1,207 @@
+"""Out-of-fixture gate for the round-4 clause tier of the dependency
+layer (deps.py: xcomp / acl_relcl / acl / appos — the vars.yml:44-68
+relations the r3 verdict flagged as unemitted) and the dep-rule families
+that consume them (rules/dep_events.yml *_dep_4..7, dep_regulations.yml
+*_dep_appos/relcl/xcomp).
+
+Every sentence uses symbols that appear in no fixture and no KB
+dictionary (shape-NER territory), so these assert structural
+generalization, not memorized surface forms. The fixture-corpus parity
+sweep (test_odin_graph.py) separately guarantees the new rules never
+contradict the cascade on attested sentences.
+"""
+
+import pytest
+
+from reach_spark.deps import light_deps
+from reach_spark.extract import annotate_sentence
+from reach_spark.odin_graph import default_engine, dep_event_matches
+from reach_spark.resources import entity_dictionary
+
+DICT = entity_dictionary()
+ENGINE = default_engine()
+
+
+def _edges(text):
+    ann = annotate_sentence(text)
+    ws = ann["words"]
+    return {(ws[a], ws[b], l)
+            for a, b, l in light_deps(ws, ann["tags"], ann["lemmas"])}
+
+
+def _events(text):
+    out = []
+    for m in dep_event_matches("d", 0, text, DICT, ENGINE):
+        out.append((m.label,
+                    {k: tuple(sorted(x["text"] for x in v))
+                     for k, v in m.args.items() if v}))
+    return out
+
+
+def _fired(text, label, **roles):
+    want = {k: tuple(sorted(v if isinstance(v, (list, tuple)) else [v]))
+            for k, v in roles.items()}
+    return any(lbl == label and all(args.get(k) == v
+                                    for k, v in want.items())
+               for lbl, args in _events(text))
+
+
+# --------------------------------------------------------------------------
+# edge emission
+# --------------------------------------------------------------------------
+
+class TestClauseEdges:
+    def test_relcl_comma_which(self):
+        assert ("QRZ9", "binds", "acl_relcl") in _edges(
+            "QRZ9, which binds WXV44, is unstable.")
+
+    def test_relcl_bare_that(self):
+        assert ("protein", "binds", "acl_relcl") in _edges(
+            "The protein that binds WXV44 accumulates.")
+
+    def test_complementizer_that_not_relcl(self):
+        assert not any(l == "acl_relcl" for _, _, l in _edges(
+            "We show that QRZ9 binds WXV44."))
+
+    def test_xcomp_across_to(self):
+        assert ("fails", "phosphorylate", "xcomp") in _edges(
+            "QRZ9 fails to phosphorylate WXV44.")
+
+    def test_xcomp_noun_tagged_raising_head_gets_subject(self):
+        ed = _edges("QRZ9 continues to degrade WXV44.")
+        assert ("continues", "degrade", "xcomp") in ed
+        assert ("continues", "QRZ9", "nsubj") in ed
+
+    def test_acl_reduced_relative(self):
+        assert ("WXV44", "methylated", "acl") in _edges(
+            "WXV44 methylated by QRZ9 accumulates.")
+
+    def test_simple_past_transitive_is_not_acl(self):
+        assert not any(l == "acl" for _, _, l in _edges(
+            "QRZ9 phosphorylated WXV44."))
+
+    def test_appos_with_determiner(self):
+        assert ("QRZ9", "activator", "appos") in _edges(
+            "QRZ9, an activator of WXV44, is overexpressed.")
+
+    def test_list_comma_is_not_appos(self):
+        assert not any(l == "appos" for _, _, l in _edges(
+            "QRZ9, WXV44, and PLM77 bind TKK21."))
+
+    def test_appos_verb_invalidates(self):
+        assert not any(l == "appos" for _, _, l in _edges(
+            "QRZ9, a target was measured."))
+
+
+# --------------------------------------------------------------------------
+# rule firing on novel symbols — one block per clause relation
+# --------------------------------------------------------------------------
+
+class TestRelclRules:
+    def test_active_relcl_cause(self):
+        assert _fired("QRZ9, which phosphorylates WXV44, is active.",
+                      "Phosphorylation", theme="WXV44", cause="QRZ9")
+
+    def test_active_relcl_bare_that(self):
+        assert _fired("A kinase that ubiquitinates WXV44 was purified.",
+                      "Ubiquitination", theme="WXV44")
+
+    def test_passive_relcl_theme_is_head(self):
+        assert _fired("WXV44, which is methylated by QRZ9, accumulates.",
+                      "Methylation", theme="WXV44", cause="QRZ9")
+
+    def test_relcl_regulation_event_controlled(self):
+        assert _fired(
+            "QRZ9, which inhibits the phosphorylation of WXV44, is small.",
+            "Negative_regulation", controller="QRZ9")
+
+    def test_relcl_activation_entity_controlled(self):
+        assert _fired("QRZ9, which activates WXV44, is conserved.",
+                      "Positive_activation",
+                      controller="QRZ9", controlled="WXV44")
+
+    def test_relcl_conjoined_theme(self):
+        assert _fired("QRZ9, which acetylates WXV44 and PLM77, is rare.",
+                      "Acetylation", theme=("PLM77", "WXV44"))
+
+
+class TestXcompRules:
+    def test_raising_verb_cause(self):
+        assert _fired("QRZ9 fails to phosphorylate WXV44.",
+                      "Phosphorylation", theme="WXV44", cause="QRZ9")
+
+    def test_noun_tagged_raising_head(self):
+        assert _fired("QRZ9 continues to sumoylate WXV44.",
+                      "Sumoylation", theme="WXV44", cause="QRZ9")
+
+    def test_passive_raising_was_shown_to(self):
+        assert _fired("QRZ9 was shown to ubiquitinate WXV44.",
+                      "Ubiquitination", theme="WXV44", cause="QRZ9")
+
+    def test_xcomp_activation(self):
+        assert _fired("QRZ9 acts to promote WXV44.",
+                      "Positive_activation",
+                      controller="QRZ9", controlled="WXV44")
+
+    def test_xcomp_regulation_event_controlled(self):
+        assert _fired("QRZ9 acts to suppress the methylation of WXV44.",
+                      "Negative_regulation", controller="QRZ9")
+
+
+class TestAclRules:
+    def test_reduced_relative_theme_and_agent(self):
+        assert _fired("WXV44 phosphorylated by QRZ9 accumulates.",
+                      "Phosphorylation", theme="WXV44", cause="QRZ9")
+
+    def test_reduced_relative_with_site(self):
+        evs = _events(
+            "WXV44 phosphorylated at Ser91 by QRZ9 is degraded.")
+        assert any(lbl == "Phosphorylation" and
+                   args.get("theme") == ("WXV44",) and
+                   "site" in args for lbl, args in evs), evs
+
+    def test_reduced_relative_inside_clause(self):
+        assert _fired("We analyzed WXV44 ubiquitinated by QRZ9 in cells.",
+                      "Ubiquitination", theme="WXV44", cause="QRZ9")
+
+
+class TestApposRules:
+    def test_appos_positive_agent_nominal(self):
+        assert _fired("QRZ9, an activator of WXV44, is overexpressed.",
+                      "Positive_activation",
+                      controller="QRZ9", controlled="WXV44")
+
+    def test_appos_negative_agent_nominal(self):
+        assert _fired("QRZ9, an inhibitor of WXV44, was depleted.",
+                      "Negative_activation",
+                      controller="QRZ9", controlled="WXV44")
+
+    def test_appos_process_nominal_vetoed(self):
+        # "an activation of X" is a process nominal, not an agent —
+        # the word-suffix constraint must keep the appos rule silent
+        assert not any(lbl.endswith("_activation") for lbl, _ in _events(
+            "QRZ9, an activation of WXV44, was measured."))
+
+
+# --------------------------------------------------------------------------
+# cross-checks: the clause tier must not leak into the core shapes
+# --------------------------------------------------------------------------
+
+class TestNoRegressions:
+    def test_plain_active_unchanged(self):
+        assert _fired("QRZ9 phosphorylates WXV44.",
+                      "Phosphorylation", theme="WXV44", cause="QRZ9")
+
+    def test_plain_passive_unchanged(self):
+        assert _fired("WXV44 is phosphorylated by QRZ9.",
+                      "Phosphorylation", theme="WXV44", cause="QRZ9")
+
+    def test_nominal_unchanged(self):
+        assert _fired("The phosphorylation of WXV44 by QRZ9 was observed.",
+                      "Phosphorylation", theme="WXV44", cause="QRZ9")
+
+    def test_dephospho_never_relcl_phospho(self):
+        assert not any(lbl == "Phosphorylation" for lbl, _ in _events(
+            "QRZ9, which dephosphorylates WXV44, is active."))
+        assert _fired("QRZ9, which dephosphorylates WXV44, is active.",
+                      "Dephosphorylation", theme="WXV44", cause="QRZ9")
