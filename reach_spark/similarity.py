@@ -234,11 +234,104 @@ round(
 """
 
 
+def build_ivf_index(emb: DataFrame, k: int | None = None
+                    ) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignment) for an IVF-Flat index over `emb`
+    (vec_id, v:array<double>[, nrm]).
+
+    K scales with the collection: k=None → max({_IVF_K}, floor(sqrt(N)))
+    computed IN-PLAN from a one-row scalar aggregate (no driver action),
+    the standard IVF sizing rule (k ~ sqrt(N) keeps candidates-per-probe
+    ~sqrt(N) as the collection grows; the floor keeps small test
+    collections from degenerating to a handful of cells). Centroids are a
+    deterministic stride sample; assignment is a broadcast K-way fan-out
+    + max_by hash aggregate (map-side combinable — deliberately NOT a
+    window, which would shuffle the full collection on vec_id).
+
+    The assignment IS the reusable index: persist it / write it as a
+    parquet table partitioned by `cell` (write_ivf_index) and every
+    search is a cell equi-join with partition pruning — the build is paid
+    once, not per query (Reach has no ANN surface; this is the
+    training-data-pipeline tier)."""
+    if "nrm" not in emb.columns:
+        emb = emb.withColumn("nrm", F.expr(_NORM.format(v="v")))
+    if k is None:
+        k_expr = F.greatest(
+            F.lit(_IVF_K).cast("long"),
+            F.floor(F.sqrt(F.count("*"))).cast("long"))
+    else:
+        k_expr = F.lit(int(k)).cast("long")
+    stride = emb.agg(F.greatest(
+        F.lit(1).cast("long"),
+        (F.count("*") / k_expr).cast("long")).alias("stride"))
+    cent = (emb.crossJoin(F.broadcast(stride))
+            .where(F.col("vec_id") % F.col("stride") == 0)
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
+                    F.col("nrm").alias("cnrm")))
+    scored = (emb.crossJoin(F.broadcast(cent))
+              .withColumn("csim", F.expr(
+                  _cos_prenormed("v", "cv", "nrm", "cnrm"))))
+    assign = (scored.groupBy("vec_id")
+              .agg(F.expr("max_by(cid, struct(csim, -cid))").alias("cell"),
+                   F.first("v").alias("nv"),
+                   F.first("nrm").alias("nnrm"))
+              .withColumnRenamed("vec_id", "neighbor_id"))
+    return cent, assign
+
+
+def write_ivf_index(emb: DataFrame, path: str,
+                    k: int | None = None) -> None:
+    """Materialize the IVF index: assignment parquet partitioned by cell
+    (searches prune to their nprobe cells at the SCAN — the 100 TB shape:
+    build once, reuse across every query batch) + centroids alongside."""
+    cent, assign = build_ivf_index(emb, k=k)
+    assign.write.mode("overwrite").partitionBy("cell") \
+        .parquet(f"{path}/assignment")
+    cent.write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_search(cent: DataFrame, assign: DataFrame, queries: DataFrame,
+               nprobe: int = _IVF_NPROBE, top_k: int = _TOP_K,
+               repartition_by_cell: bool = False) -> DataFrame:
+    """Top-k cosine search over a built IVF index. `queries` is
+    (vec_id, v[, nrm]). Probe selection is a window over the tiny
+    queries×centroids fan-out; candidate generation is a broadcast hash
+    join on the cell key.
+
+    `repartition_by_cell=True` pre-shuffles the ASSIGNMENT side on cell —
+    use when the index is consumed repeatedly by large query batches on a
+    cluster whose scan isn't already cell-partitioned (a written index is:
+    write_ivf_index partitions by cell, so reads prune instead)."""
+    if "nrm" not in queries.columns:
+        queries = queries.withColumn("nrm", F.expr(_NORM.format(v="v")))
+    if repartition_by_cell:
+        assign = assign.repartition("cell")
+    pscored = (queries.crossJoin(F.broadcast(cent))
+               .withColumn("csim", F.expr(
+                   _cos_prenormed("v", "cv", "nrm", "cnrm"))))
+    wq = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cid")
+    probes = (pscored.withColumn("rn", F.row_number().over(wq))
+              .where(F.col("rn") <= nprobe)
+              .select(F.col("vec_id").alias("query_id"),
+                      F.col("v").alias("qa"), F.col("nrm").alias("qnrm"),
+                      F.col("cid").alias("cell")))
+    pairs = (F.broadcast(probes).join(assign, "cell")
+             .where(F.col("query_id") != F.col("neighbor_id"))
+             .withColumn("sim", F.expr(
+                 _cos_prenormed("qa", "nv", "qnrm", "nnrm"))))
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"),
+                                               "neighbor_id")
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= top_k)
+            .select("query_id", "rank", "neighbor_id", "sim"))
+
+
 @_register("ann_ivf_topk", f"""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), s AS (
-  SELECT greatest(1, count(*) // {_IVF_K}) AS stride FROM e
+  SELECT greatest(1, count(*) // greatest({_IVF_K},
+             CAST(floor(sqrt(count(*))) AS BIGINT))) AS stride FROM e
 ), cent AS (
   SELECT vec_id AS cid, v AS cv FROM e, s WHERE vec_id % stride = 0
 ), asg AS (
@@ -270,55 +363,16 @@ WITH e AS (
 SELECT query_id, rank, neighbor_id, sim FROM ranked WHERE rank <= {_TOP_K}
 """)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat top-k: build_ivf_index (K = max({_IVF_K}, floor(sqrt(N)))
+    in-plan) + ivf_search, composed as one lazy DataFrame. Per-row norms
+    are computed once here (the K-way fan-out would otherwise
+    re-aggregate them K times per row — see _cos_prenormed)."""
     emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
            .select("vec_id",
                    F.col("embedding").cast("array<double>").alias("v"))
-           # per-row norm computed ONCE here, not per candidate pair —
-           # the K-way fan-out below would otherwise re-aggregate it K
-           # times per row (bit-identical per-pair arithmetic, see
-           # _cos_prenormed)
            .withColumn("nrm", F.expr(_NORM.format(v="v"))))
-    # stride = max(1, N div K) keeps the coarse quantizer ~K cells at any
-    # collection size; computed in-plan (scalar 1-row side) so the query
-    # stays a single lazy DataFrame
-    stride = emb.agg(F.greatest(
-        F.lit(1).cast("long"),
-        (F.count("*") / _IVF_K).cast("long")).alias("stride"))
-    cent = (emb.crossJoin(F.broadcast(stride))
-            .where(F.col("vec_id") % F.col("stride") == 0)
-            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"),
-                    F.col("nrm").alias("cnrm")))
-    # build: nearest-centroid assignment — broadcast K-way fan-out + argmin
-    # as a max_by hash aggregate (map-side combinable; deliberately NOT a
-    # window, which would shuffle the full collection on vec_id)
-    scored = (emb.crossJoin(F.broadcast(cent))
-              .withColumn("csim", F.expr(
-                  _cos_prenormed("v", "cv", "nrm", "cnrm"))))
-    assign = (scored.groupBy("vec_id")
-              .agg(F.expr("max_by(cid, struct(csim, -cid))").alias("cell"),
-                   F.first("v").alias("nv"),
-                   F.first("nrm").alias("nnrm"))
-              .withColumnRenamed("vec_id", "neighbor_id"))
-    # search: each query probes its _IVF_NPROBE nearest cells (window is
-    # fine here — the query side is tiny by construction)
-    pscored = (emb.where(F.col("vec_id") < _N_QUERIES)
-               .crossJoin(F.broadcast(cent))
-               .withColumn("csim", F.expr(
-                   _cos_prenormed("v", "cv", "nrm", "cnrm"))))
-    wq = Window.partitionBy("vec_id").orderBy(F.desc("csim"), "cid")
-    probes = (pscored.withColumn("rn", F.row_number().over(wq))
-              .where(F.col("rn") <= _IVF_NPROBE)
-              .select(F.col("vec_id").alias("query_id"),
-                      F.col("v").alias("qa"), F.col("nrm").alias("qnrm"),
-                      F.col("cid").alias("cell")))
-    pairs = (F.broadcast(probes).join(assign, "cell")
-             .where(F.col("query_id") != F.col("neighbor_id"))
-             .withColumn("sim", F.expr(
-                 _cos_prenormed("qa", "nv", "qnrm", "nnrm"))))
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), "neighbor_id")
-    return (pairs.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= _TOP_K)
-            .select("query_id", "rank", "neighbor_id", "sim"))
+    cent, assign = build_ivf_index(emb)
+    return ivf_search(cent, assign, emb.where(F.col("vec_id") < _N_QUERIES))
 
 
 @_register("embedding_stats", """
