@@ -108,6 +108,11 @@ def annotate_text(spark: SparkSession, text: str, doc_id: str = "api",
                 result = _serial_result(results)
             elif fmt in ("arizona", "cmu"):
                 result = _arizona_result(results)
+            elif fmt == "bel":
+                from .bel import bel_statements
+                result = json.dumps(
+                    {"statements": _rows(bel_statements(
+                        results["triples"]))}, sort_keys=True)
             else:                      # "fries" and the reference's
                 result = _fries_result(results, doc_df)   # catch-all
         finally:
