@@ -113,6 +113,11 @@ def annotate_text(spark: SparkSession, text: str, doc_id: str = "api",
                 result = json.dumps(
                     {"statements": _rows(bel_statements(
                         results["triples"]))}, sort_keys=True)
+            elif fmt == "biopax":
+                from .biopax import biopax_elements
+                result = json.dumps(
+                    {"elements": _rows(biopax_elements(
+                        results["triples"]))}, sort_keys=True)
             else:                      # "fries" and the reference's
                 result = _fries_result(results, doc_df)   # catch-all
         finally:

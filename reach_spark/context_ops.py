@@ -15,10 +15,26 @@ One shuffle by doc_id, reused by every context type.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from functools import lru_cache
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 CONTEXT_LABELS = ["Species", "CellLine", "Organ", "CellType", "TissueType",
                   "Cellular_component"]
+
+
+@lru_cache(maxsize=1)
+def _ctx_keys() -> tuple[Column, Column]:
+    """(ckey, skey) context-key expressions — pure unresolved trees over
+    literal column names, cached across calls (the grounding-module
+    pattern: rebuilding them per call is driver py4j latency)."""
+    is_ctx = F.col("kind") == F.lit("tbm")
+    ckey = F.when(is_ctx & F.col("label").isin(CONTEXT_LABELS),
+                  F.concat_ws("=", "label",
+                              F.concat_ws(":", "g_ns", "g_id")))
+    skey = F.when(is_ctx & (F.col("label") == "Species"),
+                  F.concat_ws(":", "g_ns", "g_id"))
+    return ckey, skey
 
 
 def assign_context(mentions: DataFrame, padding: int = 3,
@@ -57,12 +73,7 @@ def assign_context(mentions: DataFrame, padding: int = 3,
     docs, never broadcastable at corpus scale) joined back on doc_id — the
     same key the window already partitioned by.
     """
-    is_ctx = F.col("kind") == F.lit("tbm")
-    ckey = F.when(is_ctx & F.col("label").isin(CONTEXT_LABELS),
-                  F.concat_ws("=", "label",
-                              F.concat_ws(":", "g_ns", "g_id")))
-    skey = F.when(is_ctx & (F.col("label") == "Species"),
-                  F.concat_ws(":", "g_ns", "g_id"))
+    ckey, skey = _ctx_keys()
     per_sent = (
         mentions
         .groupBy("doc_id", "sent_idx")

@@ -52,6 +52,23 @@ def _is_nounish(tag: str) -> bool:
     return tag in ("NN", "CD")
 
 
+# token → "is an xcomp raising head by lemma" (pure function of the lowered
+# token — memoized across every sentence a worker sees, like the POS/lemma
+# memos in extract.py; _lemma_ish was the single hottest call in the
+# extraction profile at one call per token per sentence)
+_XHEAD_MEMO: dict[str, bool] = {}
+_XHEAD_MAX = 200_000
+
+
+def _is_xcomp_head_word(lw: str) -> bool:
+    v = _XHEAD_MEMO.get(lw)
+    if v is None:
+        v = _lemma_ish(lw) in _XCOMP_HEADS
+        if len(_XHEAD_MEMO) < _XHEAD_MAX:
+            _XHEAD_MEMO[lw] = v
+    return v
+
+
 def light_deps(words: list[str], tags: list[str],
                lemmas: list[str]) -> list[tuple[int, int, str]]:
     """(src, dst, label) edges for the grammar-relevant UD subset:
@@ -65,6 +82,12 @@ def light_deps(words: list[str], tags: list[str],
     # p53 ..." — binding/NOUN heads the nmod_of edge, not a VBG verb)
     tags = [("NN" if t == "VBG" and i > 0 and tags[i - 1] == "DT" else t)
             for i, t in enumerate(tags)]
+    # per-token predicate arrays hoisted out of the rule loops below (each
+    # loop re-tested these 1-3x per token; one pass here makes the layer
+    # ~2x cheaper per sentence with identical edges)
+    isv = [t.startswith("V") for t in tags]
+    isn = [t == "NN" or t == "CD" for t in tags]
+    endsly = [lw.endswith("ly") for lw in lows]
     edges: list[tuple[int, int, str]] = []
 
     # --- neg: cue attaches to the nearest following verb-ish token ------
@@ -73,47 +96,47 @@ def light_deps(words: list[str], tags: list[str],
     for i, lw in enumerate(lows):
         is_cue = lw in _NEG_CUES or "n't" in lw or (
             lw in _FAIL_VERBS and i + 1 < n and
-            (lows[i + 1] in ("to", "not") or _is_verb(tags[i + 1])))
+            (lows[i + 1] in ("to", "not") or isv[i + 1]))
         if not is_cue:
             continue
         for j in range(i + 1, min(n, i + 5)):
             # adverbs/determiners/aux are transparent ('not strongly
             # inhibited' → neg on 'inhibited')
-            if lows[j].endswith("ly") or tags[j] in ("DT", "AUX", "."):
+            if endsly[j] or tags[j] in ("DT", "AUX", "."):
                 continue
-            if _is_verb(tags[j]) or tags[j] == "NN":
+            if isv[j] or tags[j] == "NN":
                 edges.append((j, i, "neg"))
                 break
 
     for i, t in enumerate(tags):
-        if not _is_verb(t):
+        if not isv[i]:
             continue
         # --- aux + passive detection ---------------------------------
         is_passive = t == "VBN" and i > 0 and tags[i - 1] == "AUX"
         k = i - 1
-        while k >= 0 and (tags[k] == "AUX" or lows[k].endswith("ly") or
+        while k >= 0 and (tags[k] == "AUX" or endsly[k] or
                           lows[k] in ("often", "not", "never", "to")):
             if tags[k] == "AUX":
                 edges.append((i, k, "aux"))
             k -= 1
         # --- nsubj / nsubjpass: nearest noun-ish head run to the left --
-        if k >= 0 and _is_nounish(tags[k]):
+        if k >= 0 and isn[k]:
             # UD coordination headedness: in "Raf and PI3K bind", nsubj
             # attaches to the FIRST conjunct (Raf) and conj_and carries
             # Raf→PI3K, so rule paths ">nsubj (>conj_and)?" reach both.
             # NOT when the pair is a PP object ("the binding of X and Y
             # promotes ..." — the subject head is the nominal, and the
             # nearest-noun reading keeps the cascade's attachment).
-            if k >= 2 and lows[k - 1] in _CONJ and _is_nounish(tags[k - 2]) \
+            if k >= 2 and lows[k - 1] in _CONJ and isn[k - 2] \
                     and (k < 3 or lows[k - 3] not in _NMOD_PREPS):
                 k -= 2
             edges.append((i, k, "nsubjpass" if is_passive else "nsubj"))
         # --- dobj: nearest noun-ish token to the right (active only) ---
         if not is_passive:
             j = i + 1
-            while j < n and (tags[j] == "DT" or lows[j].endswith("ly")):
+            while j < n and (tags[j] == "DT" or endsly[j]):
                 j += 1
-            if j < n and _is_nounish(tags[j]):
+            if j < n and isn[j]:
                 edges.append((i, j, "dobj"))
 
     # --- nmod_<prep>: "X of Y" → edge X→Y ------------------------------
@@ -130,19 +153,19 @@ def light_deps(words: list[str], tags: list[str],
             # MEK" → nmod_by on the verb — the agent pattern the reference
             # grammars match, e.g. simple-event_template.yml agent rules)
             h = i - 1
-            if not (_is_nounish(tags[h]) or
+            if not (isn[h] or
                     (lw == "by" and tags[h] == "VBN") or
-                    (lw in _GENERAL_PREPS and _is_verb(tags[h]))):
+                    (lw in _GENERAL_PREPS and isv[h])):
                 continue
             j = i + 1
             while j < n and tags[j] == "DT":
                 j += 1
-            if j < n and _is_nounish(tags[j]):
+            if j < n and isn[j]:
                 # NP head = last noun of the run; an uppercase→lowercase
                 # transition ends the NP (entity heads sit last — a
                 # following lowercase "noun" is usually a mis-tagged verb,
                 # e.g. "MAPK occurs")
-                while j + 1 < n and _is_nounish(tags[j + 1]) and not (
+                while j + 1 < n and isn[j + 1] and not (
                         any(c.isupper() for c in words[j]) and
                         words[j + 1].islower()):
                     j += 1
@@ -151,7 +174,7 @@ def light_deps(words: list[str], tags: list[str],
     # --- conj_and: "X and Y" with matching noun-ish tags ----------------
     for i, lw in enumerate(lows):
         if lw in _CONJ and 0 < i < n - 1 and \
-                _is_nounish(tags[i - 1]) and _is_nounish(tags[i + 1]):
+                isn[i - 1] and isn[i + 1]:
             edges.append((i - 1, i + 1, f"conj_{lw}"))
 
     # --- xcomp: "fails/continues/was shown to phosphorylate" -----------
@@ -163,22 +186,21 @@ def light_deps(words: list[str], tags: list[str],
     # are admitted by the lemma list and get their own nsubj repaired so
     # the climb still lands on the subject NP.
     for i, t in enumerate(tags):
-        is_head = _is_verb(t) or _lemma_ish(lows[i]) in _XCOMP_HEADS
+        is_head = isv[i] or _is_xcomp_head_word(lows[i])
         if not is_head:
             continue
         j = i + 1
-        while j < n and (lows[j] in ("not", "never") or
-                         lows[j].endswith("ly")):
+        while j < n and (lows[j] in ("not", "never") or endsly[j]):
             j += 1
-        if j + 1 < n and lows[j] == "to" and _is_verb(tags[j + 1]):
+        if j + 1 < n and lows[j] == "to" and isv[j + 1]:
             edges.append((i, j + 1, "xcomp"))
-            if not _is_verb(t) and not any(
+            if not isv[i] and not any(
                     e[0] == i and e[2] in ("nsubj", "nsubjpass")
                     for e in edges):
                 k = i - 1
                 while k >= 0 and tags[k] == "AUX":   # "was shown to",
                     k -= 1                           # "is able to"
-                if k >= 0 and _is_nounish(tags[k]):
+                if k >= 0 and isn[k]:
                     edges.append((i, k, "nsubj"))
 
     # --- acl_relcl: "X, which/that phosphorylates Y" --------------------
@@ -192,13 +214,13 @@ def light_deps(words: list[str], tags: list[str],
         h = r - 1
         if tags[h] == ".":                 # "X, which ..."
             h -= 1
-        if h < 0 or not _is_nounish(tags[h]):
+        if h < 0 or not isn[h]:
             continue
         j = r + 1
-        while j < n and (tags[j] == "AUX" or lows[j].endswith("ly") or
+        while j < n and (tags[j] == "AUX" or endsly[j] or
                          lows[j] in ("not", "never")):
             j += 1
-        if j < n and _is_verb(tags[j]):
+        if j < n and isv[j]:
             edges.append((h, j, "acl_relcl"))
 
     # --- acl: reduced relative participle "ERK phosphorylated by MEK
@@ -208,7 +230,7 @@ def light_deps(words: list[str], tags: list[str],
     # right neighbour means simple-past transitive ("MEK phosphorylated
     # ERK") — that reading stays with nsubj/dobj.
     for h, t in enumerate(tags):
-        if not _is_nounish(t) or h + 2 >= n or tags[h + 1] != "VBN":
+        if not isn[h] or h + 2 >= n or tags[h + 1] != "VBN":
             continue
         if lows[h + 2] in ("by", "at", "on", "in", "with"):
             edges.append((h, h + 1, "acl"))
@@ -221,19 +243,19 @@ def light_deps(words: list[str], tags: list[str],
     # trigger reaches RAF while '>nmod_of' still reaches MEK); any verb or
     # auxiliary before the NP closes invalidates the appositive reading.
     for a, t in enumerate(tags):
-        if not _is_nounish(t) or a + 2 >= n or tags[a + 1] != ".":
+        if not isn[a] or a + 2 >= n or tags[a + 1] != ".":
             continue
         if lows[a + 2] not in ("a", "an", "the"):
             continue
         b = -1
         j = a + 3
         while j < n and j <= a + 8 and tags[j] != ".":
-            if _is_verb(tags[j]) or tags[j] == "AUX":
+            if isv[j] or tags[j] == "AUX":
                 b = -1
                 break
             if tags[j] == "IN":
                 break
-            if _is_nounish(tags[j]):
+            if isn[j]:
                 b = j
             j += 1
         if b > 0:

@@ -586,6 +586,15 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
     first_words = getattr(dictionary, "first_words", None)
     i = 0
     while i < n:
+        # fast miss-path (the overwhelmingly common case on web text):
+        # a hyphen-free token that is neither a dictionary entry nor the
+        # first word of any multi-word entry can only fall through to the
+        # final `else: i += 1` below — skip the probe loop and the hyphen
+        # split chains entirely (exact-equivalence guarded by first_words)
+        if first_words is not None and "-" not in words[i] and \
+                lows[i] not in dictionary and lows[i] not in first_words:
+            i += 1
+            continue
         hit = None
         top = min(max_ngram, n - i) \
             if first_words is None or lows[i] in first_words else 1

@@ -295,8 +295,33 @@ def _best_hits(base: DataFrame, kb: DataFrame,
                           (F.col("req") == F.col("tclass")))
     if species is not None:
         joined = joined.where(F.col("species") == species.lower())
-    # routing: exact label match first, then protein KBs, then family KBs
-    # (ReachEntityLookup label→KB sequences)
+    # first hit = min over the composite rank — one hash aggregation with
+    # map-side partial combine (vs row_number window: shuffle + full sort)
+    return (
+        joined
+        .groupBy("canonical", "label", "text")
+        .agg(_best_struct_min().alias("b"))
+        .select("canonical", "label", "text",
+                F.col("b.ns").alias("g_ns"),
+                F.col("b.id").alias("g_id"),
+                F.col("b.species").alias("g_species")))
+
+
+@lru_cache(maxsize=1)
+def _best_struct_min() -> Column:
+    """min(struct(rank..., id, ns, species)) — the first-hit selector.
+
+    Cached like _candidate_key_array: a pure unresolved expression tree
+    over literal column names, reusable across every grounding query in
+    the process (rebuilding it was ~0.2 s of py4j round-trips per call).
+
+    Ranks: exact label match first, then protein KBs, then family KBs
+    (ReachEntityLookup label→KB sequences); human > no-species > other;
+    the ad-hoc tier (kb_priority <= 0) outranks EVERYTHING — reference
+    ReachEntityLookup consults adhoc KBs before the labeled sequence, so
+    the adhoc rank precedes even the transform rank. Constant 1 when no
+    ad-hoc rows are loaded (built-in priorities start at 1): ordering is
+    then byte-identical to the pre-adhoc engine."""
     label_rank = (
         F.when(F.col("kb_label") == F.col("label"), 0)
         .when(F.col("is_protein_kb"), 1)
@@ -308,26 +333,12 @@ def _best_hits(base: DataFrame, kb: DataFrame,
         .when(F.col("species") == "", 1)
         .otherwise(2)
     )
-    # ad-hoc tier (kb_priority <= 0) outranks EVERYTHING — reference
-    # ReachEntityLookup consults adhoc KBs before the labeled sequence, so
-    # the adhoc rank precedes even the transform rank. Constant 1 when no
-    # ad-hoc rows are loaded (built-in priorities start at 1): ordering is
-    # then byte-identical to the pre-adhoc engine.
     adhoc_rank = F.when(F.col("kb_priority") <= 0, 0).otherwise(1)
-    # first hit = min over the composite rank — one hash aggregation with
-    # map-side partial combine (vs row_number window: shuffle + full sort)
-    return (
-        joined
-        .groupBy("canonical", "label", "text")
-        .agg(F.min(F.struct(
-            adhoc_rank.alias("adhoc_rank"),
-            F.col("t_rank"), label_rank.alias("label_rank"),
-            F.col("kb_priority"), species_rank.alias("species_rank"),
-            F.col("id"), F.col("ns"), F.col("species"))).alias("b"))
-        .select("canonical", "label", "text",
-                F.col("b.ns").alias("g_ns"),
-                F.col("b.id").alias("g_id"),
-                F.col("b.species").alias("g_species")))
+    return F.min(F.struct(
+        adhoc_rank.alias("adhoc_rank"),
+        F.col("t_rank"), label_rank.alias("label_rank"),
+        F.col("kb_priority"), species_rank.alias("species_rank"),
+        F.col("id"), F.col("ns"), F.col("species")))
 
 
 def ground_map(entities: DataFrame, kb: DataFrame,

@@ -26,30 +26,39 @@ from pyspark.sql import DataFrame, functions as F
 from .resources import PTM_SUFFIXES as PTM_SUFFIX
 
 
-def _negated_col() -> F.Column:
+# The expression layer below is generated SQL text compiled by ONE
+# F.expr/selectExpr py4j call per column rather than Column-by-Column
+# operator chaining: the chained construction cost ~1.6 s of driver py4j
+# round-trips PER build_triple_occurrences call (hundreds of gateway
+# messages — measured via cProfile of the warm flagship), all of it
+# per-query plan-build latency that a 1000-executor cluster would pay on
+# the critical path before any task launches. The Catalyst trees are the
+# same; the oracle hash gate pins result parity.
+
+
+def _negated_sql() -> str:
     """Odd number of Negation mods → negated (parity rule F4)."""
-    return (F.size(F.filter("mods", lambda m: m["kind"] == F.lit("Negation")))
-            % 2 == 1)
+    return "(size(filter(mods, m -> m.kind = 'Negation')) % 2) = 1"
 
 
-def _hyp_col() -> F.Column:
-    return F.size(F.filter("mods",
-                           lambda m: m["kind"] == F.lit("Hypothesis"))) > 0
+def _hyp_sql() -> str:
+    return "size(filter(mods, m -> m.kind = 'Hypothesis')) > 0"
 
 
-def _suffix_for(label_col: F.Column) -> F.Column:
-    expr = F.lit("")
-    for k, v in PTM_SUFFIX.items():
-        expr = F.when(label_col == k, v).otherwise(expr)
-    return expr
+def _suffix_sql(label_expr: str) -> str:
+    """CASE over the PTM export suffixes (labels are distinct keys, so
+    branch order is immaterial — same result as the when/otherwise
+    chain this replaces)."""
+    branches = " ".join(f"WHEN {label_expr} = '{k}' THEN '{v}'"
+                        for k, v in PTM_SUFFIX.items())
+    return f"CASE {branches} ELSE '' END"
 
 
-def _arg1(role: str) -> F.Column:
+def _arg1_sql(role: str) -> str:
     # try_element_at, not element_at: Catalyst may reorder a pushed-down
     # predicate on `pred` BEFORE the label filter, evaluating this on event
     # rows that lack the role (ANSI element_at would throw on empty arrays)
-    return F.try_element_at(
-        F.filter("args", lambda a: a["role"] == F.lit(role)), F.lit(1))
+    return f"try_element_at(filter(args, a -> a.role = '{role}'), 1)"
 
 
 def build_triple_occurrences(mentions: DataFrame,
@@ -71,12 +80,12 @@ def build_triple_occurrences(mentions: DataFrame,
     # UNRESOLVED Generic_* argument (emitted by the per-sentence extractor
     # for doc-level coref, but never rewritten — e.g. with_coref=False, or
     # no antecedent found) contributes no triples
-    no_generic = F.size(F.filter(
-        "args", lambda a: a["target_label"].startswith("Generic"))) == 0
+    no_generic = \
+        "size(filter(args, a -> startswith(a.target_label, 'Generic'))) = 0"
     events = events.where(F.col("label") != "Generic_event") \
                    .where(no_generic)
 
-    is_reg = F.col("label").rlike("regulation|activation")
+    is_reg = "label RLIKE 'regulation|activation'"
 
     # "un-regulated" = not the controlled arg of a SURVIVING regulation.
     # The sentence-local is_controlled stamp is not sufficient: a
@@ -89,8 +98,8 @@ def build_triple_occurrences(mentions: DataFrame,
     # event rows only, never the corpus.
     controlled_ids = (
         events.where(is_reg)
-        .select("doc_id", F.explode(F.filter(
-            "args", lambda a: a["role"] == F.lit("controlled"))).alias("a"))
+        .select("doc_id", F.explode(F.expr(
+            "filter(args, a -> a.role = 'controlled')")).alias("a"))
         .select("doc_id", F.col("a.mention_id").alias("mention_id"))
         .distinct()
         .withColumn("is_ctld", F.lit(True)))
@@ -107,83 +116,88 @@ def build_triple_occurrences(mentions: DataFrame,
     #                             (doc, sent)-scoped mention_id)
     #   other un-controlled simple events → 1 struct per theme
     def occ_struct(subj_text, subj_canon, obj_text, obj_canon, pred,
-                   obj_sfx, is_direct) -> F.Column:
-        return F.struct(subj_text.alias("subj_text"),
-                        subj_canon.alias("subj_canon"),
-                        obj_text.alias("obj_text"),
-                        obj_canon.alias("obj_canon"),
-                        pred.alias("pred"), obj_sfx.alias("obj_sfx"),
-                        is_direct.alias("is_direct"))
+                   obj_sfx, is_direct) -> str:
+        return (f"named_struct('subj_text', {subj_text}, "
+                f"'subj_canon', {subj_canon}, 'obj_text', {obj_text}, "
+                f"'obj_canon', {obj_canon}, 'pred', {pred}, "
+                f"'obj_sfx', {obj_sfx}, 'is_direct', {is_direct})")
 
-    ctrl = _arg1("controller")
-    ctld = _arg1("controlled")
+    # helper columns first (one collapsed projection): each subexpression
+    # below is referenced up to 6 times by the occurrence CASE — naming
+    # them here keeps the generated SQL text and the analyzed Catalyst
+    # tree small instead of inlining duplicate subtrees per use
+    themes = ("array_sort(transform(filter(args, a -> a.role = 'theme'), "
+              "a -> named_struct('text', a.text, 'canonical', a.canonical, "
+              "'target_label', a.target_label)))")
+    pre = flagged.selectExpr(
+        "*",
+        f"{_arg1_sql('controller')} AS _ctrl",
+        f"{_arg1_sql('controlled')} AS _ctld",
+        f"try_element_at({themes}, 1) AS _t1",
+        f"try_element_at({themes}, 2) AS _t2")
+    pre = pre.selectExpr(
+        "*",
+        f"({_suffix_sql('_ctld.target_label')}) AS _sfx_ctld",
+        f"({_suffix_sql('label')}) AS _sfx_label")
+
+    ptm_in = ", ".join(f"'{k}'" for k in PTM_SUFFIX)
     reg_pred = (
-        F.when(ctld["target_label"].rlike(
-            "^(Positive|Negative)_(regulation|activation)$") |
-            ctld["target_label"].isin(list(PTM_SUFFIX)) |
-            ctld["target_label"].isin(
-                "Binding", "Translocation", "Transcription",
-                "IncreaseAmount", "DecreaseAmount"),
-            F.concat_ws("->", F.col("label"), ctld["target_label"]))
-        .otherwise(F.col("label")))
+        "CASE WHEN _ctld.target_label RLIKE "
+        "'^(Positive|Negative)_(regulation|activation)$' "
+        f"OR _ctld.target_label IN ({ptm_in}) "
+        "OR _ctld.target_label IN ('Binding', 'Translocation', "
+        "'Transcription', 'IncreaseAmount', 'DecreaseAmount') "
+        "THEN concat_ws('->', label, _ctld.target_label) "
+        "ELSE label END")
     # PTM suffix from the controlled event type; '.a' when the controlled
     # is a plain entity (activation output)
-    reg_sfx = (
-        F.when(_suffix_for(ctld["target_label"]) != "",
-               F.concat(F.lit("."), _suffix_for(ctld["target_label"])))
-        .when(F.col("label").rlike("activation"), F.lit(".a"))
-        .otherwise(F.lit("")))
-    reg_occ = F.array(occ_struct(
-        ctrl["text"], ctrl["canonical"], ctld["text"], ctld["canonical"],
-        reg_pred, reg_sfx, F.lit(False)))
+    reg_sfx = ("CASE WHEN _sfx_ctld != '' THEN concat('.', _sfx_ctld) "
+               "WHEN label RLIKE 'activation' THEN '.a' ELSE '' END")
+    reg_occ = "array({})".format(occ_struct(
+        "_ctrl.text", "_ctrl.canonical", "_ctld.text", "_ctld.canonical",
+        f"({reg_pred})", f"({reg_sfx})", "false"))
 
-    themes = F.array_sort(F.transform(
-        F.filter("args", lambda a: a["role"] == F.lit("theme")),
-        lambda a: F.struct(a["text"].alias("text"),
-                           a["canonical"].alias("canonical"),
-                           a["target_label"].alias("target_label"))))
-    t1 = F.try_element_at(themes, F.lit(1))
-    t2 = F.try_element_at(themes, F.lit(2))
-    empty = F.array().cast(
+    empty = (
+        "CAST(array() AS "
         "array<struct<subj_text:string,subj_canon:string,obj_text:string,"
-        "obj_canon:string,pred:string,obj_sfx:string,is_direct:boolean>>")
-    bind_occ = F.when(t2.isNotNull(), F.array(occ_struct(
-        t1["text"], t1["canonical"], t2["text"], t2["canonical"],
-        F.col("label"), F.lit(""), F.col("is_direct")))).otherwise(empty)
+        "obj_canon:string,pred:string,obj_sfx:string,is_direct:boolean>>)")
+    bind_occ = ("CASE WHEN _t2 IS NOT NULL THEN array({s}) "
+                "ELSE {empty} END").format(
+        empty=empty, s=occ_struct(
+            "_t1.text", "_t1.canonical", "_t2.text", "_t2.canonical",
+            "label", "''", "is_direct"))
 
-    simple_sfx = (F.when(_suffix_for(F.col("label")) != "",
-                         F.concat(F.lit("."), _suffix_for(F.col("label"))))
-                  .otherwise(F.lit("")))
-    other_occ = F.transform(
-        F.filter("args", lambda a: a["role"] == F.lit("theme")),
-        lambda th: occ_struct(
-            F.lit(None).cast("string"), F.lit(None).cast("string"),
-            th["text"], th["canonical"], F.col("label"), simple_sfx,
-            F.col("is_direct")))
+    simple_sfx = ("CASE WHEN _sfx_label != '' "
+                  "THEN concat('.', _sfx_label) ELSE '' END")
+    other_occ = (
+        "transform(filter(args, a -> a.role = 'theme'), th -> {s})".format(
+            s=occ_struct("CAST(NULL AS string)", "CAST(NULL AS string)",
+                         "th.text", "th.canonical", "label",
+                         f"({simple_sfx})", "is_direct")))
 
-    occs = (F.when(is_reg, reg_occ)
-            .when(F.col("is_ctld").isNotNull(), empty)
-            .when(F.col("label") == "Binding", bind_occ)
-            .otherwise(other_occ))
+    occs = (f"CASE WHEN {is_reg} THEN {reg_occ} "
+            f"WHEN is_ctld IS NOT NULL THEN {empty} "
+            f"WHEN label = 'Binding' THEN {bind_occ} "
+            f"ELSE {other_occ} END")
 
-    rows = (flagged
-            .select("doc_id", "sent_idx",
-                    F.col("mention_id").alias("event_id"),
-                    _negated_col().alias("negated"),
-                    _hyp_col().alias("hypothesis"),
-                    F.col("trigger_text").alias("trigger"),
-                    "found_by",
-                    F.explode(occs).alias("o"))
-            .select("doc_id", "sent_idx", "event_id",
-                    F.col("o.subj_text").alias("subj_text"),
-                    F.col("o.subj_canon").alias("subj_canon"),
-                    F.col("o.obj_text").alias("obj_text"),
-                    F.col("o.obj_canon").alias("obj_canon"),
-                    F.col("o.pred").alias("pred"),
-                    F.col("o.obj_sfx").alias("obj_sfx"),
-                    "negated", "hypothesis",
-                    F.col("o.is_direct").alias("is_direct"),
-                    "trigger", "found_by"))
+    rows = (pre
+            .selectExpr("doc_id", "sent_idx",
+                        "mention_id AS event_id",
+                        f"({_negated_sql()}) AS negated",
+                        f"({_hyp_sql()}) AS hypothesis",
+                        "trigger_text AS trigger",
+                        "found_by",
+                        f"explode({occs}) AS o")
+            .selectExpr("doc_id", "sent_idx", "event_id",
+                        "o.subj_text AS subj_text",
+                        "o.subj_canon AS subj_canon",
+                        "o.obj_text AS obj_text",
+                        "o.obj_canon AS obj_canon",
+                        "o.pred AS pred",
+                        "o.obj_sfx AS obj_sfx",
+                        "negated", "hypothesis",
+                        "o.is_direct AS is_direct",
+                        "trigger", "found_by"))
 
     # --- grounding resolution: two broadcast joins against the tiny map --
     if gmap is not None:
