@@ -263,6 +263,28 @@ def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles(_eer_table(spark, sf_dir))
 
 
+def export_bel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[export/BEL] OpenBEL 1.0 statements over the materialized EER table
+    (reach_spark.bel — pure column expressions, no UDF; the reference
+    reserves an EMPTY export/.../bel/ package, so the mapping follows the
+    public spec). hypothesis is NULL here: the EER projection the graph
+    queries share carries (subj, pred, obj, negated, seen)."""
+    from reach_spark.bel import bel_statements
+    eer = _eer_table(spark, sf_dir).withColumn(
+        "hypothesis", F.lit(None).cast("boolean"))
+    return bel_statements(eer)
+
+
+def export_biopax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[export/BioPAX] BioPAX L3 element decomposition over the
+    materialized EER table (reach_spark.biopax — public BioPAX Level 3
+    model; the reference reserves an EMPTY export/.../biopax/ package)."""
+    from reach_spark.biopax import biopax_elements
+    eer = _eer_table(spark, sf_dir).withColumn(
+        "hypothesis", F.lit(None).cast("boolean"))
+    return biopax_elements(eer)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return kg_triples_flagship(spark, "/root/testdata/sf0.001")
@@ -290,6 +312,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_triangles"] = kg_triangles
     out["kg_clustering"] = kg_clustering
     out["media_caption_pairs"] = media_caption_pairs
+    out["export_bel"] = export_bel
+    out["export_biopax"] = export_biopax
     return out
 
 
@@ -650,6 +674,200 @@ GROUP BY f.evt_label, f.trigger, f.ml_sign, f.agree
 """
 
 
+def _bel_sql_parts() -> dict[str, str]:
+    """Shared SQL fragments mirroring reach_spark/bel.py's entity-term
+    grammar for the exporter oracles (DuckDB dialect: str_split(x)[-1] is
+    the after-last-separator analog of Spark's substring_index(x, sep,
+    -1); preds/ids in the fixture EER carry at most one separator)."""
+    from reach_spark.bel import _NS_KEYWORD
+    nsid = "str_split({c}, '::')[-1]"
+    ns = f"split_part({nsid}, ':', 1)"
+    ident = f"split_part(substr({nsid}, length({ns}) + 2), '.', 1)"
+    kw_case = " ".join(f"WHEN '{k}' THEN '{v}'"
+                       for k, v in _NS_KEYWORD.items())
+    kw = f"upper(CASE {ns} {kw_case} ELSE {ns} END)"
+    return {"ns": ns, "ident": ident, "kw": kw}
+
+
+def _bel_oracle() -> str:
+    """export_bel oracle: the OpenBEL statement grammar re-expressed in
+    DuckDB SQL over the reconstructed EER (same wrapped-pred split, pmod
+    codes, sign composition, term functions and complex lexical order as
+    reach_spark/bel.py)."""
+    from reach_spark.bel import _CHEM_NS, _PMOD
+    p = _bel_sql_parts()
+
+    def term(c: str, fn: str | None = None) -> str:
+        f_def = (f"CASE WHEN {p['ns'].format(c=c)} IN "
+                 f"{_CHEM_NS!r}".replace('"', "'") + " THEN 'a' ELSE 'p' END")
+        f_name = f"'{fn}'" if fn else f"({f_def})"
+        return (f"({f_name} || '(' || {p['kw'].format(c=c)} || ':' || "
+                f"{p['ident'].format(c=c)} || ')')")
+
+    pmod_branches = " ".join(
+        f"WHEN inner_ IN ('{name}', 'De{name.lower()}', "
+        f"'De{name[0].lower() + name[1:]}') THEN '{c}'"
+        for name, c in _PMOD.items())
+    return f"""
+WITH {_eer_cte()},
+b AS (
+  SELECT subj, pred, obj, negated, seen,
+         position('->' IN pred) > 0 AS is_wrapped,
+         CASE WHEN position('->' IN pred) > 0
+              THEN split_part(pred, '->', 1) ELSE pred END AS outer_,
+         CASE WHEN position('->' IN pred) > 0
+              THEN str_split(pred, '->')[-1] ELSE pred END AS inner_
+  FROM eer
+),
+c AS (
+  SELECT *,
+         CASE {pmod_branches} ELSE NULL END AS code,
+         starts_with(inner_, 'De') AND inner_ <> 'DecreaseAmount' AS is_de
+  FROM b
+),
+d AS (
+  SELECT *,
+         (outer_ IN ('Negative_regulation', 'Negative_activation')
+          OR outer_ = 'DecreaseAmount') AS neg_outer,
+         (is_de OR (is_wrapped AND inner_ = 'Negative_activation'))
+           AS inner_neg,
+         (NOT is_wrapped AND (code IS NOT NULL OR inner_ = 'Transcription'
+          OR inner_ IN ('Positive_activation', 'Negative_activation')))
+           AS direct,
+         (NOT is_wrapped AND inner_ IN ('Positive_activation',
+                                        'Negative_activation')) AS act_obj
+  FROM c
+),
+e AS (
+  SELECT *,
+         CASE WHEN is_wrapped THEN neg_outer <> inner_neg
+              ELSE neg_outer OR inner_neg END AS sign_flip,
+         {term('subj')} AS subj_term,
+         {term('obj')} AS obj_term_plain
+  FROM d
+),
+f AS (
+  SELECT *,
+         CASE WHEN sign_flip THEN
+                CASE WHEN direct THEN 'directlyDecreases'
+                     ELSE 'decreases' END
+              ELSE
+                CASE WHEN direct THEN 'directlyIncreases'
+                     ELSE 'increases' END END AS relation,
+         CASE WHEN act_obj THEN ('act(' || obj_term_plain || ')')
+              WHEN code IS NOT NULL THEN
+                ('p(' || {p['kw'].format(c='obj')} || ':' ||
+                 {p['ident'].format(c='obj')} || ', pmod(' || code || '))')
+              WHEN inner_ = 'Transcription' THEN {term('obj', 'r')}
+              WHEN inner_ IN ('Positive_activation', 'Negative_activation')
+                   AND is_wrapped THEN ('act(' || obj_term_plain || ')')
+              WHEN inner_ = 'Translocation'
+                   THEN ('tloc(' || obj_term_plain || ')')
+              WHEN inner_ = 'Secretion'
+                   THEN ('sec(' || obj_term_plain || ')')
+              WHEN inner_ = 'Binding'
+                   THEN ('complex(' || obj_term_plain || ')')
+              ELSE obj_term_plain END AS obj_term
+  FROM e
+)
+SELECT CASE WHEN pred = 'Binding' AND subj IS NOT NULL AND obj IS NOT NULL
+            THEN ('complex(' || least(subj_term, obj_term_plain) || ', ' ||
+                  greatest(subj_term, obj_term_plain) || ')')
+            WHEN subj IS NOT NULL
+            THEN (subj_term || ' ' || relation || ' ' || obj_term)
+            ELSE obj_term END AS statement,
+       CASE WHEN subj IS NOT NULL AND pred <> 'Binding'
+            THEN relation END AS relation,
+       negated, CAST(NULL AS boolean) AS hypothesis, seen
+FROM f
+"""
+
+
+def _biopax_oracle() -> str:
+    """export_biopax oracle: the BioPAX L3 element decomposition
+    re-expressed in DuckDB SQL over the reconstructed EER (same class
+    routing, control sign composition and identifiers.org URIs as
+    reach_spark/biopax.py)."""
+    from reach_spark.biopax import _CHEM_NS, _TEMPLATE, _TRANSPORT
+    p = _bel_sql_parts()
+
+    def uri(c: str) -> str:
+        return (f"('http://identifiers.org/' || {p['ns'].format(c=c)} || "
+                f"'/' || {p['ident'].format(c=c)})")
+
+    def ecls(c: str, template: str) -> str:
+        chem = ", ".join(f"'{x}'" for x in _CHEM_NS)
+        return (f"CASE WHEN {p['ns'].format(c=c)} IN ({chem}) "
+                f"THEN 'SmallMolecule' WHEN {template} THEN 'Rna' "
+                "ELSE 'Protein' END")
+
+    transport = ", ".join(f"'{x}'" for x in _TRANSPORT)
+    template = ", ".join(f"'{x}'" for x in _TEMPLATE)
+    return f"""
+WITH {_eer_cte()},
+b AS (
+  SELECT subj, pred, obj, negated, seen,
+         position('->' IN pred) > 0 AS is_wrapped,
+         CASE WHEN position('->' IN pred) > 0
+              THEN split_part(pred, '->', 1) ELSE pred END AS outer_,
+         CASE WHEN position('->' IN pred) > 0
+              THEN str_split(pred, '->')[-1] ELSE pred END AS inner_
+  FROM eer
+),
+c AS (
+  SELECT *,
+         starts_with(inner_, 'De') AND inner_ <> 'DecreaseAmount' AS is_de,
+         inner_ IN ('Positive_activation', 'Negative_activation')
+           AS is_activation,
+         CASE WHEN inner_ = 'Binding' THEN 'ComplexAssembly'
+              WHEN inner_ IN ({transport}) THEN 'Transport'
+              WHEN inner_ IN ({template}) THEN 'TemplateReaction'
+              ELSE 'BiochemicalReaction' END AS interaction_class
+  FROM b
+),
+d AS (
+  SELECT *,
+         (outer_ IN ('Negative_regulation', 'Negative_activation')
+          OR outer_ = 'DecreaseAmount') AS neg_outer,
+         (is_de OR (is_wrapped AND inner_ = 'Negative_activation'))
+           AS inner_neg,
+         (subj IS NOT NULL AND (is_wrapped OR is_activation OR
+          outer_ IN ('Positive_regulation', 'Negative_regulation')))
+           AS has_control
+  FROM c
+),
+e AS (
+  SELECT *,
+         CASE WHEN is_wrapped THEN neg_outer <> inner_neg
+              ELSE neg_outer OR inner_neg END AS sign_flip
+  FROM d
+)
+SELECT interaction_class,
+       CASE WHEN has_control THEN
+              CASE WHEN interaction_class = 'TemplateReaction'
+                   THEN 'TemplateReactionRegulation'
+                   WHEN sign_flip THEN 'Control'
+                   ELSE 'Catalysis' END END AS control_class,
+       CASE WHEN has_control THEN
+              CASE WHEN sign_flip THEN 'INHIBITION'
+                   ELSE 'ACTIVATION' END END AS control_type,
+       CASE WHEN has_control THEN {uri('subj')} END AS controller_uri,
+       CASE WHEN has_control
+            THEN ({ecls('subj', 'FALSE')}) END AS controller_class,
+       {uri('obj')} AS left_uri,
+       ({ecls('obj', "inner_ = 'Transcription'")}) AS left_class,
+       ({uri('obj')} || '#' ||
+        lower(CASE WHEN is_de THEN 'unmodified'
+                   WHEN inner_ = 'Binding' THEN 'complex'
+                   ELSE inner_ END)) AS right_uri,
+       CASE WHEN inner_ = 'Binding' THEN 'Complex'
+            ELSE ({ecls('obj', "inner_ = 'Transcription'")}) END
+         AS right_class,
+       negated, CAST(NULL AS boolean) AS hypothesis, seen
+FROM e
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for reg in _REGISTRIES:
@@ -671,4 +889,6 @@ def oracle_sql() -> dict[str, str]:
     out["kg_triangles"] = _triangles_oracle()
     out["kg_clustering"] = _clustering_oracle()
     out["media_caption_pairs"] = _caption_oracle()
+    out["export_bel"] = _bel_oracle()
+    out["export_biopax"] = _biopax_oracle()
     return out
