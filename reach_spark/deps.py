@@ -31,6 +31,10 @@ _REL_PRONOUNS = frozenset({"which", "that", "who"})
 _XCOMP_HEADS = frozenset({"continue", "begin", "start", "appear", "seem",
                           "tend", "serve", "act", "need", "able", "unable",
                           "likely", "known", "shown", "reported"})
+# sentence-initial subordinators for the conservative advcl subset
+# ("upon"/"following" are prepositional, owned by the nmod tier)
+_ADVCL_MARKERS = frozenset({"when", "while", "after", "before", "because",
+                            "although", "if", "once", "whereas"})
 
 
 def _lemma_ish(lw: str) -> str:
@@ -260,6 +264,32 @@ def light_deps(words: list[str], tags: list[str],
             j += 1
         if b > 0:
             edges.append((a, b, "appos"))
+
+    # --- advcl_by: "inhibits apoptosis by phosphorylating BAD" ----------
+    # (UD advcl with a 'by' marker — vars.yml:66 adverbial_clause
+    # `advcl|advcl_by`, the controller-climb the reference's reg/event
+    # templates traverse as `</${adverbial_clause}/`): matrix verb →
+    # gerund across the by-marker. Rule paths climb "<advcl_by >nsubj" to
+    # recover the matrix subject as the gerund event's cause.
+    for i, lw in enumerate(lows):
+        if lw == "by" and 0 < i < n - 1 and tags[i + 1] == "VBG":
+            h = i - 1
+            while h >= 0 and not isv[h]:
+                h -= 1
+            if h >= 0:
+                edges.append((h, i + 1, "advcl_by"))
+
+    # --- advcl: "When NUSAP1 is depleted, MK7c declines" ----------------
+    # sentence-initial subordinate clause (the conservative deterministic
+    # subset): marker + clause verb before the comma, main verb after it;
+    # edge main → clause verb (UD advcl orientation).
+    if n > 3 and lows[0] in _ADVCL_MARKERS:
+        comma = next((j for j in range(1, n) if words[j] == ","), -1)
+        if comma > 1:
+            sub = next((j for j in range(1, comma) if isv[j]), -1)
+            main = next((j for j in range(comma + 1, n) if isv[j]), -1)
+            if sub >= 0 and main >= 0:
+                edges.append((main, sub, "advcl"))
 
     return edges
 

@@ -205,3 +205,52 @@ class TestNoRegressions:
             "QRZ9, which dephosphorylates WXV44, is active."))
         assert _fired("QRZ9, which dephosphorylates WXV44, is active.",
                       "Dephosphorylation", theme="WXV44", cause="QRZ9")
+
+
+# --------------------------------------------------------------------------
+# round-4 tail: advcl_by / advcl (vars.yml:66 adverbial_clause)
+# --------------------------------------------------------------------------
+
+class TestAdvclEdges:
+    def test_advcl_by_gerund(self):
+        assert ("inhibits", "phosphorylating", "advcl_by") in _edges(
+            "QRZ9 inhibits apoptosis by phosphorylating WXV44.")
+
+    def test_by_noun_is_nmod_not_advcl(self):
+        assert not any(l == "advcl_by" for _, _, l in _edges(
+            "WXV44 is phosphorylated by QRZ9."))
+
+    def test_marker_advcl_sentence_initial(self):
+        assert ("inhibited", "depleted", "advcl") in _edges(
+            "When QRZ9 is depleted, WXV44 is inhibited.")
+
+    def test_marker_without_comma_no_advcl(self):
+        assert not any(l == "advcl" for _, _, l in _edges(
+            "When QRZ9 binds WXV44 it is degraded"))
+
+    def test_mid_sentence_marker_not_emitted(self):
+        # conservative subset: only sentence-initial subordinators
+        assert not any(l == "advcl" for _, _, l in _edges(
+            "WXV44 declines when QRZ9 is depleted."))
+
+
+class TestAdvclByRules:
+    def test_gerund_event_with_matrix_subject_cause(self):
+        assert _fired("QRZ9 inhibits apoptosis by phosphorylating WXV44.",
+                      "Phosphorylation", theme="WXV44", cause="QRZ9")
+
+    def test_gerund_event_novel_symbols(self):
+        assert _fired("PLM77 blocks growth by ubiquitinating TKK21.",
+                      "Ubiquitination", theme="TKK21", cause="PLM77")
+
+    def test_gerund_of_theme_hop(self):
+        # theme reached through the dobj + nmod_of hop from the gerund
+        assert _fired(
+            "QRZ9 blocks apoptosis by phosphorylating the tail of TKK21.",
+            "Phosphorylation", theme="TKK21", cause="QRZ9")
+
+    def test_deprefix_veto_holds_for_gerund(self):
+        # deubiquitinating must not fire Ubiquitination through dep_8
+        assert not _fired(
+            "QRZ9 acts by deubiquitinating WXV44.",
+            "Ubiquitination", theme="WXV44")

@@ -161,14 +161,15 @@ class TestDepEventRules:
                 "Ribosylation", "Methylation", "Hydroxylation",
                 "Positive_regulation", "Negative_regulation",
                 "Positive_activation", "Negative_activation"} <= labels
-        # 21 simple/de-/transcription families × 7 shapes (3 core + the
-        # round-4 clause tier: relcl-active/relcl-passive/xcomp/acl)
+        # 21 simple/de-/transcription families × 8 shapes (3 core + the
+        # round-4 clause tier: relcl-active/relcl-passive/xcomp/acl +
+        # advcl_by — the by-gerund adverbial clause)
         # + 2 signs × 9 reg/act shapes (4 core + appos/relcl×2/xcomp×2)
         # + 3 binding + 4 translocation
         assert "Binding" in labels
         assert "Translocation" in labels
         assert "Dephosphorylation" in labels
-        assert len(eng.rules) == 21 * 7 + 2 * 9 + 3 + 4
+        assert len(eng.rules) == 21 * 8 + 2 * 9 + 3 + 4
 
 
 class TestRegulationDepRules:
