@@ -233,3 +233,49 @@ def read_eer_state(spark: SparkSession, out_dir: str) -> DataFrame:
             .select("subj", "pred", "obj", "negated", "s.hypothesis",
                     "s.is_direct", "s.trigger", "s.found_by", "s.seen",
                     "s.seen_in"))
+
+
+def stream_dedup_exact(spark: SparkSession, input_dir: str, out_dir: str,
+                       checkpoint_dir: str,
+                       watermark: str = "1 hour",
+                       available_now: bool = True):
+    """Streaming exact dedup at ingest: only the FIRST copy of each
+    document content hash reaches the pipeline side of a continuous
+    crawl (the streaming analog of textops.dedup_exact, which a batch
+    pipeline runs as a plain hash-groupBy).
+
+    `dropDuplicatesWithinWatermark` keys the state store on the content
+    hash and EVICTS entries once the watermark passes them — bounded
+    state on an unbounded crawl, the same property stream_ingest_metrics
+    relies on. Within the watermark horizon a re-crawled duplicate is
+    dropped exactly; past the horizon it would re-emit, which is the
+    documented trade every streaming dedup at 10^12-doc scale makes
+    (the periodic BATCH dedup over the accumulated table is the
+    catch-all; this operator exists to keep the expensive extraction
+    from running on hot near-in-time duplicates — crawl bursts,
+    mirrored feeds, retry storms).
+
+    Output: append-mode parquet of the surviving (first-seen) documents
+    at `{out_dir}/deduped_docs`, content-hashed over the full ordered
+    span payload (kind, text, media_ref, offset — the interleaved-table
+    identity, doc_id excluded so re-crawled content under a new id still
+    dedups)."""
+    src = spark.readStream.schema(DOCUMENTS).parquet(input_dir)
+    content_hash = F.sha2(F.to_json(F.struct("spans")), 256)
+    deduped = (src
+               .withColumn("content_hash", content_hash)
+               .withColumn("ingest_ts", F.current_timestamp())
+               .withWatermark("ingest_ts", watermark)
+               .dropDuplicatesWithinWatermark(["content_hash"]))
+
+    def sink(batch_df, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(f"{out_dir}/deduped_docs"))
+
+    writer = (deduped.writeStream
+              .outputMode("append")
+              .foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

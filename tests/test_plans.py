@@ -353,3 +353,44 @@ def test_simhash_pairs_banded_no_allpairs(spark):
     brute = {(a, b) for i, a in enumerate(ids) for b in ids[i + 1:]
              if bin(sig[a] ^ sig[b]).count("1") <= 3}
     assert {(r["doc_a"], r["doc_b"]) for r in rows} == brute
+
+
+def test_stream_dedup_exact_first_copy_survives(spark, tmp_path):
+    """Streaming ingest dedup: across two micro-batches, exactly one copy
+    per distinct span payload survives (state keyed on the content hash,
+    doc_id excluded so a re-crawl under a new id still dedups), and the
+    second batch's genuinely-new content still lands."""
+    from reach_spark.streaming import stream_dedup_exact
+    from reach_spark.synth import make_documents
+    docs_dir = str(tmp_path / "docs_in")
+    out_dir = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    # batch A: 6 docs with heavy duplication (skew_every=2 repeats spans)
+    a = make_documents(spark, n_docs=6, skew_every=2, skew_repeat=3)
+    a.write.parquet(docs_dir)
+    q = stream_dedup_exact(spark, docs_dir, out_dir, ck)
+    q.awaitTermination(120)
+    # batch B: re-deliver A (re-crawl, new doc ids) + 4 new docs
+    b_new = make_documents(spark, n_docs=4, skew_every=100, skew_repeat=1,
+                           seed=77)
+    a.withColumn("doc_id", F.concat(F.lit("re-"), "doc_id")).union(b_new) \
+        .write.mode("append").parquet(docs_dir)
+    q = stream_dedup_exact(spark, docs_dir, out_dir, ck)
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir + "/deduped_docs")
+    n_distinct_payloads = (
+        spark.read.parquet(docs_dir)
+        .select(F.sha2(F.to_json(F.struct("spans")), 256).alias("h"))
+        .distinct().count())
+    # one survivor per distinct payload, and no payload emitted twice
+    assert got.count() == n_distinct_payloads
+    assert got.select("content_hash").distinct().count() == got.count()
+    # the re-crawled copies were dropped: no 're-' doc id survived with a
+    # payload already seen in batch A
+    a_hashes = {r["h"] for r in a.select(
+        F.sha2(F.to_json(F.struct("spans")), 256).alias("h"))
+        .distinct().collect()}
+    survivors_re = got.where(F.col("doc_id").startswith("re-"))
+    for r in survivors_re.select("content_hash").collect():
+        assert r["content_hash"] not in a_hashes
