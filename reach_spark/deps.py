@@ -48,14 +48,6 @@ def _lemma_ish(lw: str) -> str:
     return lw
 
 
-def _is_verb(tag: str) -> bool:
-    return tag.startswith("V")
-
-
-def _is_nounish(tag: str) -> bool:
-    return tag in ("NN", "CD")
-
-
 # token → "is an xcomp raising head by lemma" (pure function of the lowered
 # token — memoized across every sentence a worker sees, like the POS/lemma
 # memos in extract.py; _lemma_ish was the single hottest call in the
