@@ -8,14 +8,19 @@ Two decode tiers:
   stdlib `struct` over the binary column — the cheap routing stage a
   100 TB media crawl runs on every blob before any pixel work. Tested
   against real format bytes in tests/test_multimodal.py.
-- **Pixel/sample decode is stubbed** (`decode_pixels` raises — the
-  container has no PIL/librosa); the md5-derived `_fake_decode` keeps the
-  oracle-checked metadata queries deterministic behind the same
-  mapInPandas plumbing a codec would use.
+- **Pixel/sample decode is REAL for PNG/GIF/WAV** (`pixels.py`: zlib
+  inflate + all five PNG filter reconstructions, a real GIF LZW decoder,
+  PCM frame decode — see that module's docstring). JPEG pixel decode is
+  the one remaining stub (baseline Huffman+IDCT is genuine codec
+  territory); `parse_media_header` still routes it. The
+  `media_pixel_stats` / `media_audio_stats` / `media_resize_pixels`
+  driver queries run the encode→decode round trip on real container
+  bytes against closed-form DuckDB oracles that never touch a codec.
 
-The media table for the driver queries is derived deterministically from
-`documents` (one media ref per doc) so the operator has a DuckDB oracle:
-the fake decode is pure md5 arithmetic, expressible identically in SQL.
+The md5-derived `_fake_decode` remains behind `media_decode_meta` /
+`media_feature_extract` as the documented stand-in for a *model*
+(CNN/CLIP featurizer) — those two queries exercise the metadata/embedding
+plumbing, not a codec.
 """
 
 from __future__ import annotations
@@ -48,12 +53,11 @@ MEDIA_META = T.StructType([
 
 
 def decode_pixels(media_bytes: bytes) -> dict:
-    """Pixel/sample decoder entry point — image/audio codecs are not in
-    this container. Production: PIL.Image.open / librosa.load inside the
-    same mapInPandas batch loop as `media_header_meta`."""
-    raise NotImplementedError(
-        "pixel/sample decoding requires PIL/librosa; header-level decode "
-        "(parse_media_header) and the plumbing are real")
+    """Pixel/sample decoder entry point — REAL for PNG/GIF/WAV since
+    round 4 (see reach_spark.pixels: stdlib zlib/struct + numpy, no codec
+    libraries). JPEG remains the documented stub."""
+    from .pixels import decode_pixels as _real
+    return _real(media_bytes)
 
 
 # kept under the old name for callers/tests written against round 2
@@ -412,6 +416,223 @@ def pair_media_captions(docs: DataFrame) -> DataFrame:
     return (cap.where(F.col("s.kind") == "media")
             .select("doc_id", F.col("s.media_ref").alias("media_ref"),
                     "caption"))
+
+
+def _synth_pixel_media(doc_id: int) -> bytes:
+    """Deterministic REAL container bytes with closed-form pixel content,
+    keyed on doc_id: k=0 → grayscale PNG, k=1 → RGB PNG (both encoded
+    with the cycling row filter so all five PNG filter reconstructions
+    run), k=2 → GIF whose LZW stream the real encoder produced. Pixel
+    value at flat index i is (doc_id*31 + i) % 256 (for GIF: the palette
+    index at pixel q is (doc_id*31 + q) % 256 and palette[j] =
+    (j, 2j%256, 3j%256)) — pure arithmetic the DuckDB oracle restates
+    without ever touching a codec."""
+    import numpy as np
+
+    from .pixels import encode_gif, encode_png
+    k = doc_id % 3
+    w = 4 + doc_id % 13
+    h = 4 + (doc_id * 3) % 11
+    if k == 0:
+        flat = (doc_id * 31 + np.arange(w * h, dtype=np.int64)) % 256
+        return encode_png(flat.astype(np.uint8).reshape(h, w), "cycle")
+    if k == 1:
+        flat = (doc_id * 31 + np.arange(w * h * 3, dtype=np.int64)) % 256
+        return encode_png(flat.astype(np.uint8).reshape(h, w, 3), "cycle")
+    idx = ((doc_id * 31 + np.arange(w * h, dtype=np.int64)) % 256) \
+        .astype(np.uint8).reshape(h, w)
+    j = np.arange(256, dtype=np.int64)
+    pal = np.stack([j, (2 * j) % 256, (3 * j) % 256], axis=1) \
+        .astype(np.uint8)
+    return encode_gif(idx, pal)
+
+
+_PIXEL_STATS_SQL = """
+WITH m AS (
+  SELECT doc_id, doc_id % 3 AS k,
+         4 + doc_id % 13 AS w, 4 + (doc_id * 3) % 11 AS h
+  FROM documents),
+gray AS (
+  SELECT doc_id, 'png' AS format, w, h, 1 AS channels,
+         sum((doc_id*31 + i) % 256) AS px_sum,
+         sum((i+1) * ((doc_id*31 + i) % 256)) AS px_check
+  FROM m, unnest(range(0, w*h)) AS t(i)
+  WHERE k = 0 GROUP BY doc_id, w, h),
+rgb AS (
+  SELECT doc_id, 'png' AS format, w, h, 3 AS channels,
+         sum((doc_id*31 + i) % 256) AS px_sum,
+         sum((i+1) * ((doc_id*31 + i) % 256)) AS px_check
+  FROM m, unnest(range(0, w*h*3)) AS t(i)
+  WHERE k = 1 GROUP BY doc_id, w, h),
+gif AS (
+  SELECT doc_id, 'gif' AS format, w, h, 3 AS channels,
+         sum(j + (2*j) % 256 + (3*j) % 256) AS px_sum,
+         sum((3*q+1)*j + (3*q+2)*((2*j) % 256)
+             + (3*q+3)*((3*j) % 256)) AS px_check
+  FROM (SELECT doc_id, w, h, q, (doc_id*31 + q) % 256 AS j
+        FROM m, unnest(range(0, w*h)) AS t(q) WHERE k = 2)
+  GROUP BY doc_id, w, h),
+u AS (SELECT * FROM gray UNION ALL SELECT * FROM rgb
+      UNION ALL SELECT * FROM gif)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, format,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(channels AS BIGINT) AS channels,
+       CAST(px_sum AS BIGINT) AS px_sum,
+       CAST(px_check AS BIGINT) AS px_check
+FROM u
+"""
+
+
+@_register("media_pixel_stats", _PIXEL_STATS_SQL)
+def media_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, end to end: synthesize real PNG (gray + RGB,
+    cycling row filters) and GIF (real LZW) container bytes per doc,
+    decode them back with reach_spark.pixels (zlib inflate + the five
+    filter reconstructions / LZW table dynamics), and reduce the pixel
+    array to (sum, position-weighted checksum). The DuckDB oracle states
+    the same stats from the closed-form pixel definition — it never runs
+    a codec, so any defect in EITHER direction of the encode/decode round
+    trip breaks the value hash. Garbage rows would yield no row (crawl
+    callers catch ValueError per row; here every synthesized blob is
+    well-formed by construction)."""
+    import numpy as np
+
+    from .pixels import decode_pixels as _decode
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                out = _decode(_synth_pixel_media(d))
+                px = out["pixels"]
+                if px.ndim == 2:
+                    h, w = px.shape
+                    ch = 1
+                else:
+                    h, w, ch = px.shape
+                flat = px.reshape(-1).astype(np.int64)
+                rows.append((d, out["format"], w, h, ch, int(flat.sum()),
+                             int(((np.arange(flat.size, dtype=np.int64)
+                                   + 1) * flat).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "format", "width", "height", "channels",
+                "px_sum", "px_check"])
+
+    return docs.mapInPandas(
+        stats, schema="doc_id long, format string, width long, "
+                      "height long, channels long, px_sum long, "
+                      "px_check long")
+
+
+_AUDIO_STATS_SQL = """
+WITH m AS (
+  SELECT doc_id, 50 + doc_id % 40 AS n_frames,
+         8000 + 100 * (doc_id % 50) AS rate
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(2 AS BIGINT) AS channels,
+       CAST(rate AS BIGINT) AS rate,
+       CAST(sum((doc_id*7 + i*13) % 65536 - 32768) AS BIGINT) AS s_sum,
+       CAST(sum((i+1) * ((doc_id*7 + i*13) % 65536 - 32768)) AS BIGINT)
+         AS s_check
+FROM m, unnest(range(0, n_frames*2)) AS t(i)
+GROUP BY doc_id, n_frames, rate
+"""
+
+
+@_register("media_audio_stats", _AUDIO_STATS_SQL)
+def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM decode, end to end: synthesize a stereo PCM16 WAV per doc
+    (real RIFF/fmt/data chunks via pixels.encode_wav), decode it back
+    (chunk walk + frombuffer), and reduce samples to (sum,
+    position-weighted checksum). Oracle = the closed-form sample
+    definition s_i = (doc_id*7 + 13i) % 65536 - 32768, codec-free."""
+    import numpy as np
+
+    from .pixels import decode_wav, encode_wav
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 50 + d % 40
+                rate = 8000 + 100 * (d % 50)
+                s = ((d * 7 + 13 * np.arange(n * 2, dtype=np.int64))
+                     % 65536 - 32768).astype(np.int16)
+                dec, drate = decode_wav(encode_wav(s.reshape(n, 2), rate))
+                flat = dec.reshape(-1).astype(np.int64)
+                rows.append((d, dec.shape[0], dec.shape[1], drate,
+                             int(flat.sum()),
+                             int(((np.arange(flat.size, dtype=np.int64)
+                                   + 1) * flat).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_frames", "channels", "rate", "s_sum",
+                "s_check"])
+
+    return docs.mapInPandas(
+        stats, schema="doc_id long, n_frames long, channels long, "
+                      "rate long, s_sum long, s_check long")
+
+
+_RESIZE_PIXELS_SQL = """
+WITH m AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 3) % 11 AS h
+  FROM documents)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(8 AS BIGINT) AS out_w, CAST(8 AS BIGINT) AS out_h,
+       CAST(sum((doc_id*31 + ((i // 8) * h // 8) * w
+                 + ((i % 8) * w // 8)) % 256) AS BIGINT) AS r_sum,
+       CAST(sum((i+1) * ((doc_id*31 + ((i // 8) * h // 8) * w
+                          + ((i % 8) * w // 8)) % 256)) AS BIGINT)
+         AS r_check
+FROM m, unnest(range(0, 64)) AS t(i)
+GROUP BY doc_id
+"""
+
+
+@_register("media_resize_pixels", _RESIZE_PIXELS_SQL)
+def media_resize_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL resample, end to end: per doc, encode a grayscale PNG
+    (cycling filters), decode it, nearest-neighbor resample to 8×8
+    (pixels.resize_nearest — integer sampling grid src = i*in//out), and
+    reduce the resampled array to stats. The oracle restates the grid
+    arithmetic directly; round 3's media_resize_plan covered the planning
+    math, this covers the actual pixel path it hands off to."""
+    import numpy as np
+
+    from .pixels import decode_png, resize_nearest
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 4 + d % 13
+                h = 4 + (d * 3) % 11
+                from .pixels import encode_png
+                flat = (d * 31 + np.arange(w * h, dtype=np.int64)) % 256
+                png = encode_png(flat.astype(np.uint8).reshape(h, w),
+                                 "cycle")
+                r = resize_nearest(decode_png(png), 8, 8) \
+                    .reshape(-1).astype(np.int64)
+                rows.append((d, 8, 8, int(r.sum()),
+                             int(((np.arange(64, dtype=np.int64) + 1)
+                                  * r).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "out_w", "out_h", "r_sum", "r_check"])
+
+    return docs.mapInPandas(
+        stats, schema="doc_id long, out_w long, out_h long, r_sum long, "
+                      "r_check long")
 
 
 @_register("media_frame_sample", """
