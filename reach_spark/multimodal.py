@@ -8,12 +8,11 @@ Two decode tiers:
   stdlib `struct` over the binary column — the cheap routing stage a
   100 TB media crawl runs on every blob before any pixel work. Tested
   against real format bytes in tests/test_multimodal.py.
-- **Pixel/sample decode is REAL for PNG/GIF/WAV** (`pixels.py`: zlib
-  inflate + all five PNG filter reconstructions, a real GIF LZW decoder,
-  PCM frame decode — see that module's docstring). JPEG pixel decode is
-  the one remaining stub (baseline Huffman+IDCT is genuine codec
-  territory); `parse_media_header` still routes it. The
-  `media_pixel_stats` / `media_audio_stats` / `media_resize_pixels`
+- **Pixel/sample decode is REAL for all four routed formats**
+  (`pixels.py`: zlib inflate + all five PNG filter reconstructions, a
+  real GIF LZW decoder, PCM frame decode; `jpeg.py`: baseline T.81
+  Huffman + IDCT both directions). The `media_pixel_stats` /
+  `media_audio_stats` / `media_jpeg_stats` / `media_resize_pixels`
   driver queries run the encode→decode round trip on real container
   bytes against closed-form DuckDB oracles that never touch a codec.
 
@@ -53,9 +52,9 @@ MEDIA_META = T.StructType([
 
 
 def decode_pixels(media_bytes: bytes) -> dict:
-    """Pixel/sample decoder entry point — REAL for PNG/GIF/WAV since
-    round 4 (see reach_spark.pixels: stdlib zlib/struct + numpy, no codec
-    libraries). JPEG remains the documented stub."""
+    """Pixel/sample decoder entry point — REAL for PNG/GIF/JPEG/WAV since
+    round 4 (reach_spark.pixels + reach_spark.jpeg: stdlib zlib/struct +
+    numpy, no codec libraries)."""
     from .pixels import decode_pixels as _real
     return _real(media_bytes)
 
@@ -579,6 +578,72 @@ def media_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         stats, schema="doc_id long, n_frames long, channels long, "
                       "rate long, s_sum long, s_check long")
+
+
+_JPEG_STATS_SQL = """
+WITH m AS (
+  SELECT doc_id, 8 * (1 + doc_id % 3) AS w, 8 * (1 + (doc_id // 3) % 2) AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, i,
+         (doc_id*17 + ((i // w) // 8 * (w // 8) + (i % w) // 8) * 29)
+           % 256 AS v
+  FROM m, unnest(range(0, w*h)) AS t(i)),
+dec AS (
+  SELECT doc_id, w, h, i,
+         least(255, greatest(0,
+           2 * CAST(sign(v - 128) AS BIGINT) * ((abs(v - 128) + 1) // 2)
+           + 128)) AS p
+  FROM px)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(sum(p) AS BIGINT) AS px_sum,
+       CAST(sum((i+1) * p) AS BIGINT) AS px_check
+FROM dec GROUP BY doc_id, w, h
+"""
+
+
+@_register("media_jpeg_stats", _JPEG_STATS_SQL)
+def media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode, end to end: per doc, encode a grayscale
+    JPEG of (doc-keyed dims, multiple 8×8 blocks) whose block b is the
+    solid value (doc_id*17 + 29b) % 256, decode it back through the full
+    marker-walk → Annex-K Huffman → dequant → IDCT path (reach_spark.jpeg),
+    and reduce pixels to stats. Solid blocks make the lossy codec EXACT:
+    DC = 8(v−128) quantizes to sign(v−128)·(|v−128|+1)//2 at Q₀=16 and
+    IDCT of a DC-only block is flat, so the DuckDB oracle states the
+    decoded value in closed form — while the Spark path still exercises
+    DC differential coding across blocks, magnitude categories, EOB runs,
+    byte unstuffing, and the float IDCT."""
+    import numpy as np
+
+    from .jpeg import decode_jpeg, encode_jpeg
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id")
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 8 * (1 + d % 3)
+                h = 8 * (1 + (d // 3) % 2)
+                a = np.empty((h, w), np.uint8)
+                for by in range(h // 8):
+                    for bx in range(w // 8):
+                        v = (d * 17 + (by * (w // 8) + bx) * 29) % 256
+                        a[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = v
+                dec = decode_jpeg(encode_jpeg(a)).reshape(-1) \
+                    .astype(np.int64)
+                rows.append((d, w, h, int(dec.sum()),
+                             int(((np.arange(dec.size, dtype=np.int64)
+                                   + 1) * dec).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "px_sum", "px_check"])
+
+    return docs.mapInPandas(
+        stats, schema="doc_id long, width long, height long, "
+                      "px_sum long, px_check long")
 
 
 _RESIZE_PIXELS_SQL = """

@@ -18,9 +18,10 @@ more than it needs a specific codec binding:
   LSB-first packing, clear/EOI handling, deferred width growth).
 - **WAV** (RIFF/WAVE): chunk walk to `fmt `/`data`, PCM16/PCM8 frames
   via `np.frombuffer`.
-- **JPEG stays header-only**: baseline JPEG needs Huffman entropy
-  decode + dequant + IDCT; that is genuine codec territory and remains
-  the documented stub (`parse_media_header` still routes it).
+- **JPEG** (ITU T.81 baseline) lives in the sibling `jpeg.py`: marker
+  walk, Annex-K Huffman entropy decode, dequant, exact separable IDCT,
+  YCbCr→RGB — plus a real encoder. Progressive/subsampled/12-bit
+  streams raise (handled like any other garbage row on the crawl path).
 
 Encoders for PNG/GIF/WAV exist too — they make the driver queries
 end-to-end HONEST: the Spark path synthesizes real container bytes,
@@ -393,10 +394,9 @@ def decode_pixels(media_bytes: bytes) -> dict:
     """REAL pixel/sample decode dispatch (replaces the round-2/3 stub).
 
     Returns {"kind": "image", "format", "pixels": uint8 array} for
-    PNG/GIF, {"kind": "audio", "format": "wav", "samples": int16 (n, ch),
-    "rate"} for WAV. JPEG remains the documented stub (baseline Huffman +
-    IDCT is real codec territory; `parse_media_header` still routes it).
-    Raises ValueError on garbage — crawl callers catch per row.
+    PNG/GIF/JPEG, {"kind": "audio", "format": "wav", "samples": int16
+    (n, ch), "rate"} for WAV. Raises ValueError on garbage or
+    non-baseline layouts — crawl callers catch per row.
     """
     if media_bytes[:8] == _PNG_SIG:
         return {"kind": "image", "format": "png",
@@ -409,9 +409,9 @@ def decode_pixels(media_bytes: bytes) -> dict:
         return {"kind": "audio", "format": "wav", "samples": samples,
                 "rate": rate}
     if media_bytes[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG pixel decode needs an entropy codec (Huffman+IDCT); "
-            "header routing via parse_media_header is the real path")
+        from .jpeg import decode_jpeg
+        return {"kind": "image", "format": "jpeg",
+                "pixels": decode_jpeg(media_bytes)}
     raise ValueError("unrecognized media payload")
 
 

@@ -67,15 +67,15 @@ def test_media_header_meta_spark(spark):
 
 
 def test_decode_pixels_now_real():
-    """Round 4 replaced the pixel-decode stub with real PNG/GIF/WAV
-    codecs (reach_spark.pixels); only JPEG remains the declared stub.
-    The header-only _png() helper (no IDAT) is a truncated stream — the
-    real decoder rejects it instead of silently succeeding."""
+    """Round 4 replaced the pixel-decode stub with real PNG/GIF/JPEG/WAV
+    codecs (reach_spark.pixels + reach_spark.jpeg). The header-only
+    _png() helper (no IDAT) is a truncated stream — the real decoder
+    rejects it instead of silently succeeding."""
     from reach_spark.multimodal import decode_pixels, decode_real
     with pytest.raises(ValueError):
         decode_pixels(_png(1, 1))  # signature but no pixel data
-    with pytest.raises(NotImplementedError):
-        decode_pixels(b"\xff\xd8\xff\xe0jpeg")  # JPEG: declared stub
+    with pytest.raises(ValueError):
+        decode_pixels(b"\xff\xd8\xff\xe0jpeg")  # truncated JPEG
     assert decode_real is decode_pixels  # round-2 name kept
 
 

@@ -207,8 +207,12 @@ def test_dispatch_routes_all_formats():
     assert gif["kind"] == "image" and gif["format"] == "gif"
     wav = decode_pixels(encode_wav(np.zeros(4, np.int16)))
     assert wav["kind"] == "audio" and wav["rate"] == 44100
-    with pytest.raises(NotImplementedError):
-        decode_pixels(b"\xff\xd8\xff\xe0rest")  # JPEG: declared stub
+    from reach_spark.jpeg import encode_jpeg
+    jpg = decode_pixels(encode_jpeg(np.full((8, 8), 128, np.uint8)))
+    assert jpg["kind"] == "image" and jpg["format"] == "jpeg"
+    assert (jpg["pixels"] == 128).all()
+    with pytest.raises(ValueError):
+        decode_pixels(b"\xff\xd8\xff\xe0rest")  # truncated JPEG
     with pytest.raises(ValueError):
         decode_pixels(b"garbage-bytes-here")
 
