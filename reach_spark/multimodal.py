@@ -646,6 +646,138 @@ def media_jpeg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "px_sum long, px_check long")
 
 
+_IMAGE_FEATURES_SQL = """
+WITH m AS (
+  SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 3) % 11 AS h
+  FROM documents),
+px AS (
+  SELECT doc_id, w, h, i, (doc_id*31 + i) % 256 AS p
+  FROM m, unnest(range(0, w*h)) AS t(i)),
+grad AS (
+  SELECT doc_id, w, h,
+         abs(((doc_id*31 + i + 1) % 256) - ((doc_id*31 + i) % 256)) AS g
+  FROM m, unnest(range(0, w*h)) AS t(i)
+  WHERE (i % w) < w - 1)
+SELECT CAST(a.doc_id AS BIGINT) AS doc_id,
+       CAST(a.w AS BIGINT) AS width, CAST(a.h AS BIGINT) AS height,
+       CAST(a.px_sum AS BIGINT) AS px_sum,
+       CAST(a.px_sq_sum AS BIGINT) AS px_sq_sum,
+       CAST(b.grad_sum AS BIGINT) AS grad_sum,
+       CAST(b.edge_count AS BIGINT) AS edge_count
+FROM (SELECT doc_id, w, h, sum(p) AS px_sum, sum(p*p) AS px_sq_sum
+      FROM px GROUP BY doc_id, w, h) a
+JOIN (SELECT doc_id, w, h, sum(g) AS grad_sum,
+             sum(CASE WHEN g >= 32 THEN 1 ELSE 0 END) AS edge_count
+      FROM grad GROUP BY doc_id, w, h) b
+  ON a.doc_id = b.doc_id
+"""
+
+
+@_register("media_image_features", _IMAGE_FEATURES_SQL)
+def media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image features over REALLY decoded pixels — the integer
+    feature family a crawl quality filter runs after decode (flatness /
+    blur / contrast screening): per-image pixel sum + sum of squares
+    (mean/variance inputs) and horizontal-gradient statistics (total
+    |∂x| mass + count of edges ≥ 32, the blur/flatness signal). The
+    image is a grayscale PNG encoded with cycling row filters and
+    decoded through the full zlib+unfilter path; all features are pure
+    integer reductions, so the DuckDB oracle restates them from the
+    closed-form pixel definition. (The CNN/CLIP embedding in
+    media_feature_extract remains the documented model fake; these
+    features are real.)"""
+    import numpy as np
+
+    from .pixels import decode_png, encode_png
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 4 + d % 13
+                h = 4 + (d * 3) % 11
+                flat = (d * 31 + np.arange(w * h, dtype=np.int64)) % 256
+                img = decode_png(encode_png(
+                    flat.astype(np.uint8).reshape(h, w), "cycle")) \
+                    .astype(np.int64)
+                g = np.abs(np.diff(img, axis=1))
+                rows.append((d, w, h, int(img.sum()),
+                             int((img * img).sum()), int(g.sum()),
+                             int((g >= 32).sum())))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "width", "height", "px_sum", "px_sq_sum",
+                "grad_sum", "edge_count"])
+
+    return docs.mapInPandas(
+        feats, schema="doc_id long, width long, height long, "
+                      "px_sum long, px_sq_sum long, grad_sum long, "
+                      "edge_count long")
+
+
+_AUDIO_FEATURES_SQL = """
+WITH m AS (
+  SELECT doc_id, 128 + 32 * (doc_id % 4) AS n
+  FROM documents),
+s AS (
+  SELECT doc_id, n, i, (doc_id*7 + i*13) % 65536 - 32768 AS v
+  FROM m, unnest(range(0, n)) AS t(i)),
+frames AS (
+  SELECT doc_id, i // 64 AS frame_idx,
+         sum(v*v) AS energy,
+         sum(CASE WHEN i % 64 < 63
+                    AND ((doc_id*7 + i*13) % 65536 - 32768 < 0)
+                        <> ((doc_id*7 + (i+1)*13) % 65536 - 32768 < 0)
+                  THEN 1 ELSE 0 END) AS zcr
+  FROM s WHERE i // 64 < n // 64   -- full 64-sample frames only
+  GROUP BY doc_id, i // 64)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(energy AS BIGINT) AS energy,
+       CAST(zcr AS BIGINT) AS zcr
+FROM frames
+"""
+
+
+@_register("media_audio_features", _AUDIO_FEATURES_SQL)
+def media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL framed audio features over REALLY decoded PCM — the
+    speech/music screening pair every audio-crawl filter computes:
+    per-frame energy (sum of squared samples; silence/clipping signal)
+    and zero-crossing count (voiced/unvoiced + noise signal), frames of
+    64 samples, non-overlapping. Mono WAV round-trips through
+    encode_wav/decode_wav; both features are exact integer reductions,
+    restated closed-form by the oracle."""
+    import numpy as np
+
+    from .pixels import decode_wav, encode_wav
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id")
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                n = 128 + 32 * (d % 4)
+                s = ((d * 7 + 13 * np.arange(n, dtype=np.int64))
+                     % 65536 - 32768).astype(np.int16)
+                dec, _ = decode_wav(encode_wav(s, 16000))
+                x = dec.reshape(-1).astype(np.int64)
+                for f in range(n // 64):
+                    fr = x[f * 64:(f + 1) * 64]
+                    zc = int(((fr[:-1] < 0) != (fr[1:] < 0)).sum())
+                    rows.append((d, f, int((fr * fr).sum()), zc))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "frame_idx", "energy", "zcr"])
+
+    return docs.mapInPandas(
+        feats, schema="doc_id long, frame_idx long, energy long, "
+                      "zcr long")
+
+
 _RESIZE_PIXELS_SQL = """
 WITH m AS (
   SELECT doc_id, 4 + doc_id % 13 AS w, 4 + (doc_id * 3) % 11 AS h

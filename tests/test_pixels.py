@@ -236,3 +236,25 @@ def test_resize_nearest_grid():
 def test_resize_nearest_identity():
     a = rng.randint(0, 256, (5, 7, 3)).astype(np.uint8)
     assert (resize_nearest(a, 7, 5) == a).all()
+
+
+# ------------------------------------------------- feature-query math
+
+def test_image_feature_math_hand_computed():
+    """The media_image_features reductions on a tiny known image:
+    px=[0,100,255 / 10,10,10] → grad rows |100|,|155| and |0|,|0|;
+    edge threshold 32 catches exactly the two first-row gradients."""
+    img = np.array([[0, 100, 255], [10, 10, 10]], np.int64)
+    g = np.abs(np.diff(img, axis=1))
+    assert int(img.sum()) == 385
+    assert int((img * img).sum()) == 100 * 100 + 255 * 255 + 3 * 100
+    assert int(g.sum()) == 100 + 155
+    assert int((g >= 32).sum()) == 2
+
+
+def test_audio_feature_math_hand_computed():
+    """ZCR counts strict sign changes via (a<0)!=(b<0): zero is
+    non-negative, so [-1, 0, 1, -2] crosses at -1→0 and 1→-2."""
+    fr = np.array([-1, 0, 1, -2], np.int64)
+    assert int(((fr[:-1] < 0) != (fr[1:] < 0)).sum()) == 2
+    assert int((fr * fr).sum()) == 1 + 0 + 1 + 4
