@@ -573,3 +573,57 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("s", 12, 10).cast("bigint").alias("pos"),
         F.substring("s", 1, 10).cast("bigint").alias("fp"))
         .distinct())
+
+
+# --------------------------------------------------------------------------
+# vocabulary induction: the tokenizer-training stage of an LLM data
+# pipeline — corpus-wide token frequencies (map-side-combinable hash
+# aggregate), top-K vocabulary with a deterministic (count DESC, token)
+# tie-break, and the coverage fraction each vocab entry contributes
+# (the running statistic a BPE/unigram trainer thresholds on). The token
+# classes are the same BPE-ish regex as token_count. One shuffle on the
+# token key; K rows out. At 100 TB the partial aggregation bounds the
+# exchange at |vocab| per partition, exactly like a word-count.
+# --------------------------------------------------------------------------
+_VOCAB_K = 500
+
+
+@_register("vocab_topk", f"""
+WITH toks AS (
+  SELECT unnest(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS token
+  FROM documents),
+counts AS (
+  SELECT token, count(*) AS n FROM toks GROUP BY token),
+total AS (SELECT sum(n) AS t FROM counts),
+ranked AS (
+  SELECT token, n,
+         row_number() OVER (ORDER BY n DESC, token) AS rank
+  FROM counts)
+SELECT rank, token, n,
+       CAST(floor(n * 1000000.0 / t) AS BIGINT) AS coverage_ppm
+FROM ranked, total
+WHERE rank <= {_VOCAB_K}
+""")
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K corpus vocabulary with per-token coverage (ppm of all
+    token occurrences, floored so both engines compare as integers).
+    The global top-K window runs over the ALREADY-AGGREGATED count table
+    (|vocab| rows, not |tokens|), so the single-partition window is a
+    bounded-size driver-side concern, not a corpus-size one; at larger K
+    swap in an orderBy(...).limit(K) which Spark executes as a
+    TakeOrderedAndProject without a full sort."""
+    toks = _docs(spark, sf_dir).select(
+        F.explode(F.expr(
+            "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"
+        )).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("t"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    ranked = counts.withColumn("rank", F.row_number().over(w)) \
+                   .where(F.col("rank") <= _VOCAB_K)
+    return (ranked.crossJoin(F.broadcast(total))
+            .select(F.col("rank").cast("bigint").alias("rank"),
+                    "token", "n",
+                    F.floor(F.col("n") * 1000000.0 / F.col("t"))
+                     .cast("bigint").alias("coverage_ppm")))

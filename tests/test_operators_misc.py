@@ -441,3 +441,24 @@ def test_winnow_guarantee(spark):
     assert not (by_doc[0] & by_doc.get(2, set()))
     # sparsity: fewer selections than shingles (n_tokens - 2 shingles/doc)
     assert all(len(v) < 10 for v in by_doc.values())
+
+
+def test_vocab_topk_hand_computed(spark):
+    """Top-K vocabulary over a 3-doc corpus: counts, (count DESC, token)
+    tie-break ranks, and floored coverage ppm."""
+    import pandas as pd
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3],
+                        "text": ["aa bb", "aa cc!", "aa bb 7"]})
+    d = "/tmp/vocab_topk_test"
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .parquet(f"{d}/documents.parquet")
+    from reach_spark import textops
+    fn, _ = textops.QUERIES["vocab_topk"]
+    rows = {r["token"]: (r["rank"], r["n"], r["coverage_ppm"])
+            for r in fn(spark, d).collect()}
+    # tokens: aa x3, bb x2, cc x1, ! x1, 7 x1  (total 8)
+    assert rows["aa"] == (1, 3, 375000)
+    assert rows["bb"] == (2, 2, 250000)
+    # ties n=1 rank by token string ascending: '!' < '7' < 'cc'
+    assert rows["!"][0] == 3 and rows["7"][0] == 4 and rows["cc"][0] == 5
+    assert rows["cc"][2] == 125000
