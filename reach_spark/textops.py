@@ -627,3 +627,104 @@ def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "token", "n",
                     F.floor(F.col("n") * 1000000.0 / F.col("t"))
                      .cast("bigint").alias("coverage_ppm")))
+
+
+# --------------------------------------------------------------------------
+# benchmark decontamination: the eval-leak screening stage every serious
+# training-data pipeline runs (GPT-3 §2.2 / PaLM-style 8-gram overlap,
+# here over the repo's word-3-gram shingle unit). The "benchmark suite"
+# is the shingle set of a held-out doc slice (doc_id % 100 < 2 — at
+# production it is the actual eval-set shingle table); every other doc
+# reports how many of its shingles collide and an is_contaminated flag.
+# Shape: benchmark side is TINY and broadcast; the corpus side streams
+# through one equi-join on the shingle key then hash-aggregates per doc
+# — no shuffle of the big side beyond the doc_id rollup.
+# --------------------------------------------------------------------------
+@_register("decontaminate_ngram", f"""
+WITH bench AS (
+  SELECT DISTINCT unnest({_SHINGLE_DUCK}) AS shingle
+  FROM documents WHERE doc_id % 100 < 2),
+corpus AS (
+  SELECT doc_id, unnest({_SHINGLE_DUCK}) AS shingle
+  FROM documents WHERE doc_id % 100 >= 2),
+hits AS (
+  SELECT c.doc_id, count(*) AS n_hits,
+         count(DISTINCT c.shingle) AS n_distinct_hits
+  FROM corpus c JOIN bench b USING (shingle)
+  GROUP BY c.doc_id)
+SELECT d.doc_id,
+       coalesce(h.n_hits, 0) AS n_hits,
+       coalesce(h.n_distinct_hits, 0) AS n_distinct_hits,
+       coalesce(h.n_hits, 0) > 0 AS is_contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 100 >= 2) d
+LEFT JOIN hits h ON d.doc_id = h.doc_id
+""")
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    bench = (docs.where("doc_id % 100 < 2")
+             .select(F.explode(F.expr(_SHINGLE_SPARK)).alias("shingle"))
+             .distinct())
+    corpus = (docs.where("doc_id % 100 >= 2")
+              .select("doc_id",
+                      F.explode(F.expr(_SHINGLE_SPARK)).alias("shingle")))
+    hits = (corpus.join(F.broadcast(bench), "shingle")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_hits"),
+                 F.countDistinct("shingle").alias("n_distinct_hits")))
+    return (docs.where("doc_id % 100 >= 2").select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+                    F.coalesce("n_distinct_hits", F.lit(0))
+                     .alias("n_distinct_hits"),
+                    (F.coalesce("n_hits", F.lit(0)) > 0)
+                     .alias("is_contaminated")))
+
+
+# --------------------------------------------------------------------------
+# PII detection + redaction: emails and long digit runs (phone-like)
+# counted and replaced — the scrubbing stage before anything ships to a
+# training mix. Deterministic synthetic PII is appended per doc so the
+# operator has ground truth in both engines; the patterns and the
+# redaction are plain regex column ops (JVM-side in Spark). Output is
+# the count per class and an md5 of the redacted text, proving both
+# engines performed the identical rewrite.
+# --------------------------------------------------------------------------
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+@_register("pii_scrub", f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' Contact u' || doc_id || '@mail-' ||
+         (doc_id % 7) || '.org or ' ||
+         lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+         lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0') ||
+         '-' || lpad(CAST((doc_id * 7) % 10000 AS VARCHAR), 4, '0')
+           AS text
+  FROM documents)
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>',
+                                         'g'),
+                          '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+FROM aug
+""")
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    aug = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "concat(text, ' Contact u', doc_id, '@mail-', doc_id % 7, "
+        "'.org or ', lpad(CAST(doc_id % 1000 AS STRING), 3, '0'), '-', "
+        "lpad(CAST((doc_id * 3) % 1000 AS STRING), 3, '0'), '-', "
+        "lpad(CAST((doc_id * 7) % 10000 AS STRING), 4, '0')) AS text")
+    return aug.select(
+        "doc_id",
+        F.expr(f"regexp_count(text, '{_EMAIL_RE}')").cast("bigint")
+         .alias("n_emails"),
+        F.expr(f"regexp_count(text, '{_PHONE_RE}')").cast("bigint")
+         .alias("n_phones"),
+        F.md5(F.regexp_replace(
+            F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+            _PHONE_RE, "<PHONE>")).alias("redacted_md5"))

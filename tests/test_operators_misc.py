@@ -462,3 +462,50 @@ def test_vocab_topk_hand_computed(spark):
     # ties n=1 rank by token string ascending: '!' < '7' < 'cc'
     assert rows["!"][0] == 3 and rows["7"][0] == 4 and rows["cc"][0] == 5
     assert rows["cc"][2] == 125000
+
+
+def test_decontaminate_ngram_hand_computed(spark):
+    """Docs 0/1 form the benchmark; doc 102 shares a 3-gram with doc 0,
+    doc 203 shares nothing."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": [0, 1, 102, 203],
+        "text": ["the cat sat on the mat",
+                 "completely different benchmark line here",
+                 "yesterday the cat sat on a rug",
+                 "no overlap at all in this row"]})
+    d = "/tmp/decontam_test"
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .parquet(f"{d}/documents.parquet")
+    from reach_spark import textops
+    fn, _ = textops.QUERIES["decontaminate_ngram"]
+    rows = {r["doc_id"]: (r["n_hits"], r["is_contaminated"])
+            for r in fn(spark, d).collect()}
+    assert set(rows) == {102, 203}
+    assert rows[102] == (2, True)   # 'the cat sat' + 'cat sat on'
+    assert rows[203] == (0, False)
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    from reach_spark import textops
+    fn, _ = textops.QUERIES["decontaminate_ngram"]
+    plan = fn(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_scrub_hand_computed(spark):
+    import pandas as pd
+    pdf = pd.DataFrame({"doc_id": [5], "text": ["hello a@b.com world"]})
+    d = "/tmp/pii_test"
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .parquet(f"{d}/documents.parquet")
+    from reach_spark import textops
+    fn, _ = textops.QUERIES["pii_scrub"]
+    r = fn(spark, d).collect()[0]
+    # original email + the synthetic appended one; one synthetic phone
+    assert r["n_emails"] == 2 and r["n_phones"] == 1
+    import hashlib
+    expected = ("hello <EMAIL> world Contact <EMAIL> or <PHONE>")
+    assert r["redacted_md5"] == hashlib.md5(expected.encode()).hexdigest()
