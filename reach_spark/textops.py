@@ -728,3 +728,83 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.regexp_replace(
             F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
             _PHONE_RE, "<PHONE>")).alias("redacted_md5"))
+
+
+# --------------------------------------------------------------------------
+# within-document repetition (Gopher / RefinedWeb quality rules): the
+# duplicate-shingle fraction — 1 - distinct/total over word 3-grams —
+# flags boilerplate/spam that char-level quality_score misses. Integer
+# ppm so both engines hash-compare exactly. Pure per-doc expressions:
+# no shuffle at all (the aggregate is over each row's own shingle list).
+# --------------------------------------------------------------------------
+@_register("quality_repetition", f"""
+WITH sh AS (
+  SELECT doc_id, {_SHINGLE_DUCK} AS shingles FROM documents)
+SELECT doc_id,
+       len(shingles) AS n_shingles,
+       len(list_distinct(shingles)) AS n_distinct,
+       CASE WHEN len(shingles) > 0
+            THEN CAST(floor((len(shingles) - len(list_distinct(shingles)))
+                            * 1000000.0 / len(shingles)) AS BIGINT)
+            ELSE 0 END AS dup_ppm
+FROM sh
+""")
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(_SHINGLE_SPARK).alias("shingles"))
+    n = F.size("shingles")
+    nd = F.size(F.array_distinct("shingles"))
+    return sh.select(
+        "doc_id",
+        n.cast("bigint").alias("n_shingles"),
+        nd.cast("bigint").alias("n_distinct"),
+        F.when(n > 0, F.floor((n - nd) * 1000000.0 / n))
+         .otherwise(F.lit(0)).cast("bigint").alias("dup_ppm"))
+
+
+# --------------------------------------------------------------------------
+# stratified sampling for data mixing: keep-rate per stratum (the lang
+# column), membership decided by a deterministic md5-derived bucket of
+# doc_id — the exact mechanism a training mix uses so reruns and
+# downstream joins see the same sample. Bucket = first two md5 nibbles
+# (0..255) % 100; engine-portable because both sides read the same hex
+# characters. Pure row-local expressions + one hash-agg rollup.
+# --------------------------------------------------------------------------
+_MIX_RATES = {"en": 80, "de": 40, "fr": 40}  # percent kept; default 20
+
+
+@_register("sample_mix_stratified", """
+WITH b AS (
+  SELECT doc_id, lang,
+         ((strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+          + strpos('0123456789abcdef',
+                   substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+           % 100 AS bucket,
+         CASE WHEN lang = 'en' THEN 80
+              WHEN lang IN ('de', 'fr') THEN 40 ELSE 20 END AS rate
+  FROM documents)
+SELECT lang, rate,
+       count(*) AS n_docs,
+       sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS n_kept,
+       min(CASE WHEN bucket < rate THEN doc_id END) AS first_kept_doc
+FROM b GROUP BY lang, rate
+""")
+def sample_mix_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = _docs(spark, sf_dir).selectExpr(
+        "doc_id", "lang",
+        "((instr('0123456789abcdef', "
+        "substring(md5(CAST(doc_id AS STRING)), 1, 1)) - 1) * 16 + "
+        "instr('0123456789abcdef', "
+        "substring(md5(CAST(doc_id AS STRING)), 2, 1)) - 1) % 100 "
+        "AS bucket",
+        "CASE WHEN lang = 'en' THEN 80 "
+        "WHEN lang IN ('de', 'fr') THEN 40 ELSE 20 END AS rate")
+    return (b.groupBy("lang", "rate")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(F.when(F.col("bucket") < F.col("rate"), 1)
+                        .otherwise(0)).alias("n_kept"),
+                 F.min(F.when(F.col("bucket") < F.col("rate"),
+                              F.col("doc_id"))).alias("first_kept_doc"))
+            .select("lang", F.col("rate").cast("bigint").alias("rate"),
+                    "n_docs", "n_kept", "first_kept_doc"))

