@@ -808,3 +808,76 @@ def sample_mix_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
                               F.col("doc_id"))).alias("first_kept_doc"))
             .select("lang", F.col("rate").cast("bigint").alias("rate"),
                     "n_docs", "n_kept", "first_kept_doc"))
+
+
+# --------------------------------------------------------------------------
+# sequence packing (concat-and-chunk): the tokenize-and-pack bookkeeping
+# of LLM pretraining — documents are concatenated in doc_id order and
+# chunked into fixed BLOCK-token training sequences; each doc reports its
+# global token offset and the block span it lands in. The corpus-wide
+# prefix sum is computed the SCALABLE way: docs are bucketed by
+# doc_id range, the running sum is a window WITHIN each bucket (parallel,
+# bounded partitions), and each bucket adds a broadcast base offset from
+# the tiny per-bucket-totals table — the classic two-pass distributed
+# prefix sum. No global single-partition window anywhere (plan-gated in
+# tests); at 10^12 docs the per-bucket windows shard and the base table
+# stays |buckets| rows.
+# --------------------------------------------------------------------------
+_PACK_BLOCK = 512
+_PACK_BUCKET = 1000  # docs per prefix-sum bucket
+
+
+@_register("pack_sequences", f"""
+WITH toks AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+           AS n_tokens
+  FROM documents),
+pref AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens
+           AS tok_offset
+  FROM toks)
+SELECT doc_id, n_tokens, tok_offset,
+       tok_offset // {_PACK_BLOCK} AS first_block,
+       CASE WHEN n_tokens > 0
+            THEN (tok_offset + n_tokens - 1) // {_PACK_BLOCK}
+            ELSE tok_offset // {_PACK_BLOCK} END AS last_block,
+       tok_offset % {_PACK_BLOCK} AS tok_offset_in_block
+FROM pref
+""")
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    toks = _docs(spark, sf_dir).selectExpr(
+        "doc_id",
+        "CAST(regexp_count(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]') "
+        "AS BIGINT) AS n_tokens",
+        f"CAST(doc_id DIV {_PACK_BUCKET} AS BIGINT) AS bucket")
+    # pass 1: tiny per-bucket totals -> exclusive base offsets (broadcast)
+    bases = (toks.groupBy("bucket").agg(F.sum("n_tokens").alias("bt"))
+             .withColumn("base",
+                         F.coalesce(
+                             F.sum("bt").over(
+                                 Window.orderBy("bucket")
+                                 .rowsBetween(Window.unboundedPreceding,
+                                              -1)),
+                             F.lit(0)))
+             .select("bucket", "base"))
+    # pass 2: parallel within-bucket running sums + broadcast base add
+    w = (Window.partitionBy("bucket").orderBy("doc_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    pref = (toks.join(F.broadcast(bases), "bucket")
+            .withColumn("tok_offset",
+                        F.col("base") + F.sum("n_tokens").over(w)
+                        - F.col("n_tokens")))
+    blk = F.lit(_PACK_BLOCK)
+    return pref.select(
+        "doc_id", "n_tokens", "tok_offset",
+        (F.col("tok_offset") / blk).cast("bigint").alias("first_block"),
+        F.when(F.col("n_tokens") > 0,
+               ((F.col("tok_offset") + F.col("n_tokens") - 1) / blk)
+               .cast("bigint"))
+         .otherwise((F.col("tok_offset") / blk).cast("bigint"))
+         .alias("last_block"),
+        (F.col("tok_offset") % blk).alias("tok_offset_in_block"))

@@ -540,3 +540,39 @@ def test_sample_mix_deterministic_and_rate_bounded(spark):
     assert a == b and a
     for lang, (n, kept) in a.items():
         assert 0 <= kept <= n
+
+
+def test_pack_sequences_hand_computed(spark):
+    """Docs of 3/510/2 tokens at BLOCK=512: offsets 0/3/513 -> doc 2
+    spans blocks 0-1 (3+510=513 crosses the boundary), doc 3 starts in
+    block 1 at offset 1."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": ["a b c", " ".join(["t"] * 510), "x y"]})
+    d = "/tmp/pack_test"
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .parquet(f"{d}/documents.parquet")
+    from reach_spark import textops
+    fn, _ = textops.QUERIES["pack_sequences"]
+    rows = {r["doc_id"]: (r["tok_offset"], r["first_block"],
+                          r["last_block"], r["tok_offset_in_block"])
+            for r in fn(spark, d).collect()}
+    assert rows[1] == (0, 0, 0, 0)
+    assert rows[2] == (3, 0, 1, 3)
+    assert rows[3] == (513, 1, 1, 1)
+
+
+def test_pack_sequences_buckets_shard_the_prefix_sum(spark):
+    """The scalable-prefix-sum shape: the per-doc running sum window is
+    PARTITIONED (by bucket) and the bucket bases arrive via a broadcast
+    join — the corpus-size window never runs single-partition."""
+    from reach_spark import textops
+    fn, _ = textops.QUERIES["pack_sequences"]
+    df = fn(spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the big window's partition spec names the bucket column
+    import re
+    wins = [l for l in plan.splitlines() if "Window" in l]
+    assert any("bucket" in w for w in wins), wins
