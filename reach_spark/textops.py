@@ -881,3 +881,101 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
          .otherwise((F.col("tok_offset") / blk).cast("bigint"))
          .alias("last_block"),
         (F.col("tok_offset") % blk).alias("tok_offset_in_block"))
+
+
+# --------------------------------------------------------------------------
+# exact substring-span dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the ExactSubstr variant re-expressed as
+# joins instead of a suffix array): any K-token run that appears verbatim
+# in >= 2 distinct documents is a duplicated region; overlapping /
+# adjacent duplicated runs inside one document merge into maximal spans.
+#
+# Shape: posexplode K-token shingles -> (hash, doc) distinct ->
+# map-side-combinable count per hash -> cross-doc filter -> join back to
+# positions -> per-doc interval merge with one running-max window.
+# Shuffles are on the shingle hash (bounded key, combinable) and on
+# doc_id (the window) — the inverted-index pattern that holds at 100 TB.
+# A shingle shared by millions of docs legitimately explodes to all its
+# positions (every copy IS a duplicate span); the per-doc side stays
+# O(doc tokens). All-integer output: exact cross-engine oracle.
+# --------------------------------------------------------------------------
+_SUBSTR_K = 8
+
+_SUBSTR_POS_SPARK = f"""
+transform(
+  sequence(0, size(split(text, ' ')) - {_SUBSTR_K}),
+  p -> struct(p AS p,
+              md5(concat_ws(' ', slice(split(text, ' '), p + 1,
+                                       {_SUBSTR_K}))) AS h))
+"""
+
+_SUBSTR_POS_DUCK = f"""
+SELECT doc_id, i AS p,
+       md5(array_to_string(arr[i + 1 : i + {_SUBSTR_K}], ' ')) AS h
+FROM (SELECT doc_id, regexp_split_to_array(text, ' ') AS arr
+      FROM documents) t,
+     unnest(range(0, len(arr) - {_SUBSTR_K} + 1)) AS u(i)
+WHERE len(arr) >= {_SUBSTR_K}
+"""
+
+
+@_register("dedup_substring_spans", f"""
+WITH pos AS (
+  {_SUBSTR_POS_DUCK}
+), dup AS (
+  SELECT h, count(DISTINCT doc_id) AS ndocs
+  FROM pos GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+), hit AS (
+  SELECT pos.doc_id, pos.p, dup.ndocs FROM pos JOIN dup USING (h)
+), m AS (
+  SELECT doc_id, p, ndocs,
+         max(p + {_SUBSTR_K} - 1) OVER (
+           PARTITION BY doc_id ORDER BY p
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM hit
+), g AS (
+  SELECT doc_id, p, ndocs,
+         sum(CASE WHEN prev_end IS NULL OR p > prev_end + 1
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS grp
+  FROM m
+)
+SELECT doc_id,
+       min(p) AS span_start,
+       max(p) + {_SUBSTR_K} - 1 AS span_end,
+       max(p) + {_SUBSTR_K} - min(p) AS dup_tokens,
+       count(*) AS n_dup_shingles,
+       CAST(max(ndocs) AS BIGINT) AS max_docs
+FROM g GROUP BY doc_id, grp
+""")
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = (_docs(spark, sf_dir)
+           .where(F.size(F.split("text", " ")) >= _SUBSTR_K)
+           .select("doc_id",
+                   F.explode(F.expr(_SUBSTR_POS_SPARK)).alias("s"))
+           .select("doc_id", F.col("s.p").alias("p"),
+                   F.col("s.h").alias("h")))
+    # two-stage distinct-then-count: both stages map-side combinable
+    # (countDistinct would carry a per-key set through the shuffle)
+    dup = (pos.select("h", "doc_id").distinct()
+           .groupBy("h").agg(F.count("*").alias("ndocs"))
+           .where(F.col("ndocs") >= 2))
+    hit = pos.join(dup, "h").select("doc_id", "p", "ndocs")
+    wprev = (Window.partitionBy("doc_id").orderBy("p")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    wrun = (Window.partitionBy("doc_id").orderBy("p")
+            .rowsBetween(Window.unboundedPreceding, 0))
+    m = hit.withColumn(
+        "prev_end", F.max(F.col("p") + _SUBSTR_K - 1).over(wprev))
+    g = m.withColumn(
+        "grp",
+        F.sum(F.when(F.col("prev_end").isNull()
+                     | (F.col("p") > F.col("prev_end") + 1), 1)
+              .otherwise(0)).over(wrun))
+    return (g.groupBy("doc_id", "grp")
+            .agg(F.min("p").alias("span_start"),
+                 (F.max("p") + _SUBSTR_K - 1).alias("span_end"),
+                 (F.max("p") + _SUBSTR_K - F.min("p")).alias("dup_tokens"),
+                 F.count("*").alias("n_dup_shingles"),
+                 F.max("ndocs").alias("max_docs"))
+            .drop("grp"))

@@ -576,3 +576,34 @@ def test_pack_sequences_buckets_shard_the_prefix_sum(spark):
     import re
     wins = [l for l in plan.splitlines() if "Window" in l]
     assert any("bucket" in w for w in wins), wins
+
+
+def test_substring_spans_hand_computed(spark):
+    """ExactSubstr dedup: a K=8-token run shared by two docs produces a
+    merged maximal span in each; overlapping shingle hits collapse to ONE
+    interval; a unique doc emits nothing."""
+    import tempfile, os
+    from reach_spark import textops
+    shared = "s1 s2 s3 s4 s5 s6 s7 s8 s9"        # 9 tokens -> 2 dup shingles
+    rows = [
+        (0, "a1 a2 " + shared + " a3", "en", "s", 0),   # span tokens 2..10
+        (1, shared + " b1 b2 b3", "en", "s", 0),        # span tokens 0..8
+        (2, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10", "en", "s", 0),
+    ]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long") \
+        .write.mode("overwrite").parquet(os.path.join(d,
+                                                      "documents.parquet"))
+    fn, _ = textops.QUERIES["dedup_substring_spans"]
+    got = {r["doc_id"]: r for r in fn(spark, d).collect()}
+    assert set(got) == {0, 1}, "unique doc must emit nothing"
+    r0, r1 = got[0], got[1]
+    # doc 0: shared run starts at token 2 -> shingle starts 2 and 3 merge
+    assert (r0["span_start"], r0["span_end"]) == (2, 10)
+    assert r0["dup_tokens"] == 9 and r0["n_dup_shingles"] == 2
+    assert r0["max_docs"] == 2
+    # doc 1: run at start
+    assert (r1["span_start"], r1["span_end"]) == (0, 8)
+    assert r1["dup_tokens"] == 9 and r1["n_dup_shingles"] == 2
