@@ -979,3 +979,68 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count("*").alias("n_dup_shingles"),
                  F.max("ndocs").alias("max_docs"))
             .drop("grp"))
+
+
+# --------------------------------------------------------------------------
+# LM-surprisal quality score (the CCNet quality-filter stage, made
+# engine-exact): under Zipf's law P(w) ~ 1/rank, a token's surprisal is
+# ~ log2(rank) + const, so a document's mean floor(log2(rank)) over the
+# corpus-induced frequency ranks is a deterministic integer proxy for LM
+# perplexity — low = boilerplate of ultra-common tokens, high = rare-token
+# noise; quality filters keep the middle band. floor(log2) is a generated
+# power-of-two CASE ladder (pure integer compares, identical both engines;
+# no float log whose last ulp could flip a 6-dp hash).
+#
+# Shape: one token-key aggregate (map-side combinable) -> |vocab|-row rank
+# window (bounded artifact-size concern, same note as vocab_topk) ->
+# token->rank join (AQE broadcasts the vocab side when it fits; at 10M+
+# vocab it degrades to a shuffled hash join on the token key) -> per-doc
+# aggregate. n_rare counts tokens outside the induced top-K vocab.
+# --------------------------------------------------------------------------
+def _floor_log2_sql(col: str, max_bits: int = 40) -> str:
+    whens = " ".join(f"WHEN {col} >= {1 << b} THEN {b}"
+                     for b in range(max_bits, 0, -1))
+    return f"CASE {whens} ELSE 0 END"
+
+
+@_register("quality_lm_rank", f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(text,
+                 '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS token
+  FROM documents),
+counts AS (
+  SELECT token, count(*) AS n FROM toks GROUP BY token),
+ranked AS (
+  SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rank
+  FROM counts),
+scored AS (
+  SELECT t.doc_id, r.rank, {_floor_log2_sql('r.rank')} AS bits
+  FROM toks t JOIN ranked r USING (token))
+SELECT doc_id,
+       count(*) AS n_tokens,
+       CAST(sum(CASE WHEN rank > {_VOCAB_K} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_rare,
+       CAST(sum(bits) AS BIGINT) AS bits_total,
+       CAST(sum(bits) * 1000 // count(*) AS BIGINT) AS mean_millibits
+FROM scored GROUP BY doc_id
+""")
+def quality_lm_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.expr(
+            "regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]', 0)"
+        )).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("token"))
+    ranked = counts.select(
+        "token", F.row_number().over(w).alias("rank"))
+    scored = (toks.join(ranked, "token")
+              .select("doc_id", "rank",
+                      F.expr(_floor_log2_sql("rank")).alias("bits")))
+    return (scored.groupBy("doc_id")
+            .agg(F.count("*").alias("n_tokens"),
+                 F.sum(F.when(F.col("rank") > _VOCAB_K, 1).otherwise(0))
+                  .cast("bigint").alias("n_rare"),
+                 F.sum("bits").cast("bigint").alias("bits_total"),
+                 F.expr("CAST(sum(bits) * 1000 DIV count(*) AS BIGINT)")
+                  .alias("mean_millibits")))

@@ -607,3 +607,25 @@ def test_substring_spans_hand_computed(spark):
     # doc 1: run at start
     assert (r1["span_start"], r1["span_end"]) == (0, 8)
     assert r1["dup_tokens"] == 9 and r1["n_dup_shingles"] == 2
+
+
+def test_quality_lm_rank_hand_computed(spark):
+    """Zipf-surprisal quality: ranks over a 2-doc corpus, floor(log2(rank))
+    bits per token, integer mean millibits, rare-token count vs top-K."""
+    import pandas as pd
+    pdf = pd.DataFrame({"doc_id": [1, 2],
+                        "text": ["aa aa aa bb", "aa bb cc dd"]})
+    d = "/tmp/quality_lm_rank_test"
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .parquet(f"{d}/documents.parquet")
+    from reach_spark import textops
+    fn, _ = textops.QUERIES["quality_lm_rank"]
+    got = {r["doc_id"]: r for r in fn(spark, d).collect()}
+    # counts: aa=4 bb=2 cc=1 dd=1 -> ranks aa=1 bb=2 cc=3 dd=4
+    # bits: aa=0 bb=1 cc=1 dd=2
+    r1, r2 = got[1], got[2]
+    assert r1["n_tokens"] == 4 and r1["bits_total"] == 0 * 3 + 1
+    assert r1["mean_millibits"] == 1000 // 4
+    assert r2["n_tokens"] == 4 and r2["bits_total"] == 0 + 1 + 1 + 2
+    assert r2["mean_millibits"] == 4000 // 4
+    assert r1["n_rare"] == 0 and r2["n_rare"] == 0  # all within top-500
