@@ -476,3 +476,181 @@ def dedup_embed_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (cand.withColumn("sim", F.expr(_COS_AB))
             .where(F.col("sim") >= _NEAR_TAU)
             .select("id_a", "id_b", "sim"))
+
+
+# --------------------------------------------------------------------------
+# k-means document clustering (Lloyd's algorithm, spherical/cosine variant)
+# — the corpus-partitioning stage of data-mixing and SemDeDup-style
+# semantic dedup pipelines. Made ENGINE-EXACT by quantizing embeddings to
+# integer millionths up front: every dot product, norm self-dot, and
+# centroid mean is then integer arithmetic (associative — no float
+# summation-order drift on either engine), dots stay < 2^53 so the final
+# double division + round(.,6) is bit-identical, and ties break on
+# centroid id. Init is the same deterministic stride sample as IVF.
+#
+# Shape per iteration: broadcast K-way fan-out + max_by hash aggregate for
+# assignment (map-side combinable, NOT a window — no full shuffle on
+# vec_id), posexplode + (cell,dim)-keyed combinable aggregate for the
+# centroid update (K*dim rows out). At 100 TB you would persist each
+# iteration's assignment (same note as connected_components'
+# localCheckpoint); the fixed-iteration plan here stays lazy so the
+# driver query is a pure deterministic DataFrame.
+# --------------------------------------------------------------------------
+_KM_K = 8
+_KM_ITERS = 2
+_KM_QUANT = 1_000_000
+
+_IDOT = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+         "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
+_INRM = ("sqrt(CAST(aggregate({v}, CAST(0 AS BIGINT), "
+         "(acc, x) -> acc + x * x) AS DOUBLE))")
+_ICOS = (f"round(CAST({_IDOT.format(a='{a}', b='{b}')} AS DOUBLE)"
+         " / ({na} * {nb}), 6)")
+
+
+def _km_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
+    """(vec_id, q, nrm) x (cid, cq, cnrm) -> (vec_id, q, nrm, cell, sim)."""
+    scored = (e.crossJoin(F.broadcast(cent))
+              .withColumn("csim", F.expr(
+                  _ICOS.format(a="q", b="cq", na="nrm", nb="cnrm"))))
+    return (scored.groupBy("vec_id")
+            .agg(F.expr("max_by(cid, struct(csim, -cid))").alias("cell"),
+                 F.max("csim").alias("sim"),
+                 F.first("q").alias("q"), F.first("nrm").alias("nrm")))
+
+
+def _km_update(assigned: DataFrame) -> DataFrame:
+    """Integer element-wise mean per cell -> (cid, cq, cnrm)."""
+    dims = (assigned.select("cell", F.posexplode("q").alias("d", "v"))
+            .groupBy("cell", "d")
+            .agg(F.expr("CAST(sum(v) DIV count(*) AS BIGINT)").alias("m")))
+    return (dims.groupBy("cell")
+            .agg(F.expr("transform(array_sort(collect_list(struct(d, m))),"
+                        " s -> s.m)").alias("cq"))
+            .select(F.col("cell").alias("cid"), "cq",
+                    F.expr(_INRM.format(v="cq")).alias("cnrm")))
+
+
+def _km_oracle() -> str:
+    idot = ("CAST(list_sum(list_transform(list_zip({a}, {b}),"
+            " x -> x[1] * x[2])) AS DOUBLE)")
+    inrm = ("sqrt(CAST(list_sum(list_transform({v}, x -> x * x))"
+            " AS DOUBLE))")
+    cos = (f"round({idot} / ({inrm.format(v='{a}')}"
+           f" * {inrm.format(v='{b}')}), 6)")
+    assign = """
+{out} AS (
+  SELECT vec_id, q, cid AS cell, csim AS sim FROM (
+    SELECT e.vec_id, e.q, c.cid,
+           {cos} AS csim,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {cos} DESC, c.cid) AS rn
+    FROM e CROSS JOIN {cent} c) WHERE rn = 1
+)"""
+
+    def assign_cte(out: str, cent: str) -> str:
+        return assign.format(out=out, cent=cent,
+                             cos=cos.format(a="e.q", b="c.cq"))
+
+    def update_cte(out: str, asg: str) -> str:
+        return f"""
+{out} AS (
+  SELECT cell AS cid, list(m ORDER BY d) AS cq FROM (
+    SELECT cell, d, CAST(sum(q[d]) // count(*) AS BIGINT) AS m
+    FROM {asg}, unnest(range(1, len(q) + 1)) AS u(d)
+    GROUP BY cell, d)
+  GROUP BY cell
+)"""
+
+    ctes = [f"""e AS (
+  SELECT vec_id, list_transform(embedding::DOUBLE[],
+           x -> CAST(round(x * {_KM_QUANT}) AS BIGINT)) AS q
+  FROM embeddings
+)""", f"""s AS (SELECT count(*) // {_KM_K} AS stride FROM e)""",
+        f"""c0 AS (
+  SELECT vec_id // stride AS cid, q AS cq FROM e, s
+  WHERE vec_id % stride = 0 AND vec_id < stride * {_KM_K}
+)"""]
+    prev_cent = "c0"
+    for i in range(_KM_ITERS):
+        ctes.append(assign_cte(f"a{i}", prev_cent))
+        ctes.append(update_cte(f"c{i + 1}", f"a{i}"))
+        prev_cent = f"c{i + 1}"
+    ctes.append(assign_cte("afinal", prev_cent))
+    return "WITH " + ",".join(ctes)
+
+
+def _km_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full Lloyd chain -> final assignment (vec_id, cell, sim, q, nrm)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = (emb.select(
+            "vec_id",
+            F.expr(f"transform(cast(embedding AS array<double>), "
+                   f"x -> CAST(round(x * {_KM_QUANT}) AS BIGINT))")
+            .alias("q"))
+         .withColumn("nrm", F.expr(_INRM.format(v="q"))))
+    stride = e.agg((F.count("*") / _KM_K).cast("long").alias("stride"))
+    cent = (e.crossJoin(F.broadcast(stride))
+            .where((F.col("vec_id") % F.col("stride") == 0)
+                   & (F.col("vec_id") < F.col("stride") * _KM_K))
+            .select((F.col("vec_id") / F.col("stride")).cast("long")
+                    .alias("cid"),
+                    F.col("q").alias("cq"), F.col("nrm").alias("cnrm")))
+    assigned = _km_assign(e, cent)
+    for _ in range(_KM_ITERS):
+        cent = _km_update(assigned)
+        assigned = _km_assign(e, cent)
+    return assigned
+
+
+@_register("kmeans_embeddings", _km_oracle() +
+           "\nSELECT vec_id, CAST(cell AS BIGINT) AS cluster, sim"
+           " FROM afinal")
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _km_assigned(spark, sf_dir).select(
+        "vec_id", F.col("cell").cast("bigint").alias("cluster"), "sim")
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023): semantic dedup = cluster-then-prune.
+# Within each k-means cluster, any pair above the cosine threshold marks
+# the higher vec_id a duplicate of the lowest similar id; cross-cluster
+# pairs are never compared — the clustering bounds the quadratic term to
+# per-cluster work (the paper's trick; at 100 TB you scale K with the
+# collection — K ~ N/target_cluster_size — exactly like the IVF sizing
+# rule, so per-cluster pair counts stay flat). Same integer-exact cosine
+# as kmeans_embeddings; the cluster equi-join replaces the all-pairs
+# cross join (plan-gated: no CartesianProduct).
+# --------------------------------------------------------------------------
+@_register("dedup_semantic", _km_oracle() + f""",
+pr AS (
+  SELECT b.vec_id AS id_b, min(a.vec_id) AS dup_of
+  FROM afinal a JOIN afinal b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                x -> x[1] * x[2])) AS DOUBLE)
+          / (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x))
+                  AS DOUBLE))
+             * sqrt(CAST(list_sum(list_transform(b.q, x -> x * x))
+                    AS DOUBLE))), 6) >= {_NEAR_TAU}
+  GROUP BY b.vec_id
+)
+SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cluster, p.dup_of,
+       p.dup_of IS NULL AS keep
+FROM afinal f LEFT JOIN pr p ON p.id_b = f.vec_id
+""")
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _km_assigned(spark, sf_dir)
+    left = a.select(F.col("cell"), F.col("vec_id").alias("id_a"),
+                    F.col("q").alias("qa"), F.col("nrm").alias("na"))
+    right = a.select(F.col("cell"), F.col("vec_id").alias("id_b"),
+                     F.col("q").alias("qb"), F.col("nrm").alias("nb"))
+    pairs = (left.join(right, "cell")
+             .where(F.col("id_a") < F.col("id_b"))
+             .withColumn("sim", F.expr(
+                 _ICOS.format(a="qa", b="qb", na="na", nb="nb")))
+             .where(F.col("sim") >= _NEAR_TAU))
+    dup = pairs.groupBy("id_b").agg(F.min("id_a").alias("dup_of"))
+    return (a.join(dup, a["vec_id"] == dup["id_b"], "left")
+            .select("vec_id", F.col("cell").cast("bigint").alias("cluster"),
+                    "dup_of", F.col("dup_of").isNull().alias("keep")))

@@ -629,3 +629,29 @@ def test_quality_lm_rank_hand_computed(spark):
     assert r2["n_tokens"] == 4 and r2["bits_total"] == 0 + 1 + 1 + 2
     assert r2["mean_millibits"] == 4000 // 4
     assert r1["n_rare"] == 0 and r2["n_rare"] == 0  # all within top-500
+
+
+def test_kmeans_and_semdedup_two_groups(spark):
+    """Two orthogonal vector groups: Lloyd separates them into two final
+    clusters, and SemDeDup keeps exactly the lowest id per near-dup set
+    (within-group cosine 1.0 >= tau; cross-group 0.0 < tau)."""
+    import tempfile, os
+    from reach_spark import similarity
+    rows = [(i, [1.0, 0.0, 0.0, 0.0] if i < 8 else [0.0, 1.0, 0.0, 0.0])
+            for i in range(16)]
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>") \
+        .write.mode("overwrite").parquet(os.path.join(d,
+                                                      "embeddings.parquet"))
+    km, _ = similarity.QUERIES["kmeans_embeddings"]
+    clusters = {r["vec_id"]: r["cluster"] for r in km(spark, d).collect()}
+    a = {clusters[i] for i in range(8)}
+    b = {clusters[i] for i in range(8, 16)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    sd, _ = similarity.QUERIES["dedup_semantic"]
+    got = {r["vec_id"]: (r["keep"], r["dup_of"])
+           for r in sd(spark, d).collect()}
+    assert got[0] == (True, None) and got[8] == (True, None)
+    for i in list(range(1, 8)) + list(range(9, 16)):
+        assert got[i] == (False, 0 if i < 8 else 8), i

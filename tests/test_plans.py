@@ -396,3 +396,16 @@ def test_stream_dedup_exact_first_copy_survives(spark, tmp_path):
     survivors_re = got.where(F.col("doc_id").startswith("re-"))
     for r in survivors_re.select("content_hash").collect():
         assert r["content_hash"] not in a_hashes
+
+
+def test_kmeans_semdedup_plans(spark):
+    """k-means assignment is a broadcast K-way fan-out (deliberate tiny
+    broadcast side); SemDeDup pairs come from the CLUSTER equi-join —
+    never an all-pairs CartesianProduct — and neither op runs Python."""
+    from reach_spark import similarity
+    for q in ("kmeans_embeddings", "dedup_semantic"):
+        fn, _ = similarity.QUERIES[q]
+        plan = _plan(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, q
+        assert "BatchEvalPython" not in plan, q
+        assert "ArrowEvalPython" not in plan, q
