@@ -1044,3 +1044,61 @@ def quality_lm_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("bits").cast("bigint").alias("bits_total"),
                  F.expr("CAST(sum(bits) * 1000 DIV count(*) AS BIGINT)")
                   .alias("mean_millibits")))
+
+
+# --------------------------------------------------------------------------
+# TF-IDF keyword extraction: top-K characteristic terms per document —
+# the per-doc topical summary stage (domain tagging / clustering features
+# in a training-data pipeline). IDF's log is the same power-of-two CASE
+# ladder as quality_lm_rank (integer-exact): score = tf * (1 +
+# floor(log2(N // df))); ties break (score DESC, token ASC). Alphabetic
+# tokens only, length >= 3, so punctuation/number classes never rank.
+#
+# Shape: (doc, token) tf aggregate -> token-keyed df aggregate (both
+# map-side combinable) -> join on token (AQE broadcasts the df side when
+# it fits) -> per-doc top-K window (doc-keyed shuffle only).
+# --------------------------------------------------------------------------
+_KW_K = 5
+
+
+@_register("doc_keywords_tfidf", f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+                 '[a-z][a-z][a-z]+')) AS token
+  FROM documents),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token),
+ndocs AS (SELECT count(*) AS n FROM documents),
+df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * (1 + {_floor_log2_sql('(n // df.df)')}) AS score
+  FROM tf JOIN df USING (token), ndocs),
+ranked AS (
+  SELECT doc_id, token, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, token) AS rank
+  FROM scored)
+SELECT doc_id, rank, token, tf, df, CAST(score AS BIGINT) AS score
+FROM ranked WHERE rank <= {_KW_K}
+""")
+def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.explode(F.expr(
+            "regexp_extract_all(lower(text), '[a-z][a-z][a-z]+', 0)"
+        )).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    ndocs = _docs(spark, sf_dir).agg(F.count("*").alias("n"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (tf.join(df, "token").crossJoin(F.broadcast(ndocs))
+              .withColumn(
+                  "score",
+                  F.col("tf") * (1 + F.expr(
+                      _floor_log2_sql("(n DIV df)")))))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "token")
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= _KW_K)
+            .select("doc_id", "rank", "token", "tf", "df",
+                    F.col("score").cast("bigint").alias("score")))

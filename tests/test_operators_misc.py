@@ -655,3 +655,25 @@ def test_kmeans_and_semdedup_two_groups(spark):
     assert got[0] == (True, None) and got[8] == (True, None)
     for i in list(range(1, 8)) + list(range(9, 16)):
         assert got[i] == (False, 0 if i < 8 else 8), i
+
+
+def test_doc_keywords_tfidf_hand_computed(spark):
+    """TF-IDF keywords: a term unique to one doc outranks a corpus-wide
+    term despite lower tf; integer score = tf * (1 + floor(log2(N//df)))."""
+    import pandas as pd
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["common common common unique",
+                 "common other", "common thing", "common stuff"]})
+    d = "/tmp/kw_tfidf_test"
+    spark.createDataFrame(pdf).write.mode("overwrite") \
+        .parquet(f"{d}/documents.parquet")
+    from reach_spark import textops
+    fn, _ = textops.QUERIES["doc_keywords_tfidf"]
+    rows = [r for r in fn(spark, d).collect() if r["doc_id"] == 1]
+    by_rank = {r["rank"]: r for r in rows}
+    # doc1: common tf=3 df=4 -> score 3*(1+log2(4//4))=3
+    #       unique tf=1 df=1 -> score 1*(1+log2(4//1))=1*3=3 -> tie,
+    #       token ASC: 'common' < 'unique'
+    assert by_rank[1]["token"] == "common" and by_rank[1]["score"] == 3
+    assert by_rank[2]["token"] == "unique" and by_rank[2]["score"] == 3
