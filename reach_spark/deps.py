@@ -283,6 +283,27 @@ def light_deps(words: list[str], tags: list[str],
             if sub >= 0 and main >= 0:
                 edges.append((main, sub, "advcl"))
 
+    # --- nmod_poss: "QRZ9's phosphorylation of WXV44" -------------------
+    # (UD nmod:poss — vars.yml:50 noun_modifiers and the reg templates'
+    # possessive_noun shapes; underscore spelling per the layer's label
+    # convention): the tokenizer keeps "X's" whole, so the possessor IS
+    # the "'s" token. Adjectives/adverbs are transparent ("QRZ9's rapid
+    # phosphorylation"). Edge nominal head → possessor, UD orientation,
+    # so nominal-event rules recover the genitive agent via >nmod_poss.
+    for i, lw in enumerate(lows):
+        if len(lw) < 3 or not lw.endswith("'s") or not isn[i]:
+            continue
+        j = i + 1
+        while j < n and (tags[j] in ("JJ", "RB") or endsly[j]):
+            j += 1
+        if j < n and isn[j]:
+            # NP head = rightmost noun of the contiguous noun run (the
+            # pos-lite tagger defaults unknown premodifiers to NN, so
+            # "QRZ9's rapid ubiquitination" reads [NN NN] — take the last)
+            while j + 1 < n and isn[j + 1]:
+                j += 1
+            edges.append((j, i, "nmod_poss"))
+
     return edges
 
 

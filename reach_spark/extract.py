@@ -592,7 +592,8 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
         # final `else: i += 1` below — skip the probe loop and the hyphen
         # split chains entirely (exact-equivalence guarded by first_words)
         if first_words is not None and "-" not in words[i] and \
-                lows[i] not in dictionary and lows[i] not in first_words:
+                lows[i] not in dictionary and lows[i] not in first_words \
+                and not lows[i].endswith("'s"):
             i += 1
             continue
         hit = None
@@ -663,6 +664,21 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
                 m["text"] = words[i].rsplit("-", 1)[-1]
                 m["mods"].append(
                     _mod("Mutant", "SubstitutionMutant", pre))
+            out.append(m)
+            i += 1
+        elif len(lows[i]) > 3 and lows[i].endswith("'s") and \
+                lows[i][:-2] in dictionary and \
+                not (words[i][:-2].islower() and
+                     lows[i][:-2] in R.NER_STOPLIST):
+            # possessive form of a known entity: "Raf's" — the reference's
+            # bio tokenizer splits the genitive clitic so its NER sees a
+            # clean "Raf" token; ours keeps the token whole, so strip the
+            # "'s" at lookup. Canonical is the stripped key (grounding
+            # stays exact); the mention covers the whole token.
+            label, canon = dictionary[lows[i][:-2]]
+            m = _mk(doc_id, sent_idx, "tbm", label, i, i + 1, words,
+                    "rule-ner-possessive")
+            m["canonical"] = canon
             out.append(m)
             i += 1
         else:

@@ -488,9 +488,12 @@ def _reach_postpass(matches: list[GraphMatch],
     def reg_participle(lw: str) -> bool:
         return lw.endswith("ed") and lw.startswith(reg_stems)
 
-    def misattached(c: dict) -> bool:
+    def misattached(c: dict, trig: int = -1) -> bool:
         e, s = c["end"], c["start"]
-        if e < n and (lows[e] in nominals or reg_participle(lows[e])):
+        if e < n and e != trig and (lows[e] in nominals or
+                                    reg_participle(lows[e])):
+            # e == trig: the following nominal IS this match's own trigger
+            # ("QRZ9's inhibition by WXV44" — the genitive patient rule)
             return True
         # hyphenated reg participle on the head token itself
         # ("AKT-induced apoptosis" — AKT is the inducer, not the target)
@@ -502,7 +505,10 @@ def _reach_postpass(matches: list[GraphMatch],
         # of/between governed by a nominal within the coordination window
         for k in range(s - 1, max(0, s - 5) - 1, -1):
             if lows[k] in ("between", "of") and k >= 1 and \
-                    lows[k - 1] in nominals:
+                    lows[k - 1] in nominals and k - 1 != trig:
+                # k-1 == trig: the governing nominal IS this match's own
+                # trigger ("QRZ9's inhibition of WXV44" — the genitive
+                # rules), a correct attachment, not a stolen one
                 return True
         return False
 
@@ -551,7 +557,7 @@ def _reach_postpass(matches: list[GraphMatch],
             if (m.trigger_start, m.trigger_end) in reg_triggers:
                 continue
             ctl = [c for c in m.args.get("controlled", ())
-                   if not misattached(c)]
+                   if not misattached(c, m.trigger_start)]
             if not ctl:
                 continue
             m.args["controlled"] = ctl

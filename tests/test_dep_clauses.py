@@ -254,3 +254,80 @@ class TestAdvclByRules:
         assert not _fired(
             "QRZ9 acts by deubiquitinating WXV44.",
             "Ubiquitination", theme="WXV44")
+
+
+# --------------------------------------------------------------------------
+# round-4 continuation: genitive tier (vars.yml:50 nmod:poss;
+# pos/neg-reg_template possessive_noun shapes)
+# --------------------------------------------------------------------------
+
+class TestPossessiveEdges:
+    def test_poss_edge_simple(self):
+        assert ("phosphorylation", "QRZ9's", "nmod_poss") in _edges(
+            "QRZ9's phosphorylation of WXV44 was observed.")
+
+    def test_poss_edge_skips_premodifier(self):
+        # pos-lite tags unknown premodifiers NN: head = rightmost noun
+        assert ("ubiquitination", "QRZ9's", "nmod_poss") in _edges(
+            "QRZ9's rapid ubiquitination of WXV44 was reported.")
+
+    def test_no_poss_edge_without_apostrophe(self):
+        assert not any(l == "nmod_poss" for _, _, l in _edges(
+            "QRZ9 phosphorylation of WXV44 was observed."))
+
+
+class TestPossessiveNER:
+    def test_dictionary_entity_with_clitic(self):
+        from reach_spark.extract import annotate_sentence, \
+            SentenceExtractor
+        ann = annotate_sentence("Raf's phosphorylation of MEK increases.")
+        ms = [dict(m) for m in SentenceExtractor("d", 0, ann, DICT).run()]
+        assert any(m["text"] == "Raf's" and
+                   m["label"] == "Gene_or_gene_product" and
+                   m.get("canonical") == "raf" for m in ms)
+
+    def test_stoplist_word_possessive_not_entity(self):
+        from reach_spark.extract import annotate_sentence, \
+            SentenceExtractor
+        ann = annotate_sentence("The cell's growth was normal.")
+        ms = [dict(m) for m in SentenceExtractor("d", 0, ann, DICT).run()]
+        assert not any(m["text"] == "cell's" for m in ms)
+
+
+class TestPossessiveRules:
+    def test_genitive_cause_on_simple_event(self):
+        assert _fired("QRZ9's phosphorylation of WXV44 was observed.",
+                      "Phosphorylation", theme="WXV44", cause="QRZ9's")
+
+    def test_genitive_cause_dictionary_entity(self):
+        assert _fired("Raf's phosphorylation of MEK increases signaling.",
+                      "Phosphorylation", theme="MEK", cause="Raf's")
+
+    def test_genitive_agent_activation(self):
+        assert _fired("QRZ9's inhibition of WXV44 was reported.",
+                      "Negative_activation",
+                      controlled="WXV44", controller="QRZ9's")
+        assert _fired("QRZ9's activation of WXV44 was reported.",
+                      "Positive_activation",
+                      controlled="WXV44", controller="QRZ9's")
+
+    def test_genitive_patient_activation(self):
+        assert _fired("QRZ9's inhibition by WXV44 was reported.",
+                      "Negative_activation",
+                      controlled="QRZ9's", controller="WXV44")
+
+    def test_no_fire_without_possessor(self):
+        assert not _fired("The inhibition of WXV44 was reported.",
+                          "Negative_activation", controlled="WXV44")
+
+    def test_misattachment_veto_still_active(self):
+        # the own-trigger exemption must not weaken the original veto
+        from reach_spark.odin_graph import dep_event_matches
+        out = [(m.label,
+                {k: [x["text"] for x in v] for k, v in m.args.items() if v})
+               for m in dep_event_matches(
+                   "d", 0, "EGF induced STAT1 phosphorylation.",
+                   DICT, ENGINE)]
+        assert not any(lbl == "Positive_activation" and
+                       args.get("controlled") == ["STAT1"]
+                       for lbl, args in out)

@@ -164,12 +164,13 @@ class TestDepEventRules:
         # 21 simple/de-/transcription families × 8 shapes (3 core + the
         # round-4 clause tier: relcl-active/relcl-passive/xcomp/acl +
         # advcl_by — the by-gerund adverbial clause)
-        # + 2 signs × 9 reg/act shapes (4 core + appos/relcl×2/xcomp×2)
+        # + 2 signs × 11 reg/act shapes (4 core + appos/relcl×2/xcomp×2
+        # + the genitive tier poss_agent/poss_patient)
         # + 3 binding + 4 translocation
         assert "Binding" in labels
         assert "Translocation" in labels
         assert "Dephosphorylation" in labels
-        assert len(eng.rules) == 21 * 8 + 2 * 9 + 3 + 4
+        assert len(eng.rules) == 21 * 8 + 2 * 11 + 3 + 4
 
 
 class TestRegulationDepRules:
