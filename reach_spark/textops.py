@@ -1102,3 +1102,50 @@ def doc_keywords_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rank") <= _KW_K)
             .select("doc_id", "rank", "token", "tf", "df",
                     F.col("score").cast("bigint").alias("score")))
+
+
+# --------------------------------------------------------------------------
+# source/domain-level rollup — the C4 / RefinedWeb "drop bad domains"
+# stage: per source, volume, exact-duplicate rate (ppm), mean doc length,
+# short-doc fraction and distinct languages, so a pipeline can threshold
+# whole sources before paying per-doc costs downstream. Two map-side-
+# combinable aggregates (content-hash groups, then source groups) — the
+# per-source cardinality is bounded by the domain count, tiny at any
+# corpus scale; the hash aggregate is the same shuffle dedup_exact pays.
+# --------------------------------------------------------------------------
+@_register("source_stats", """
+WITH h AS (
+  SELECT source, lang, md5(text) AS hash,
+         len(regexp_split_to_array(text, ' ')) AS n_tokens
+  FROM documents),
+g AS (
+  SELECT source, lang, hash, n_tokens,
+         count(*) OVER (PARTITION BY hash) AS copies
+  FROM h)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS dup_ppm,
+       CAST(sum(n_tokens) // count(*) AS BIGINT) AS mean_tokens,
+       CAST(sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS short_ppm,
+       count(DISTINCT lang) AS n_langs
+FROM g GROUP BY source
+""")
+def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = _docs(spark, sf_dir).select(
+        "source", "lang", F.md5("text").alias("hash"),
+        F.size(F.split("text", " ")).alias("n_tokens"))
+    g = h.withColumn(
+        "copies", F.count("*").over(Window.partitionBy("hash")))
+    return (g.groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.expr("CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END)"
+                        " * 1000000 DIV count(*) AS BIGINT)")
+                  .alias("dup_ppm"),
+                 F.expr("CAST(sum(n_tokens) DIV count(*) AS BIGINT)")
+                  .alias("mean_tokens"),
+                 F.expr("CAST(sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 "
+                        "END) * 1000000 DIV count(*) AS BIGINT)")
+                  .alias("short_ppm"),
+                 F.countDistinct("lang").alias("n_langs")))
