@@ -50,6 +50,10 @@ HEADLINE = [
     "q3_topk_revenue",
     "asof_latest_order",
     "connected_components_bipartite",
+    # round-4 continuation additions (appended so earlier rounds' matched-
+    # query comparison is unaffected)
+    "dedup_substring_spans",
+    "kmeans_embeddings",
 ]
 
 
