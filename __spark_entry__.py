@@ -237,6 +237,14 @@ def kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank_fp(_eer_table(spark, sf_dir), iters=3)
 
 
+def kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph] Deterministic label-propagation communities (3 synchronous
+    iterations, argmax = most-frequent-then-smallest label) over the
+    undirected asserted edge set (graph_ops.label_propagation)."""
+    from reach_spark.graph_ops import label_propagation
+    return label_propagation(_eer_table(spark, sf_dir), iters=3)
+
+
 def kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[graph] Per-node local-clustering inputs over the materialized KG:
     integer triangle + wedge counts (graph_ops.clustering_counts — the
@@ -309,6 +317,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_entity_degree"] = kg_entity_degree
     out["kg_reg_chains_2hop"] = kg_reg_chains_2hop
     out["kg_pagerank"] = kg_pagerank
+    out["kg_communities"] = kg_communities
     out["kg_triangles"] = kg_triangles
     out["kg_clustering"] = kg_clustering
     out["media_caption_pairs"] = media_caption_pairs
@@ -433,6 +442,40 @@ od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
 r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes),
 {",".join(steps)}
 SELECT node, pr AS pr_fp FROM {prev}
+"""
+
+
+def _lpa_oracle(iters: int = 3) -> str:
+    """kg_communities oracle: graph_ops.label_propagation unrolled —
+    per iteration a neighbor-label frequency aggregate and the
+    deterministic ('inverted zero-padded count' || label) string-min
+    argmax, identical arithmetic on both engines."""
+    steps = []
+    prev = "l0"
+    for i in range(1, iters + 1):
+        steps.append(f"""f{i} AS (
+  SELECT u.src AS node, r.label, count(*) AS cnt
+  FROM und u JOIN {prev} r ON r.node = u.dst
+  GROUP BY u.src, r.label
+), l{i} AS (
+  SELECT node,
+         substr(min(lpad(CAST(1000000000 - cnt AS VARCHAR), 10, '0')
+                    || label), 11) AS label
+  FROM f{i} GROUP BY node
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH {_eer_cte()},
+edges AS (
+  SELECT DISTINCT subj AS src, obj AS dst FROM eer
+  WHERE NOT negated AND subj IS NOT NULL AND obj IS NOT NULL
+),
+und AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+),
+l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),
+{",".join(steps)}
+SELECT node, label AS community FROM {prev}
 """
 
 
@@ -886,6 +929,7 @@ def oracle_sql() -> dict[str, str]:
     out["kg_entity_degree"] = _entity_degree_oracle()
     out["kg_reg_chains_2hop"] = _two_hop_chains_oracle()
     out["kg_pagerank"] = _pagerank_oracle(iters=3)
+    out["kg_communities"] = _lpa_oracle(iters=3)
     out["kg_triangles"] = _triangles_oracle()
     out["kg_clustering"] = _clustering_oracle()
     out["media_caption_pairs"] = _caption_oracle()

@@ -223,3 +223,37 @@ def pagerank_fp(triples: DataFrame, iters: int = 3) -> DataFrame:
                                    f" div {PR_DAMP_DEN}"))
                          .cast("long").alias("pr_fp")))
     return ranks
+
+
+def label_propagation(triples: DataFrame, iters: int = 3) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the undirected asserted edge set: every node starts
+    labeled by itself; each iteration it adopts the most frequent label
+    among its neighbors, ties broken by the lexicographically smallest
+    label. The classic LPA random tie-flip is replaced by an ordered
+    argmax — encoded as ONE string min ('inverted zero-padded count' ||
+    label) so the result is deterministic across engines, partitionings
+    and summation orders (the same trick as doc_winnow's (hash,pos) min).
+
+    Per iteration: one edge⋈label equi-join + a (node,label)-keyed
+    map-side-combinable count + one node-keyed min — the bounded-round
+    sibling of connected_components' propagation, so the shape holds at
+    any graph scale. Output: (node, community)."""
+    edges = kg_edges(triples).localCheckpoint(eager=True)
+    und = (edges.union(edges.select(F.col("dst").alias("src"),
+                                    F.col("src").alias("dst")))
+           .distinct())
+    nodes = und.select(F.col("src").alias("node")).distinct()
+    labels = nodes.select("node", F.col("node").alias("label"))
+    for _ in range(iters):
+        freq = (und.join(labels.withColumnRenamed("node", "dst"), "dst")
+                .groupBy(F.col("src").alias("node"), "label")
+                .agg(F.count("*").alias("cnt")))
+        key = F.concat(
+            F.lpad((F.lit(1_000_000_000) - F.col("cnt")).cast("string"),
+                   10, "0"),
+            F.col("label"))
+        labels = (freq.withColumn("k", key)
+                  .groupBy("node")
+                  .agg(F.expr("substring(min(k), 11)").alias("label")))
+    return labels.select("node", F.col("label").alias("community"))

@@ -149,3 +149,27 @@ def test_clustering_counts_hand_computed(spark):
     got = {r.node: (r.tri, r.wedges)
            for r in clustering_counts(eer).collect()}
     assert got == {"a": (1, 1), "b": (1, 1), "c": (1, 3), "d": (0, 0)}
+
+
+def test_label_propagation_two_cliques(spark):
+    """LPA: a triangle bridged to another triangle by one edge resolves
+    to per-clique communities (the bridge may carry a label NAME across —
+    the partition structure is the assertion); deterministic across
+    partitionings."""
+    from reach_spark.graph_ops import label_propagation
+    rows = [(s, "P", o, False, 1) for s, o in
+            [("a", "b"), ("b", "c"), ("a", "c"),      # clique 1
+             ("x", "y"), ("y", "z"), ("x", "z"),      # clique 2
+             ("c", "x")]]                             # bridge
+    eer = spark.createDataFrame(rows, SCHEMA)
+    got = {r["node"]: r["community"]
+           for r in label_propagation(eer, iters=3).collect()}
+    # labels are clique-consistent and the cliques stay separated (the
+    # bridge may carry a label name across, structure is what matters)
+    assert got["a"] == got["b"] == got["c"]
+    assert got["x"] == got["y"] == got["z"]
+    assert got["a"] != got["x"]
+    got2 = {r["node"]: r["community"]
+            for r in label_propagation(eer.repartition(7), iters=3)
+            .collect()}
+    assert got2 == got
