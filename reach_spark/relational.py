@@ -274,3 +274,39 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_events").cast("long").alias("n_events"),
                     "first_event_id", "last_event_id",
                     F.col("duration_us").cast("long").alias("duration_us")))
+
+
+# --------------------------------------------------------------------------
+# ROLLUP pricing summary — GROUPING SETS coverage: the (flag, status),
+# (flag), () hierarchy in ONE pass (Spark expands the rollup internally
+# and keeps the aggregate map-side combinable per grouping set; a naive
+# 3-query union would scan lineitem three times). grouping_id
+# disambiguates the NULL-as-subtotal rows from genuine NULL keys —
+# reported so both engines label subtotal levels identically. Quantities
+# are integer-summed (l_quantity is integral in this generator) to keep
+# the hash comparison float-free.
+# --------------------------------------------------------------------------
+@_register("q1_rollup_summary", """
+SELECT coalesce(l_returnflag, '<all>') AS returnflag,
+       coalesce(l_linestatus, '<all>') AS linestatus,
+       CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT)
+         AS gid,
+       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-01'
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""")
+def q1_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.where(F.col("l_shipdate") <= "1998-09-01")
+            .rollup("l_returnflag", "l_linestatus")
+            .agg(F.expr("CAST(grouping(l_returnflag) * 2 "
+                        "+ grouping(l_linestatus) AS BIGINT)").alias("gid"),
+                 F.sum(F.col("l_quantity").cast("bigint")).alias("sum_qty"),
+                 F.count("*").alias("count_order"))
+            .select(F.coalesce("l_returnflag", F.lit("<all>"))
+                    .alias("returnflag"),
+                    F.coalesce("l_linestatus", F.lit("<all>"))
+                    .alias("linestatus"),
+                    "gid", "sum_qty", "count_order"))
