@@ -429,11 +429,16 @@ _BAND_KEYS_SPARK = "array(" + ", ".join(
             for i in range(_BAND_PLANES)))
     for b in range(_N_BANDS)) + ")"
 
+# zero-norm guard: sim = 0 for a zero vector (padding rows) instead of
+# ANSI divide-by-zero; the oracle filters the same pairs because DuckDB's
+# list_cosine_similarity(0-vec, .) returns -1.0 — below tau > 0 either way.
 _COS_AB = """
-round(
+CASE WHEN aggregate(va, 0d, (a, v) -> a + v * v) = 0d
+       OR aggregate(vb, 0d, (a, v) -> a + v * v) = 0d THEN 0d
+ELSE round(
   aggregate(zip_with(va, vb, (x, y) -> x * y), 0d, (a, v) -> a + v)
   / (sqrt(aggregate(va, 0d, (a, v) -> a + v * v))
-     * sqrt(aggregate(vb, 0d, (a, v) -> a + v * v))), 6)
+     * sqrt(aggregate(vb, 0d, (a, v) -> a + v * v))), 6) END
 """
 
 
@@ -504,8 +509,11 @@ _IDOT = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
          "CAST(0 AS BIGINT), (acc, v) -> acc + v)")
 _INRM = ("sqrt(CAST(aggregate({v}, CAST(0 AS BIGINT), "
          "(acc, x) -> acc + x * x) AS DOUBLE))")
-_ICOS = (f"round(CAST({_IDOT.format(a='{a}', b='{b}')} AS DOUBLE)"
-         " / ({na} * {nb}), 6)")
+# zero-norm vectors (e.g. padding rows) define sim = 0 rather than
+# tripping ANSI divide-by-zero; the oracle mirrors the same CASE.
+_ICOS = ("CASE WHEN {na} * {nb} = 0 THEN CAST(0 AS DOUBLE) ELSE "
+         f"round(CAST({_IDOT.format(a='{a}', b='{b}')} AS DOUBLE)"
+         " / ({na} * {nb}), 6) END")
 
 
 def _km_assign(e: DataFrame, cent: DataFrame) -> DataFrame:
@@ -536,8 +544,10 @@ def _km_oracle() -> str:
             " x -> x[1] * x[2])) AS DOUBLE)")
     inrm = ("sqrt(CAST(list_sum(list_transform({v}, x -> x * x))"
             " AS DOUBLE))")
-    cos = (f"round({idot} / ({inrm.format(v='{a}')}"
-           f" * {inrm.format(v='{b}')}), 6)")
+    cos = (f"CASE WHEN {inrm.format(v='{a}')} * {inrm.format(v='{b}')} = 0"
+           f" THEN CAST(0 AS DOUBLE) ELSE"
+           f" round({idot} / ({inrm.format(v='{a}')}"
+           f" * {inrm.format(v='{b}')}), 6) END")
     assign = """
 {out} AS (
   SELECT vec_id, q, cid AS cell, csim AS sim FROM (
@@ -627,12 +637,15 @@ pr AS (
   SELECT b.vec_id AS id_b, min(a.vec_id) AS dup_of
   FROM afinal a JOIN afinal b
     ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE round(CAST(list_sum(list_transform(list_zip(a.q, b.q),
-                x -> x[1] * x[2])) AS DOUBLE)
-          / (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x))
-                  AS DOUBLE))
-             * sqrt(CAST(list_sum(list_transform(b.q, x -> x * x))
-                    AS DOUBLE))), 6) >= {_NEAR_TAU}
+  WHERE (CASE WHEN list_sum(list_transform(a.q, x -> x * x)) = 0
+                OR list_sum(list_transform(b.q, x -> x * x)) = 0
+         THEN CAST(0 AS DOUBLE)
+         ELSE round(CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                      x -> x[1] * x[2])) AS DOUBLE)
+                / (sqrt(CAST(list_sum(list_transform(a.q, x -> x * x))
+                        AS DOUBLE))
+                   * sqrt(CAST(list_sum(list_transform(b.q, x -> x * x))
+                          AS DOUBLE))), 6) END) >= {_NEAR_TAU}
   GROUP BY b.vec_id
 )
 SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cluster, p.dup_of,

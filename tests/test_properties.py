@@ -195,3 +195,92 @@ def test_sentence_split_total_and_lossless_ish(s):
     assert all(isinstance(p, str) for p in parts)
     # every emitted sentence is non-empty after strip
     assert all(p.strip() for p in parts)
+
+
+# --------------------------------------------------------------------------
+# exact substring-span dedup: contract against a brute-force oracle on
+# random small corpora built from a tiny vocabulary (so cross-doc K-token
+# collisions actually happen)
+# --------------------------------------------------------------------------
+_doc_strategy = st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc"]), min_size=8, max_size=20),
+    min_size=2, max_size=5)
+
+
+def _substr_oracle(docs, k=8):
+    """Brute force: positions whose K-token shingle occurs in >=2 distinct
+    docs, merged into maximal (overlap-or-adjacent) spans per doc."""
+    from collections import defaultdict
+    where = defaultdict(set)
+    for d, toks in enumerate(docs):
+        for p in range(len(toks) - k + 1):
+            where[tuple(toks[p:p + k])].add(d)
+    spans = {}
+    for d, toks in enumerate(docs):
+        ps = [p for p in range(len(toks) - k + 1)
+              if len(where[tuple(toks[p:p + k])]) >= 2]
+        merged = []
+        for p in ps:
+            if merged and p <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], p))
+            else:
+                merged.append((p, p))
+        spans[d] = {(s, e + k - 1) for s, e in merged}
+    return spans
+
+
+@given(docs=_doc_strategy)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_substring_spans_matches_bruteforce(spark, docs):
+    import tempfile, os
+    from reach_spark import textops
+    d = tempfile.mkdtemp()
+    rows = [(i, " ".join(toks), "en", "s", 0) for i, toks in enumerate(docs)]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, "
+              "n_chars long") \
+        .write.mode("overwrite").parquet(os.path.join(d,
+                                                      "documents.parquet"))
+    fn, _ = textops.QUERIES["dedup_substring_spans"]
+    got = {}
+    for r in fn(spark, d).collect():
+        got.setdefault(r["doc_id"], set()).add(
+            (r["span_start"], r["span_end"]))
+        # span arithmetic invariants
+        assert r["dup_tokens"] == r["span_end"] - r["span_start"] + 1
+        assert 0 <= r["span_start"] <= r["span_end"]
+        assert r["max_docs"] >= 2
+    want = {d_: s for d_, s in _substr_oracle(docs).items() if s}
+    assert got == want
+
+
+@given(st.data())
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kmeans_partitioning_invariance(spark, data):
+    """Integer-exact k-means must be bit-identical under any repartition
+    of the embeddings input (the property float Lloyd's lacks)."""
+    import tempfile, os
+    from reach_spark import similarity
+    n = data.draw(st.integers(16, 40))
+    dim = data.draw(st.integers(2, 6))
+    vals = data.draw(st.lists(
+        st.lists(st.floats(-1, 1, allow_nan=False, width=32),
+                 min_size=dim, max_size=dim),
+        min_size=n, max_size=n))
+    nparts = data.draw(st.integers(1, 6))
+    d = tempfile.mkdtemp()
+    rows = [(i, v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    df.write.mode("overwrite").parquet(os.path.join(d,
+                                                    "embeddings.parquet"))
+    fn, _ = similarity.QUERIES["kmeans_embeddings"]
+    a = {r["vec_id"]: (r["cluster"], r["sim"])
+         for r in fn(spark, d).collect()}
+    d2 = tempfile.mkdtemp()
+    df.repartition(nparts).write.mode("overwrite") \
+        .parquet(os.path.join(d2, "embeddings.parquet"))
+    b = {r["vec_id"]: (r["cluster"], r["sim"])
+         for r in fn(spark, d2).collect()}
+    assert a == b
