@@ -293,6 +293,22 @@ def export_biopax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return biopax_elements(eer)
 
 
+def export_brat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[export/Brat] Brat standoff over the interleaved corpus
+    (reach_spark.brat — reference main/.../brat/Brat.scala:128-214
+    dumpStandoff): one row per annotation line (T text-bounds, R
+    relations, E events with trigger+typed args, '#' FoundByRule notes),
+    deterministic document-order ids. Full DuckDB oracle (_brat_oracle):
+    standoff numbering is per-document offset arithmetic over the
+    per-fixture components precomputed by tools/gen_brat_oracle.py with
+    an independent plain-Python numbering implementation."""
+    from reach_spark.brat import brat_standoff
+    from reach_spark.pipeline import extract_dataframe
+    docs = _interleaved_documents(spark, sf_dir)
+    res = extract_dataframe(spark, docs, with_coref=False)
+    return brat_standoff(res["resolved_mentions"], res["sentences"])
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return kg_triples_flagship(spark, "/root/testdata/sf0.001")
@@ -323,6 +339,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["media_caption_pairs"] = media_caption_pairs
     out["export_bel"] = export_bel
     out["export_biopax"] = export_biopax
+    out["export_brat"] = export_brat
     return out
 
 
@@ -911,6 +928,117 @@ FROM e
 """
 
 
+def _brat_oracle() -> str:
+    """export_brat oracle: per-doc standoff reconstruction from the
+    per-fixture components in _brat_expected.py. T/E/R ids and char
+    offsets are offset arithmetic (span2's ids shift by span0's counts,
+    its chars by span0's text length + 1 — all span0 sentences sort
+    before all span2 sentences, so per-span numbering is contiguous);
+    '#'-note numbers re-rank per doc with a window."""
+    from reach_spark import _brat_expected as B
+    n = B.N_FIXTURES
+    meta = ",".join(f"({f},{t},{e},{r},{L})"
+                    for f, t, e, r, L in B.BRAT_META)
+    bt = ",\n".join(
+        f"({f},{k},{cs},{ce},{_sql_lit(lb)},{_sql_lit(tx)})"
+        for f, k, cs, ce, lb, tx in B.BRAT_T)
+    be = ",\n".join(f"({f},{k},{_sql_lit(lb)},{tg})"
+                    for f, k, lb, tg in B.BRAT_E)
+    br = (",\n".join(f"({f},{k},{_sql_lit(lb)})"
+                     for f, k, lb in B.BRAT_R)
+          or f"({n},0,'')")  # sentinel fidx never matched (no R rows)
+    ba = (",\n".join(
+        f"({f},{_sql_lit(ok)},{k},{_sql_lit(ro)},{_sql_lit(rk)},{rn})"
+        for f, ok, k, ro, rk, rn in B.BRAT_ARGS)
+        or f"({n},'E',0,'','T',0)")
+    bn = (",\n".join(f"({f},{c},{k},{_sql_lit(fb)})"
+                     for f, c, k, fb in B.BRAT_NOTES)
+          or f"({n},0,0,'')")
+    return f"""
+WITH meta(fidx, tc, ec, rc, tl) AS (VALUES {meta}),
+bt(fidx, tkey, cs, ce, label, txt) AS (VALUES
+{bt}
+),
+be(fidx, ekey, label, trig) AS (VALUES
+{be}
+),
+br(fidx, rkey, label) AS (VALUES
+{br}
+),
+ba(fidx, okind, okey, role, refkind, refkey) AS (VALUES
+{ba}
+),
+bn(fidx, cls, k, fb) AS (VALUES
+{bn}
+),
+occ AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS sp,
+         (doc_id % {n}) AS fidx, 0 AS toff, 0 AS eoff, 0 AS roff,
+         0 AS base
+  FROM documents
+  UNION ALL
+  SELECT CAST(d.doc_id AS VARCHAR), 2, ((d.doc_id * 7 + 3) % {n}),
+         m.tc, m.ec, m.rc, m.tl + 1
+  FROM documents d JOIN meta m ON m.fidx = (d.doc_id % {n})
+),
+args AS (
+  SELECT o.doc_id, o.sp, a.okind, a.okey,
+         string_agg(a.role || ':' || a.refkind ||
+                    CAST(a.refkey + CASE a.refkind WHEN 'T' THEN o.toff
+                                    ELSE o.eoff END AS VARCHAR),
+                    ' ' ORDER BY a.role, a.refkind, a.refkey) AS s
+  FROM occ o JOIN ba a ON a.fidx = o.fidx
+  GROUP BY o.doc_id, o.sp, a.okind, a.okey
+),
+tlines AS (
+  SELECT o.doc_id, 'T' || CAST(t.tkey + o.toff AS VARCHAR) AS ann_id,
+         'T' || CAST(t.tkey + o.toff AS VARCHAR) || chr(9) || t.label ||
+         ' ' || CAST(t.cs + o.base AS VARCHAR) || ' ' ||
+         CAST(t.ce + o.base AS VARCHAR) || chr(9) || t.txt AS line
+  FROM occ o JOIN bt t ON t.fidx = o.fidx
+),
+elines AS (
+  SELECT o.doc_id, 'E' || CAST(e.ekey + o.eoff AS VARCHAR) AS ann_id,
+         'E' || CAST(e.ekey + o.eoff AS VARCHAR) || chr(9) || e.label ||
+         ':T' || CAST(e.trig + o.toff AS VARCHAR) ||
+         COALESCE(' ' || a.s, '') AS line
+  FROM occ o JOIN be e ON e.fidx = o.fidx
+  LEFT JOIN args a ON a.doc_id = o.doc_id AND a.sp = o.sp
+                   AND a.okind = 'E' AND a.okey = e.ekey
+),
+rlines AS (
+  SELECT o.doc_id, 'R' || CAST(r.rkey + o.roff AS VARCHAR) AS ann_id,
+         'R' || CAST(r.rkey + o.roff AS VARCHAR) || chr(9) || r.label ||
+         COALESCE(' ' || a.s, '') AS line
+  FROM occ o JOIN br r ON r.fidx = o.fidx
+  LEFT JOIN args a ON a.doc_id = o.doc_id AND a.sp = o.sp
+                   AND a.okind = 'R' AND a.okey = r.rkey
+),
+nt AS (
+  SELECT o.doc_id, n.cls,
+         n.k + CASE n.cls WHEN 0 THEN o.toff WHEN 1 THEN o.roff
+               ELSE o.eoff END AS dnum,
+         n.fb,
+         row_number() OVER (PARTITION BY o.doc_id
+                            ORDER BY n.cls, n.k + CASE n.cls
+                              WHEN 0 THEN o.toff WHEN 1 THEN o.roff
+                              ELSE o.eoff END) AS nnum
+  FROM occ o JOIN bn n ON n.fidx = o.fidx
+),
+nlines AS (
+  SELECT doc_id, '#' || CAST(nnum AS VARCHAR) AS ann_id,
+         '#' || CAST(nnum AS VARCHAR) || chr(9) || 'FoundByRule ' ||
+         (CASE cls WHEN 0 THEN 'T' WHEN 1 THEN 'R' ELSE 'E' END) ||
+         CAST(dnum AS VARCHAR) || chr(9) || fb AS line
+  FROM nt
+)
+SELECT doc_id, ann_id, line FROM tlines
+UNION ALL SELECT doc_id, ann_id, line FROM rlines
+UNION ALL SELECT doc_id, ann_id, line FROM elines
+UNION ALL SELECT doc_id, ann_id, line FROM nlines
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for reg in _REGISTRIES:
@@ -935,4 +1063,5 @@ def oracle_sql() -> dict[str, str]:
     out["media_caption_pairs"] = _caption_oracle()
     out["export_bel"] = _bel_oracle()
     out["export_biopax"] = _biopax_oracle()
+    out["export_brat"] = _brat_oracle()
     return out
