@@ -191,3 +191,168 @@ def make_server(spark: SparkSession, host: str = "127.0.0.1",
             self._handle(parse_qs(body))
 
     return ThreadingHTTPServer((host, port), Handler)
+
+
+# ---------------------------------------------------------------------------
+# Ruler: the rule-playground API (export/.../apis/Ruler.scala)
+# ---------------------------------------------------------------------------
+
+def _mk_rule_map(rules: str) -> dict[str, str]:
+    """ruleName -> rule-source chunks for display (Ruler.mkRuleMap
+    :103-124): strip comment lines, split on `- name:` boundaries, key by
+    the (possibly quoted) rule name."""
+    import re as _re
+    cleaned = _re.sub(r"(?m)^\s*#.*$", "", rules).strip()
+    name_re = _re.compile(r'^- name:\s+("[^\\"]*(?:\\.[^\\"]*)*"|[^\s#]+)')
+    out: dict[str, str] = {}
+    for chunk in _re.split(r"(?=- name:)", cleaned):
+        chunk = chunk.strip()
+        if not chunk:
+            continue
+        m = name_re.match(chunk)
+        if m:
+            name = m.group(1)
+            if name.startswith('"') and name.endswith('"'):
+                name = name[1:-1]
+            out[name] = chunk
+    return out
+
+
+def _ruler_results(spark: SparkSession, text: str, rules: str,
+                   sentences: DataFrame,
+                   mentions: DataFrame | None,
+                   error: list | None) -> dict:
+    """Assemble the RulerResults response map (Ruler.scala:36-61):
+    standoff + syntax standoff via the Brat exporter, per-token rows
+    (Ruler.tokens :78-90), the display rule map, and the [name, message]
+    error pair on compile failure (OdinNamedCompileException analog —
+    no standoff in that case)."""
+    from .brat import brat_ann_text, syntax_standoff
+
+    def _ann_join(df):
+        lines = sorted((r.ann_id, r.line) for r in df.collect())
+        return "\n".join(l for _a, l in lines)
+
+    event_ann = None
+    if error is None and mentions is not None:
+        anns = {r.doc_id: r.ann
+                for r in brat_ann_text(mentions, sentences,
+                                       with_notes=True).collect()}
+        event_ann = anns.get("ruler", "")
+    syntax_ann = None if error is not None else _ann_join(
+        syntax_standoff(sentences))
+    toks = []
+    for s in sorted(sentences.collect(), key=lambda r: r.sent_idx):
+        for i, w in enumerate(s.words):
+            toks.append({"word": w, "lemma": s.lemmas[i],
+                         "tag": s.tags[i], "entity": s.entities[i],
+                         "startOffset": s.start_offsets[i],
+                         "endOffset": s.end_offsets[i]})
+    return {"text": text, "rules": rules,
+            "eventAnnotations": event_ann,
+            "syntaxAnnotations": syntax_ann,
+            "tokens": toks,
+            "ruleMap": _mk_rule_map(rules) or None,
+            "error": error}
+
+
+def run_rules(spark: SparkSession, text: str, rules: str) -> dict:
+    """Ruler.runOpen (:22-61): run USER-SUPPLIED token rules over a text
+    and return standoff annotations of the matches — the rule-playground
+    endpoint behind the reference's rule editor UI. Rules are the same
+    YAML `- name:/label:/pattern:` shape reach_spark.odin compiles
+    (rules/entity_tokens.yml); a per-rule compile failure returns
+    [ruleName, message] in `error` with no standoff, an unnamed parse
+    failure returns [None, message] (OdinNamedCompileException /
+    OdinCompileException analogs)."""
+    from .annotate import annotate_sentences
+    from .odin import TokenRule, TokenRuleEngine
+
+    doc_df = text_documents(spark, text, doc_id="ruler")
+    sentences = annotate_sentences(doc_df)
+    sentences.persist().count()
+    try:
+        if not rules.strip():
+            return _ruler_results(spark, text, rules, sentences, None,
+                                  [None, "rulesStr is empty"])
+        try:
+            import yaml
+            doc = yaml.safe_load(rules)
+        except Exception as exc:                 # noqa: BLE001
+            return _ruler_results(spark, text, rules, sentences, None,
+                                  [None, str(exc)])
+        specs = doc.get("rules", doc) if isinstance(doc, dict) else doc
+        if not isinstance(specs, list):
+            return _ruler_results(spark, text, rules, sentences, None,
+                                  [None, "expected a `rules:` list"])
+        compiled = []
+        for d in specs:
+            name = (d or {}).get("name", "<unnamed>")
+            try:
+                compiled.append(TokenRule(
+                    name=name, label=d.get("label", name),
+                    pattern_src=" ".join(str(d["pattern"]).split("\n")),
+                    priority=int(d.get("priority", 1)),
+                    consume=bool(d.get("consume", True)), meta={}))
+            except Exception as exc:             # noqa: BLE001
+                return _ruler_results(spark, text, rules, sentences,
+                                      None, [name, str(exc)])
+        engine = TokenRuleEngine(compiled)
+
+        # single-request path: one doc, driver-side dispatch like the
+        # reference's in-process ExtractorEngine call
+        mrows = []
+        for s in sorted(sentences.collect(), key=lambda r: r.sent_idx):
+            fields = [{"word": w, "tag": s.tags[i], "lemma": s.lemmas[i]}
+                      for i, w in enumerate(s.words)]
+            for rule, st, en in engine.match_sentence(fields):
+                mrows.append(Row(
+                    doc_id="ruler", sent_idx=int(s.sent_idx),
+                    mention_id=f"ruler-{s.sent_idx}-{rule.name}-{st}-{en}",
+                    kind="tbm", label=rule.label or rule.name,
+                    start=st, end=en,
+                    text=" ".join(s.words[st:en]),
+                    trigger_start=None, trigger_end=None,
+                    trigger_text=None, args=[], mods=[],
+                    found_by=rule.name, keep=True))
+        schema = ("doc_id string, sent_idx int, mention_id string, "
+                  "kind string, label string, start int, `end` int, "
+                  "text string, trigger_start int, trigger_end int, "
+                  "trigger_text string, "
+                  "args array<struct<role:string,mention_id:string,"
+                  "text:string>>, "
+                  "mods array<struct<kind:string,label:string,"
+                  "evidence_text:string,site_text:string,"
+                  "negated:boolean>>, found_by string, keep boolean")
+        mentions = spark.createDataFrame(mrows, schema=schema)
+        return _ruler_results(spark, text, rules, sentences, mentions,
+                              None)
+    finally:
+        sentences.unpersist()
+
+
+def run_reach(spark: SparkSession, text: str) -> dict:
+    """Ruler.runReach (:64-75): the full bio cascade over a text with
+    Brat standoff + syntax standoff of everything it found; `rules` echoes
+    the engine's own packaged rule files (reach.allRules analog)."""
+    import pkgutil
+
+    doc_df = text_documents(spark, text, doc_id="ruler")
+    results = extract_dataframe(spark, doc_df)
+    try:
+        sentences = results["sentences"]
+        sentences.persist().count()
+        all_rules = []
+        for f in ("entity_tokens.yml", "mutant_tokens.yml",
+                  "simple_events.yml", "complex_events.yml",
+                  "dep_events.yml", "dep_regulations.yml"):
+            raw = pkgutil.get_data("reach_spark", f"rules/{f}")
+            if raw:
+                all_rules.append(raw.decode("utf-8"))
+        rules = "\n\n".join(all_rules)
+        out = _ruler_results(spark, text, rules, sentences,
+                             results["resolved_mentions"], None)
+        sentences.unpersist()
+        return out
+    finally:
+        results.cleanup()

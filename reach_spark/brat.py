@@ -402,6 +402,55 @@ def brat_ann_text(mentions: DataFrame, sentences: DataFrame,
                 "\n").alias("ann")))
 
 
+def syntax_standoff(sentences: DataFrame) -> DataFrame:
+    """(doc_id, ann_id, line): POS tags as T rows + dependency edges as
+    ``R<n>\\t<label> governor:T<g> dependent:T<d>`` rows
+    (Brat.syntaxStandoff :190-214). Token T ids are document order, so
+    the id of token j in a sentence is (tokens before the sentence) +
+    j + 1 — pure per-doc running-sum arithmetic, no id join."""
+    layout = sentence_layout(sentences)
+    w = (Window.partitionBy("doc_id").orderBy("sent_idx")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    s2 = layout.withColumn(
+        "tok_base", F.coalesce(F.sum(F.size("words")).over(w), F.lit(0)))
+
+    toks = (s2.select(
+        "doc_id", "sent_idx", "tok_base", "sent_base",
+        F.posexplode(F.arrays_zip("words", "tags", "start_offsets",
+                                  "end_offsets")).alias("j", "z")))
+    tid = (F.col("tok_base") + F.col("j") + 1).cast("string")
+    t_lines = toks.select(
+        "doc_id",
+        F.concat(F.lit("T"), tid).alias("ann_id"),
+        F.concat(F.lit("T"), tid, F.lit(_TAB), F.col("z.tags"),
+                 F.lit(" "),
+                 (F.col("sent_base") + F.col("z.start_offsets"))
+                 .cast("string"),
+                 F.lit(" "),
+                 (F.col("sent_base") + F.col("z.end_offsets"))
+                 .cast("string"),
+                 F.lit(_TAB), F.col("z.words")).alias("line"))
+
+    deps = (s2.select("doc_id", "sent_idx", "tok_base",
+                      F.explode("deps").alias("d"))
+            .select("doc_id", "sent_idx", "tok_base",
+                    F.col("d.src").alias("src"),
+                    F.col("d.dst").alias("dst"),
+                    F.col("d.label").alias("label")))
+    rw = Window.partitionBy("doc_id").orderBy("sent_idx", "src", "dst",
+                                              "label")
+    rid = F.row_number().over(rw).cast("string")
+    gov = (F.col("tok_base") + F.col("src") + 1).cast("string")
+    dep = (F.col("tok_base") + F.col("dst") + 1).cast("string")
+    r_lines = deps.select(
+        "doc_id",
+        F.concat(F.lit("R"), rid).alias("ann_id"),
+        F.concat(F.lit("R"), rid, F.lit(_TAB), "label",
+                 F.lit(" governor:T"), gov,
+                 F.lit(" dependent:T"), dep).alias("line"))
+    return t_lines.unionByName(r_lines)
+
+
 # ---------------------------------------------------------------------------
 # reader (Brat.parseAnnotation :33-90)
 # ---------------------------------------------------------------------------

@@ -216,3 +216,69 @@ def test_brat_expected_pinned_to_fixtures():
         "fixtures.py changed — regenerate with: "
         "python tools/gen_brat_oracle.py")
     assert len(B.BRAT_T) > 2000 and len(B.BRAT_E) > 800
+
+
+def test_syntax_standoff(spark, brat_results):
+    """Brat.syntaxStandoff (:190-214): POS tags as T rows, dependency
+    edges as R rows with governor/dependent token refs; token T ids are
+    document order across sentences."""
+    from reach_spark.brat import syntax_standoff
+    _mentions, sentences = brat_results
+    rows = {(r.doc_id, r.ann_id): r.line
+            for r in syntax_standoff(sentences).collect()}
+    d2 = {a: l for (d, a), l in rows.items() if d == "2"}
+    n_toks = sum(len(s.words) for s in sentences.collect()
+                 if s.doc_id == "2")
+    t_ids = sorted(int(a[1:]) for a in d2 if a.startswith("T"))
+    assert t_ids == list(range(1, n_toks + 1))
+    assert any(a.startswith("R") for a in d2)
+    for a, l in d2.items():
+        if a.startswith("R"):
+            body = l.split("\t")[1]
+            assert " governor:T" in body and " dependent:T" in body
+            for ref in body.split(" ")[1:]:
+                tid = int(ref.split(":T")[1])
+                assert 1 <= tid <= n_toks
+
+
+def test_ruler_run_rules(spark):
+    """Ruler.runOpen analog (api.run_rules): user token rules -> brat
+    standoff of the matches; compile errors come back as [name, message]
+    with no standoff (OdinNamedCompileException :45-48)."""
+    from reach_spark.api import run_rules
+    rules = """
+rules:
+  - name: my-protein
+    label: Protein
+    pattern: "[word=/^(TopBP1|ATR)$/]"
+"""
+    r = run_rules(spark, "TopBP1 phosphorylates ATR.", rules)
+    assert r["error"] is None
+    assert "T1\tProtein 0 6\tTopBP1" in r["eventAnnotations"]
+    assert "FoundByRule T1\tmy-protein" in r["eventAnnotations"]
+    assert r["syntaxAnnotations"].count("\tNN ") >= 1
+    assert list(r["ruleMap"]) == ["my-protein"]
+    assert r["ruleMap"]["my-protein"].startswith("- name: my-protein")
+    assert [t["word"] for t in r["tokens"][:2]] == ["TopBP1",
+                                                    "phosphorylates"]
+
+    bad = run_rules(spark, "TopBP1.",
+                    "rules:\n  - name: broken\n"
+                    "    pattern: '[word=/(unclosed/]'\n")
+    assert bad["error"][0] == "broken" and bad["eventAnnotations"] is None
+
+    empty = run_rules(spark, "TopBP1.", "   ")
+    assert empty["error"] == [None, "rulesStr is empty"]
+
+
+def test_ruler_run_reach(spark):
+    """Ruler.runReach analog: full cascade standoff + packaged rules
+    echo."""
+    from reach_spark.api import run_reach
+    r = run_reach(spark, "Mek was not phosphorylated by Erk.")
+    assert r["error"] is None
+    assert "Phosphorylation:T" in r["eventAnnotations"]
+    assert "Controlled:E1" in r["eventAnnotations"]
+    assert "- name:" in r["rules"] and len(r["rules"]) > 1000
+    assert r["syntaxAnnotations"].startswith("R1\t") or \
+        r["syntaxAnnotations"].startswith("T1\t")
