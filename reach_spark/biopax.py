@@ -150,3 +150,102 @@ def biopax_elements(triples: DataFrame) -> DataFrame:
                     F.when(inner == "Binding", F.lit("Complex"))
                      .otherwise(obj_class).alias("right_class"),
                     "negated", "hypothesis", "seen"))
+
+
+class Fragmenter:
+    """Typed views over a BioPAX element table (reference
+    fragmenter/Fragmenter.scala:14-76 — paxtools model accessors
+    `interactions`/`conversions`/`controls`/per-class sets +
+    `getEntityReferenceById` over UnificationXrefs), re-expressed as
+    lazy filtered DataFrames over `biopax_elements` output instead of an
+    in-memory OWL object graph. Each accessor is a predicate over the
+    columnar element table — at corpus scale the "model" stays
+    distributed and every per-class view is one pushed-down filter."""
+
+    #: conversion subclasses (Fragmenter.scala:27-32)
+    CONVERSION_CLASSES = ("BiochemicalReaction", "ComplexAssembly",
+                          "Transport")
+    #: control subclasses (:34-37)
+    CONTROL_CLASSES = ("Catalysis", "Control",
+                       "TemplateReactionRegulation")
+
+    def __init__(self, elements: DataFrame):
+        self.elements = elements
+
+    # ---- interaction-level views (:21-25) -----------------------------
+    @property
+    def interactions(self) -> DataFrame:
+        """Every interaction row: the reaction itself plus its control
+        wrapper when present."""
+        return self.elements
+
+    @property
+    def conversions(self) -> DataFrame:
+        return self.elements.where(
+            F.col("interaction_class").isin(*self.CONVERSION_CLASSES))
+
+    @property
+    def controls(self) -> DataFrame:
+        return self.elements.where(F.col("control_class").isNotNull())
+
+    def get_objects(self, cls: str) -> DataFrame:
+        """getObjects[T] analog (:39-42): rows whose interaction OR
+        control class equals `cls`."""
+        return self.elements.where(
+            (F.col("interaction_class") == cls) |
+            (F.col("control_class") == cls))
+
+    # ---- per-class shortcuts (:27-37) ---------------------------------
+    @property
+    def biochemical_reactions(self) -> DataFrame:
+        return self.get_objects("BiochemicalReaction")
+
+    @property
+    def complex_assemblies(self) -> DataFrame:
+        return self.get_objects("ComplexAssembly")
+
+    @property
+    def transports(self) -> DataFrame:
+        return self.get_objects("Transport")
+
+    @property
+    def template_reactions(self) -> DataFrame:
+        return self.get_objects("TemplateReaction")
+
+    @property
+    def catalysis(self) -> DataFrame:
+        return self.get_objects("Catalysis")
+
+    # ---- xrefs (:38,44-48) -------------------------------------------
+    @property
+    def unification_xrefs(self) -> DataFrame:
+        """Distinct entity URIs across every participant slot with
+        (db, id) parsed from the identifiers.org path — the
+        UnificationXref set."""
+        uris = None
+        for c, cls in (("controller_uri", "controller_class"),
+                       ("left_uri", "left_class"),
+                       ("right_uri", "right_class")):
+            part = (self.elements
+                    .where(F.col(c).isNotNull())
+                    .select(F.col(c).alias("uri"),
+                            F.col(cls).alias("entity_class")))
+            uris = part if uris is None else uris.unionByName(part)
+        parsed = uris.distinct().select(
+            "uri", "entity_class",
+            F.element_at(F.split("uri", "/"), -2).alias("db"),
+            F.element_at(F.split(F.element_at(F.split("uri", "/"), -1),
+                                 "#"), 1).alias("xref_id"))
+        return parsed
+
+    def get_entity_reference_by_id(self, xref_id: str) -> DataFrame:
+        """getEntityReferenceById (:44-48): xref id → the entity rows
+        that unify on it."""
+        return self.unification_xrefs.where(F.col("xref_id") == xref_id)
+
+    def class_counts(self) -> DataFrame:
+        """One row per (interaction_class, control_class) with count —
+        the model census the reference builds its lazy sets for."""
+        return (self.elements
+                .groupBy("interaction_class", "control_class")
+                .count())

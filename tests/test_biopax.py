@@ -121,3 +121,44 @@ def test_pipeline_end_to_end_biopax(spark):
     assert any(e["control_class"] == "Catalysis" and
                e["interaction_class"] == "BiochemicalReaction"
                for e in elems)
+
+
+def _elements(spark, rows):
+    df = spark.createDataFrame(rows, SCHEMA)
+    return biopax_elements(df)
+
+
+def test_fragmenter_views(spark):
+    """Fragmenter (reference fragmenter/Fragmenter.scala:14-76): typed
+    per-class views, control set, xref census and id lookup over the
+    element table."""
+    from reach_spark.biopax import Fragmenter
+    els = _elements(spark, [
+        (None, "ERK::uniprot:P27361.p", False, False, True, "t", "r", 1,
+         [], "Phosphorylation"),
+        ("MEK::uniprot:Q02750", "ERK::uniprot:P27361.p", False, False,
+         True, "t", "r", 2, [], "Positive_regulation->Phosphorylation"),
+        ("A::uniprot:P1", "B::uniprot:P2", False, False, True, "t", "r",
+         1, [], "Binding"),
+        (None, "RAS::uniprot:P01112", False, False, True, "t", "r", 1,
+         [], "Translocation"),
+        (None, "TP53::uniprot:P04637", False, False, True, "t", "r", 1,
+         [], "Transcription"),
+    ])
+    f = Fragmenter(els)
+    assert f.conversions.count() == 4          # 2 biochem + assembly + transport
+    assert f.controls.count() == 1
+    assert f.biochemical_reactions.count() == 2
+    assert f.complex_assemblies.count() == 1
+    assert f.transports.count() == 1
+    assert f.template_reactions.count() == 1
+    assert f.catalysis.count() == 1
+
+    xrefs = {r.xref_id: r for r in f.unification_xrefs.collect()}
+    assert "P27361" in xrefs and xrefs["P27361"].db == "uniprot"
+    hit = f.get_entity_reference_by_id("Q02750").collect()
+    assert hit and hit[0].entity_class == "Protein"
+
+    counts = {(r.interaction_class, r.control_class): r["count"]
+              for r in f.class_counts().collect()}
+    assert counts[("BiochemicalReaction", "Catalysis")] == 1
