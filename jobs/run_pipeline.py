@@ -28,6 +28,10 @@ def main() -> None:
                          "(bounds the worst single task; docs are the "
                          "atomic unit — coref/context/alias are "
                          "doc-scoped); 0 disables")
+    ap.add_argument("--brat-dir", default=None,
+                    help="also write Brat standoff tables (<dir>/ann = "
+                         "per-doc .ann content, <dir>/txt = the matching "
+                         ".txt text) — batch mode only")
     ap.add_argument("--tables-prefix", default=None,
                     help="also materialize the graph as named partitioned "
                          "catalog tables <prefix>_triples/<prefix>_entities "
@@ -54,7 +58,8 @@ def main() -> None:
         counts = run_batch(spark, docs, args.output,
                            resume=not args.no_resume,
                            catalog_prefix=args.tables_prefix,
-                           max_doc_spans=args.max_doc_spans or None)
+                           max_doc_spans=args.max_doc_spans or None,
+                           brat_dir=args.brat_dir)
         print(counts)
 
 

@@ -466,10 +466,10 @@ def parse_standoff(lines: DataFrame, line_col: str = "line") -> DataFrame:
     :49), text, trigger, args (array<struct<role,ref>>), norm_resource,
     norm_entry. Unrecognized ids drop (:88)."""
     c = F.split(F.col(line_col), _TAB)
-    ann_id = F.trim(c[0])
-    body = c[1]
+    ann_id = F.trim(F.get(c, 0))
+    body = F.get(c, 1)
     elems = F.split(body, " ")
-    head = elems[0]
+    head = F.get(elems, 0)
     first = F.substring(ann_id, 1, 1)
 
     def _args(from_idx: int) -> Column:
@@ -486,13 +486,17 @@ def parse_standoff(lines: DataFrame, line_col: str = "line") -> DataFrame:
             lambda a: a["ref"].isNotNull() & (a["role"] != ""))
 
     # T: label then "start end[;start end...]" then text
-    t_label = F.split(body, " ")[0]
+    t_label = F.get(F.split(body, " "), 0)
     t_offsets = F.trim(F.substring(body, F.length(t_label) + 2, 1 << 20))
-    t_spans = F.transform(
-        F.split(t_offsets, ";"),
-        lambda s: F.struct(
-            F.split(F.trim(s), " ")[0].cast("int").alias("start"),
-            F.split(F.trim(s), " ")[1].cast("int").alias("end")))
+    t_spans = F.filter(
+        F.transform(
+            F.split(t_offsets, ";"),
+            lambda s: F.struct(
+                F.try_element_at(F.split(F.trim(s), " "), F.lit(1))
+                .cast("int").alias("start"),
+                F.try_element_at(F.split(F.trim(s), " "), F.lit(2))
+                .cast("int").alias("end"))),
+        lambda sp: sp["start"].isNotNull() & sp["end"].isNotNull())
 
     ann_type = (F.when(first == "T", "textbound")
                 .when(first == "R", "relation")
@@ -510,10 +514,10 @@ def parse_standoff(lines: DataFrame, line_col: str = "line") -> DataFrame:
         ann_id.alias("ann_id"),
         ann_type.alias("ann_type"),
         F.when(first == "T", t_label)
-        .when(first == "E", F.split(head, ":")[0])
+        .when(first == "E", F.get(F.split(head, ":"), 0))
         .otherwise(head).alias("label"),
         F.when(first == "T", t_spans).alias("spans"),
-        F.when(first.isin("T", "N"), c[2])
+        F.when(first.isin("T", "N"), F.get(c, 2))
         .when(first == "M", F.get(elems, 2)).alias("text"),
         F.when(first == "E", F.get(F.split(head, ":"), 1))
         .alias("trigger"),
@@ -528,12 +532,15 @@ def parse_standoff(lines: DataFrame, line_col: str = "line") -> DataFrame:
                           lambda e: F.struct(F.lit("equiv").alias("role"),
                                              e.alias("ref"))))
         .alias("args"),
-        F.when(first == "N", F.split(elems[2], ":")[0])
+        F.when(first == "N", F.get(F.split(F.get(elems, 2), ":"), 0))
         .alias("norm_resource"),
-        F.when(first == "N", F.split(elems[2], ":")[1])
+        F.when(first == "N", F.get(F.split(F.get(elems, 2), ":"), 1))
         .alias("norm_entry"),
     )
-    return out.where(F.col("ann_type").isNotNull())
+    # a standoff line must have id<TAB>body (Brat.parseAnnotation reads
+    # chunks(1) unconditionally; malformed lines drop instead of throwing)
+    return out.where(F.col("ann_type").isNotNull() &
+                     F.col("label").isNotNull())
 
 
 def align_bio_labels(sentences: DataFrame,

@@ -248,7 +248,8 @@ def partition_metrics(df: DataFrame, stage: str) -> DataFrame:
 def run_batch(spark: SparkSession, documents: DataFrame, out_dir: str,
               resume: bool = True,
               catalog_prefix: str | None = None,
-              max_doc_spans: int | None = None) -> dict[str, int]:
+              max_doc_spans: int | None = None,
+              brat_dir: str | None = None) -> dict[str, int]:
     """Batch driver with checkpoint/resume. Writes parquet tables
     (production target is Iceberg `writeTo(...).partitionedBy(...)`; parquet
     keeps the sandbox dependency-free — the table layout is identical).
@@ -307,6 +308,27 @@ def run_batch(spark: SparkSession, documents: DataFrame, out_dir: str,
              "canonical_entities": spark.read.parquet(
                  os.path.join(out_dir, "canonical_entities"))},
             prefix=catalog_prefix, mode="overwrite")
+
+    if brat_dir:
+        # Brat standoff sink (S10): append-safe — docs are processed
+        # exactly once under resume, so per-batch appends are disjoint.
+        # Stage THIS batch's inputs to parquet first (overwrite) and
+        # build the standoff from the compact columnar scan: the
+        # standoff's windows/joins traverse the mention table six ways,
+        # and re-walking the Python extraction lineage that many times
+        # blows the heap on small-driver (spark-submit default) JVMs.
+        from .brat import brat_ann_text, brat_doc_text
+        stage = os.path.join(brat_dir, "_batch_stage")
+        results["resolved_mentions"].write.mode("overwrite") \
+            .parquet(os.path.join(stage, "mentions"))
+        results["sentences"].write.mode("overwrite") \
+            .parquet(os.path.join(stage, "sentences"))
+        bm = spark.read.parquet(os.path.join(stage, "mentions"))
+        bs = spark.read.parquet(os.path.join(stage, "sentences"))
+        brat_ann_text(bm, bs).write.mode("append") \
+            .parquet(os.path.join(brat_dir, "ann"))
+        brat_doc_text(bs).write.mode("append") \
+            .parquet(os.path.join(brat_dir, "txt"))
 
     # checkpoint finished docs LAST (all-or-nothing per batch)
     todo.select("doc_id").write.mode("append").parquet(ckpt_path)

@@ -284,3 +284,23 @@ def test_kmeans_partitioning_invariance(spark, data):
     b = {r["vec_id"]: (r["cluster"], r["sim"])
          for r in fn(spark, d2).collect()}
     assert a == b
+
+
+@settings(max_examples=30, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(lines=st.lists(
+    st.text(alphabet=string.printable, max_size=60), max_size=12))
+def test_parse_standoff_total_on_arbitrary_lines(spark, lines):
+    """brat.parse_standoff never throws on arbitrary printable input —
+    unrecognized or malformed lines drop (Brat.parseAnnotation's
+    catch-all :88), well-formed ids parse into typed rows."""
+    from reach_spark.brat import parse_standoff
+    clean = [l.replace("\r", " ").replace("\n", " ") for l in lines]
+    df = spark.createDataFrame(
+        [Row(line=l) for l in clean] or [Row(line="")],
+        "line string")
+    rows = parse_standoff(df).collect()
+    for r in rows:
+        assert r.ann_type in ("textbound", "relation", "event",
+                              "equivalence", "attribute",
+                              "normalization")
