@@ -410,3 +410,35 @@ def test_kmeans_semdedup_plans(spark):
         assert "CartesianProduct" not in plan, q
         assert "BatchEvalPython" not in plan, q
         assert "ArrowEvalPython" not in plan, q
+
+
+def test_brat_standoff_plan_no_cartesian_no_python(spark):
+    """The Brat standoff build (six-way traversal of the mention table:
+    T spans, trigger map, events, relations, args, notes) must stay
+    equi-joins + per-doc windows — no cartesian/broadcast-nested-loop
+    shapes and no Python in the plan (the mentions input here is a
+    parquet scan, exactly the staged batch path run_batch uses)."""
+    import tempfile
+
+    from pyspark.sql import Row
+
+    from reach_spark.brat import brat_standoff
+    from reach_spark.pipeline import extract_dataframe
+
+    docs = spark.createDataFrame(
+        [Row(doc_id="0", spans=[Row(
+            kind="text",
+            text="Mek was not phosphorylated by Erk.",
+            media_ref="", offset=0)])])
+    res = extract_dataframe(spark, docs, with_coref=False)
+    with tempfile.TemporaryDirectory() as td:
+        res["resolved_mentions"].write.parquet(f"{td}/m")
+        res["sentences"].write.parquet(f"{td}/s")
+        out = brat_standoff(spark.read.parquet(f"{td}/m"),
+                            spark.read.parquet(f"{td}/s"))
+        plan = _plan(out)
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
+        assert out.count() > 0
