@@ -41,3 +41,134 @@ def read_plaintext(spark: SparkSession, path: str) -> DataFrame:
                       F.regexp_extract(F.input_file_name(),
                                        r"([^/]+?)(\.txt)?$", 1)))
     return _to_documents(df, F.col("doc_id"), F.col("value"))
+
+
+#: reference main/src/main/resources/application.conf:30
+NXML_IGNORE_SECTIONS = frozenset(
+    ["references", "materials", "materials|methods", "methods",
+     "supplementary-material"])
+
+
+def read_nxml(spark: SparkSession, path: str,
+              ignore_sections=NXML_IGNORE_SECTIONS) -> DataFrame:
+    """Directory of PMC .nxml/.xml (JATS) papers → interleaved documents
+    (the PaperReader.readNXMLPaper branch, PaperReader.scala:85-100 via
+    ai.lum.nxmlreader; ignoreSections default application.conf:30).
+
+    Span mapping onto the interleaved shape (BASELINE.json input_hint):
+    title, abstract paragraphs and body paragraphs become ordered text
+    spans; each ``<fig>`` becomes a MEDIA span (media_ref = the
+    ``<graphic xlink:href>``) immediately followed by its caption as a
+    text span — figures interleave with the prose exactly where JATS
+    places them. ``<sec>`` subtrees whose ``sec-type`` or title match
+    `ignore_sections` drop (the reference's references/methods cut).
+
+    Spark shape: XML parsing is not expressible with built-in column
+    functions (no JATS source in-sandbox), so the parse runs as an
+    Arrow-batched mapInPandas over ``wholetext`` file rows — one task
+    per file batch, embarrassingly parallel, source-stage-only; the
+    output lands on the same `documents` schema as every other
+    connector, so downstream plans are unchanged."""
+    import re as _re
+
+    from .schemas import DOCUMENTS
+
+    files = (spark.read.text(path, wholetext=True)
+             .withColumn("fname", F.input_file_name())
+             .where(F.col("fname").rlike(r"\.(nxml|xml)$")))
+
+    ignore = {s.lower() for s in ignore_sections}
+
+    def gen(batches):
+        import pandas as pd
+        import xml.etree.ElementTree as ET
+
+        XLINK = "{http://www.w3.org/1999/xlink}href"
+
+        def norm_tag(el):
+            return el.tag.rsplit("}", 1)[-1]
+
+        def text_of(el) -> str:
+            return _re.sub(r"\s+", " ",
+                           "".join(el.itertext())).strip()
+
+        def sec_ignored(sec) -> bool:
+            st = (sec.get("sec-type") or "").lower()
+            if st in ignore:
+                return True
+            for child in sec:
+                if norm_tag(child) == "title":
+                    return text_of(child).lower() in ignore
+            return False
+
+        def walk(el, spans, order):
+            """Document-order walk: <p> → text span, <fig> → media +
+            caption spans, ignored <sec> subtrees skipped."""
+            for child in el:
+                tag = norm_tag(child)
+                if tag == "sec" and sec_ignored(child):
+                    continue
+                if tag == "p":
+                    t = text_of(child)
+                    if t:
+                        spans.append({"kind": "text", "text": t,
+                                      "media_ref": "",
+                                      "offset": order[0]})
+                        order[0] += 1
+                    continue
+                if tag == "fig":
+                    ref = ""
+                    cap = ""
+                    for sub in child.iter():
+                        if norm_tag(sub) == "graphic" and not ref:
+                            ref = sub.get(XLINK) or \
+                                sub.get("href") or ""
+                        if norm_tag(sub) == "caption" and not cap:
+                            cap = text_of(sub)
+                    spans.append({"kind": "media", "text": "",
+                                  "media_ref": ref,
+                                  "offset": order[0]})
+                    order[0] += 1
+                    if cap:
+                        spans.append({"kind": "text", "text": cap,
+                                      "media_ref": "",
+                                      "offset": order[0]})
+                        order[0] += 1
+                    continue
+                walk(child, spans, order)
+
+        for pdf in batches:
+            rows = []
+            for raw, fname in zip(pdf["value"], pdf["fname"]):
+                try:
+                    root = ET.fromstring(raw)
+                except ET.ParseError:
+                    continue
+                pmc = None
+                for el in root.iter():
+                    if norm_tag(el) == "article-id" and \
+                            el.get("pub-id-type") == "pmc":
+                        pmc = (el.text or "").strip()
+                        break
+                doc_id = pmc or _re.sub(
+                    r"\.(nxml|xml)$", "", fname.rsplit("/", 1)[-1])
+                spans = []
+                order = [0]
+                for el in root.iter():
+                    tag = norm_tag(el)
+                    if tag == "article-title":
+                        t = text_of(el)
+                        if t:
+                            spans.append({"kind": "text", "text": t,
+                                          "media_ref": "",
+                                          "offset": order[0]})
+                            order[0] += 1
+                        break
+                for el in root.iter():
+                    if norm_tag(el) in ("abstract", "body"):
+                        walk(el, spans, order)
+                if spans:
+                    rows.append({"doc_id": doc_id, "spans": spans})
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"])
+
+    return files.mapInPandas(gen, schema=DOCUMENTS)

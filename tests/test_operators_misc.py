@@ -677,3 +677,48 @@ def test_doc_keywords_tfidf_hand_computed(spark):
     #       token ASC: 'common' < 'unique'
     assert by_rank[1]["token"] == "common" and by_rank[1]["score"] == 3
     assert by_rank[2]["token"] == "unique" and by_rank[2]["score"] == 3
+
+
+def test_read_nxml(spark, tmp_path):
+    """S2 NXML branch (PaperReader.scala:85-100): JATS paper → interleaved
+    documents — pmc id, title/abstract/body paragraphs in order, <fig> as
+    a media span + caption text span, ignoreSections subtrees dropped
+    (application.conf:30)."""
+    from reach_spark.sources import read_nxml
+    (tmp_path / "PMC77.nxml").write_text(
+        '<?xml version="1.0"?>'
+        '<article xmlns:xlink="http://www.w3.org/1999/xlink">'
+        '<front><article-meta>'
+        '<article-id pub-id-type="pmc">77</article-id>'
+        '<title-group><article-title>TopBP1  and ATR</article-title>'
+        '</title-group>'
+        '<abstract><p>TopBP1 phosphorylates ATR.</p></abstract>'
+        '</article-meta></front><body>'
+        '<sec sec-type="intro"><title>Intro</title>'
+        '<p>Mek binds Erk.</p>'
+        '<fig id="f1"><caption><p>Fig 1. ASPP1 binds p53.</p></caption>'
+        '<graphic xlink:href="fig1.jpg"/></fig></sec>'
+        '<sec sec-type="methods"><title>Methods</title>'
+        '<p>RIPA buffer.</p></sec>'
+        '<sec><title>References</title><p>Smith 2019.</p></sec>'
+        '</body></article>')
+    (tmp_path / "broken.nxml").write_text("<article><unclosed")
+    (tmp_path / "notxml.txt").write_text("ignored")
+    rows = read_nxml(spark, str(tmp_path)).collect()
+    assert len(rows) == 1  # broken XML drops, .txt filtered
+    r = rows[0]
+    assert r.doc_id == "77"
+    kinds = [(s["kind"], s["offset"]) for s in r.spans]
+    assert [o for _k, o in kinds] == list(range(len(kinds)))
+    texts = [s["text"] for s in r.spans if s["kind"] == "text"]
+    assert texts[0] == "TopBP1 and ATR"            # whitespace normalized
+    assert "TopBP1 phosphorylates ATR." in texts
+    assert any(t.startswith("Fig 1.") for t in texts)
+    media = [s for s in r.spans if s["kind"] == "media"]
+    assert media and media[0]["media_ref"] == "fig1.jpg"
+    # caption directly follows its figure (interleaving preserved)
+    mo = media[0]["offset"]
+    nxt = [s for s in r.spans if s["offset"] == mo + 1]
+    assert nxt and nxt[0]["text"].startswith("Fig 1.")
+    joined = " ".join(texts)
+    assert "RIPA" not in joined and "Smith" not in joined
