@@ -309,6 +309,28 @@ def export_brat(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brat_standoff(res["resolved_mentions"], res["sentences"])
 
 
+def brat_bio_align(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[export/Brat] BIO token-label alignment over the interleaved
+    corpus (reach_spark.brat.align_bio_labels — Brat.alignTokenLabel
+    :108-126 / BratUtils gold-entity injection): per sentence, each
+    token's B-/I-/O label from the standoff's own T rows,
+    last-annotation-wins. Full DuckDB oracle: alignment is
+    sentence-local, so per-fixture BIO arrays (gen_brat_oracle, plain
+    Python) compose directly over the doc->fixture mapping."""
+    from reach_spark.brat import align_bio_labels, standoff_tables
+    from reach_spark.pipeline import extract_dataframe
+    docs = _interleaved_documents(spark, sf_dir)
+    res = extract_dataframe(spark, docs, with_coref=False)
+    t = standoff_tables(res["resolved_mentions"], res["sentences"])
+    tb = t["textbound"].select(
+        "doc_id", "tnum", "label",
+        F.array(F.struct(F.col("cs").alias("start"),
+                         F.col("ce").alias("end"))).alias("spans"))
+    bio = align_bio_labels(res["sentences"], tb)
+    return bio.select("doc_id", "sent_idx",
+                      F.array_join("entities", "|").alias("bio"))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return kg_triples_flagship(spark, "/root/testdata/sf0.001")
@@ -340,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["export_bel"] = export_bel
     out["export_biopax"] = export_biopax
     out["export_brat"] = export_brat
+    out["brat_bio_align"] = brat_bio_align
     return out
 
 
@@ -1039,6 +1062,34 @@ UNION ALL SELECT doc_id, ann_id, line FROM nlines
 """
 
 
+def _brat_bio_oracle() -> str:
+    """brat_bio_align oracle: BIO alignment is sentence-local, so the
+    per-fixture label arrays compose directly — doc sent_idx =
+    span_pos*1000 + fixture-local sentence index."""
+    from reach_spark import _brat_expected as B
+    n = B.N_FIXTURES
+    bio = ",\n".join(f"({f},{si},{_sql_lit(b)})"
+                     for f, si, b in B.BRAT_BIO)
+    return f"""
+WITH bb(fidx, sl, bio) AS (VALUES
+{bio}
+),
+occ AS (
+  -- annotate.text_spans filters to text spans BEFORE posexplode, so the
+  -- two text spans sit at span_pos 0 and 1 (the media span never gets a
+  -- position) -> sent_idx = span_pos*1000 + local
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, 0 AS sp,
+         (doc_id % {n}) AS fidx
+  FROM documents
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 1, ((doc_id * 7 + 3) % {n})
+  FROM documents
+)
+SELECT o.doc_id, (o.sp * 1000 + b.sl) AS sent_idx, b.bio
+FROM occ o JOIN bb b ON b.fidx = o.fidx
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     out: dict[str, str] = {}
     for reg in _REGISTRIES:
@@ -1064,4 +1115,5 @@ def oracle_sql() -> dict[str, str]:
     out["export_bel"] = _bel_oracle()
     out["export_biopax"] = _biopax_oracle()
     out["export_brat"] = _brat_oracle()
+    out["brat_bio_align"] = _brat_bio_oracle()
     return out

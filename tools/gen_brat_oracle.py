@@ -173,8 +173,25 @@ def _per_fixture(mrows: list, srows: list):
     note_rows = [(cls, num, fb)
                  for (cls, num), fb in sorted(note_fb.items())]
 
+    # BIO alignment per sentence (Brat.alignTokenLabel last-wins over
+    # the fixture's own T rows — sentence-local, so corpus-exact)
+    bio_rows = []
+    for s in sents:
+        si = s["sent_idx"]
+        labels = []
+        for j in range(len(s["words"])):
+            ts = bases[si] + s["start_offsets"][j]
+            te = bases[si] + s["end_offsets"][j]
+            lab = "O"
+            for key in t_sorted:  # ascending T number = file order
+                _si, cs, ce, tl, _tx = key
+                if ts < ce and cs < te:
+                    lab = ("B-" if ts <= cs else "I-") + tl
+            labels.append(lab)
+        bio_rows.append((si, "|".join(labels)))
+
     meta = (len(t_rows), len(e_rows), len(r_rows), tlen)
-    return t_rows, e_rows, r_rows, arg_rows, note_rows, meta
+    return t_rows, e_rows, r_rows, arg_rows, note_rows, bio_rows, meta
 
 
 def main() -> None:
@@ -199,14 +216,16 @@ def main() -> None:
     for s in srows:
         by_fix_s[int(s["doc_id"])].append(s)
 
-    T, E, R, A, NOTE, META = [], [], [], [], [], []
+    T, E, R, A, NOTE, BIO, META = [], [], [], [], [], [], []
     for i in range(n):
-        t, e, r, a, nt, meta = _per_fixture(by_fix_m[i], by_fix_s[i])
+        t, e, r, a, nt, bio, meta = _per_fixture(by_fix_m[i],
+                                                 by_fix_s[i])
         T += [(i,) + row for row in t]
         E += [(i,) + row for row in e]
         R += [(i,) + row for row in r]
         A += [(i,) + row for row in a]
         NOTE += [(i,) + row for row in nt]
+        BIO += [(i,) + row for row in bio]
         META.append((i,) + meta)
 
     sha = fixture_corpus_sha()
@@ -220,7 +239,7 @@ def main() -> None:
         f.write(f"N_FIXTURES = {n}\n\n")
         for name, rows in (("BRAT_T", T), ("BRAT_E", E), ("BRAT_R", R),
                            ("BRAT_ARGS", A), ("BRAT_NOTES", NOTE),
-                           ("BRAT_META", META)):
+                           ("BRAT_BIO", BIO), ("BRAT_META", META)):
             f.write(f"{name} = [\n")
             for row in rows:
                 f.write(f"    {row!r},\n")
