@@ -35,6 +35,17 @@ _XCOMP_HEADS = frozenset({"continue", "begin", "start", "appear", "seem",
 # ("upon"/"following" are prepositional, owned by the nmod tier)
 _ADVCL_MARKERS = frozenset({"when", "while", "after", "before", "because",
                             "although", "if", "once", "whereas"})
+# report/cognition matrix verbs for the ccomp tier ("We show that ..."):
+# the POS-lite tagger reads many of these as nouns after a pronoun, so —
+# like _XCOMP_HEADS — they are admitted by lemma (keyed via _lemma_ish,
+# plus the common irregular pasts)
+_CCOMP_HEADS = frozenset({"show", "showed", "shown", "demonstrate",
+                          "suggest", "indicate", "find", "found",
+                          "report", "confirm", "reveal", "revealed",
+                          "observe", "note", "conclude", "propose",
+                          "establish", "mean", "imply", "argue",
+                          "ensure", "hypothesize", "believe", "know",
+                          "known"})
 
 
 def _lemma_ish(lw: str) -> str:
@@ -70,7 +81,7 @@ def light_deps(words: list[str], tags: list[str],
     """(src, dst, label) edges for the grammar-relevant UD subset:
     neg, nsubj, nsubjpass, dobj, nmod_of, nmod_by, nmod_<prep> for the
     general prepositions (at/on/in/to/with/for/from), conj_and, aux,
-    plus the clause tier (vars.yml:55-68 census): xcomp, acl_relcl
+    plus the clause tier (vars.yml:55-68 census): xcomp, ccomp, acl_relcl
     (UD acl:relcl), acl (reduced relative participle), appos."""
     n = len(words)
     lows = [w.lower() for w in words]
@@ -198,6 +209,30 @@ def light_deps(words: list[str], tags: list[str],
                     k -= 1                           # "is able to"
                 if k >= 0 and isn[k]:
                     edges.append((i, k, "nsubj"))
+
+    # --- ccomp: "We show/found that X phosphorylates Y" -----------------
+    # (UD ccomp — the other half of vars.yml `complements: xcomp|ccomp`):
+    # finite clausal complement under a matrix verb across the
+    # complementizer "that". Conservative shape: the token BEFORE "that"
+    # must be verb-ish (a noun there is a relative clause, owned by the
+    # acl_relcl tier below); the clause verb is the first verb after
+    # "that" with at least one intervening noun (the embedded subject).
+    # "so that"/"such that" adverbial purposes are excluded.
+    for i, lw in enumerate(lows):
+        if lw != "that" or i == 0 or i + 2 >= n:
+            continue
+        head_ok = isv[i - 1] or _lemma_ish(lows[i - 1]) in _CCOMP_HEADS \
+            or lows[i - 1] in _CCOMP_HEADS
+        if not head_ok or lows[i - 1] in ("so", "such"):
+            continue
+        saw_noun = False
+        for j in range(i + 1, n):
+            if isv[j]:
+                if saw_noun:
+                    edges.append((i - 1, j, "ccomp"))
+                break
+            if isn[j]:
+                saw_noun = True
 
     # --- acl_relcl: "X, which/that phosphorylates Y" --------------------
     # (UD acl:relcl — vars.yml `relative_clause`; underscore spelling to

@@ -111,3 +111,40 @@ class TestNegationViaDeps:
         # (NegationHandler.scala:115-137)
         evs = self._events("MEK does not fail to phosphorylate ERK.")
         assert evs and all(not self._negated(ev) for ev in evs)
+
+
+def test_ccomp_finite_complement():
+    """UD ccomp (vars.yml `complements: xcomp|ccomp` — the finite half):
+    matrix verb -> clause verb across the complementizer 'that'."""
+    from reach_spark.extract import annotate_sentence
+    ann = annotate_sentence("We show that TopBP1 phosphorylates ATR.")
+    deps = {(s, d, l) for s, d, l in ann["deps"]}
+    w = ann["words"]
+    show, phos = w.index("show"), w.index("phosphorylates")
+    assert (show, phos, "ccomp") in deps
+    # the embedded clause still gets its own subject/object
+    assert (phos, w.index("TopBP1"), "nsubj") in deps
+    assert (phos, w.index("ATR"), "dobj") in deps
+
+
+def test_ccomp_not_on_relative_or_purpose_that():
+    """'the kinase that phosphorylates X' is a relative clause
+    (acl_relcl, noun before 'that'); 'so that' is purpose — neither
+    emits ccomp."""
+    from reach_spark.extract import annotate_sentence
+    ann = annotate_sentence(
+        "The kinase that phosphorylates ATR binds TopBP1.")
+    assert not any(l == "ccomp" for _s, _d, l in ann["deps"])
+    ann2 = annotate_sentence(
+        "MEK is degraded so that ERK accumulates.")
+    assert not any(l == "ccomp" for _s, _d, l in ann2["deps"])
+
+
+def test_ccomp_passive_embedded_clause():
+    """'We found that Mek was phosphorylated by Erk' — ccomp lands on
+    the embedded passive verb."""
+    from reach_spark.extract import annotate_sentence
+    ann = annotate_sentence("We found that Mek was phosphorylated by Erk.")
+    deps = {(s, d, l) for s, d, l in ann["deps"]}
+    w = ann["words"]
+    assert (w.index("found"), w.index("phosphorylated"), "ccomp") in deps
