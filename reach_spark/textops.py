@@ -1149,3 +1149,69 @@ def source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "END) * 1000000 DIV count(*) AS BIGINT)")
                   .alias("short_ppm"),
                  F.countDistinct("lang").alias("n_langs")))
+
+
+@_register("mixing_rates", """
+WITH tok AS (
+  SELECT source,
+         CAST(sum(len(regexp_split_to_array(text, ' '))) AS BIGINT)
+           AS tokens
+  FROM documents GROUP BY source),
+w AS (
+  SELECT source, tokens,
+         CAST(floor(sqrt(tokens)) AS BIGINT) AS weight
+  FROM tok),
+tot AS (
+  SELECT CAST(sum(weight) AS BIGINT) AS sum_w,
+         CAST(min(tokens * (SELECT sum(weight) FROM w) // weight)
+              AS BIGINT) AS t_star
+  FROM w)
+SELECT w.source, w.tokens, w.weight,
+       CAST(w.weight * 1000000 // t.sum_w AS BIGINT) AS target_ppm,
+       CAST(least(t.t_star * w.weight * 1000000 //
+                  (t.sum_w * w.tokens), 1000000) AS BIGINT)
+         AS keep_ppm,
+       CAST(w.tokens * (least(t.t_star * w.weight * 1000000 //
+                              (t.sum_w * w.tokens), 1000000)) // 1000000
+            AS BIGINT) AS planned_tokens
+FROM w, tot t
+""")
+def mixing_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing rate solver (the Pile/Dolma/Gopher mixture stage):
+    per-source downsampling rates that hit a temperature-reweighted
+    target distribution with NO upsampling.
+
+    Target share of source s is proportional to sqrt(tokens_s) — the
+    tau=2 temperature reweighting that flattens head domains (the
+    multilingual-sampling trick applied to domain mixing). The largest
+    achievable corpus under downsampling-only is the water-fill
+    closed form T* = min_s floor(tokens_s * sum_w / w_s) (the binding
+    source is kept whole); keep_ppm_s = floor(T* * w_s * 1e6 /
+    (sum_w * tokens_s)) — ALL integer arithmetic after one
+    correctly-rounded sqrt (IEEE754 sqrt is exact-deterministic across
+    engines; counts < 2^53), so the DuckDB oracle matches bit-for-bit.
+
+    Spark shape: one hash aggregate per source (map-side combinable
+    token sum), then a broadcast join against the single-row totals —
+    the big table is scanned once, no window over the corpus."""
+    tok = (_docs(spark, sf_dir)
+           .groupBy("source")
+           .agg(F.sum(F.size(F.split("text", " ")))
+                .cast("bigint").alias("tokens")))
+    w = tok.withColumn(
+        "weight", F.floor(F.sqrt(F.col("tokens"))).cast("bigint"))
+    sums = w.agg(F.sum("weight").cast("bigint").alias("sum_w"))
+    tstar = (w.crossJoin(F.broadcast(sums))
+             .select(F.expr("tokens * sum_w DIV weight").alias("cap"))
+             .agg(F.min("cap").cast("bigint").alias("t_star")))
+    totals = F.broadcast(sums.crossJoin(F.broadcast(tstar)))
+    return (w.crossJoin(totals)
+            .select("source", "tokens", "weight",
+                    F.expr("weight * 1000000 DIV sum_w")
+                    .cast("bigint").alias("target_ppm"),
+                    F.expr("least(t_star * weight * 1000000 DIV "
+                           "(sum_w * tokens), CAST(1000000 AS BIGINT))")
+                    .cast("bigint").alias("keep_ppm"))
+            .withColumn("planned_tokens",
+                        F.expr("tokens * keep_ppm DIV 1000000")
+                        .cast("bigint")))

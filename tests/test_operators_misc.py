@@ -722,3 +722,24 @@ def test_read_nxml(spark, tmp_path):
     assert nxt and nxt[0]["text"].startswith("Fig 1.")
     joined = " ".join(texts)
     assert "RIPA" not in joined and "Smith" not in joined
+
+
+def test_mixing_rates_water_fill(spark):
+    """mixing_rates: the binding source (smallest tokens*sum_w/weight)
+    keeps everything; every other source downsamples; realized shares
+    track the sqrt-temperature targets within integer-ppm floor error."""
+    from reach_spark import textops
+    fn, _ = textops.QUERIES["mixing_rates"]
+    rows = fn(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(0 < r.keep_ppm <= 1_000_000 for r in rows)
+    # binding source keeps (nearly) everything — two integer floors
+    # (t_star, then the ppm) shave at most a few ppm off 1.0
+    assert max(r.keep_ppm for r in rows) >= 999_900
+    total_planned = sum(r.planned_tokens for r in rows)
+    for r in rows:
+        share_ppm = r.planned_tokens * 1_000_000 // total_planned
+        # realized share within 2% absolute of the target (floors +
+        # the whole-kept binding source wobble the tail)
+        assert abs(share_ppm - r.target_ppm) < 20_000, (r, share_ppm)
+    assert all(r.planned_tokens <= r.tokens for r in rows)
