@@ -271,6 +271,15 @@ def kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangles(_eer_table(spark, sf_dir))
 
 
+def kg_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph] Link-prediction shortlist over the materialized KG
+    (graph_ops.common_neighbors): unconnected node pairs sharing >= 2
+    neighbors in the undirected asserted graph, with integer-ppm
+    Jaccard — wedge join + anti-join against the edge set."""
+    from reach_spark.graph_ops import common_neighbors
+    return common_neighbors(_eer_table(spark, sf_dir))
+
+
 def export_bel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[export/BEL] OpenBEL 1.0 statements over the materialized EER table
     (reach_spark.bel — pure column expressions, no UDF; the reference
@@ -358,6 +367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_communities"] = kg_communities
     out["kg_triangles"] = kg_triangles
     out["kg_clustering"] = kg_clustering
+    out["kg_common_neighbors"] = kg_common_neighbors
     out["media_caption_pairs"] = media_caption_pairs
     out["export_bel"] = export_bel
     out["export_biopax"] = export_biopax
@@ -586,6 +596,41 @@ und AS (
 SELECT w1.u AS a, w1.v AS b, w2.v AS c
 FROM und w1 JOIN und w2 ON w2.u = w1.v
      JOIN und cl ON cl.u = w1.u AND cl.v = w2.v
+"""
+
+
+def _common_neighbors_oracle() -> str:
+    """kg_common_neighbors oracle: same wedge enumeration as the
+    triangles oracle but anti-joined against the edge set, with
+    integer-ppm Jaccard over degrees."""
+    return f"""
+WITH {_eer_cte()},
+und AS (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM eer
+  WHERE NOT negated AND subj IS NOT NULL AND obj IS NOT NULL
+        AND subj <> obj
+),
+sym AS (
+  SELECT u AS n, v AS m FROM und
+  UNION ALL SELECT v, u FROM und
+),
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM sym GROUP BY n),
+pairs AS (
+  SELECT w1.n AS a, w2.n AS b, CAST(count(*) AS BIGINT) AS common
+  FROM sym w1 JOIN sym w2 ON w2.m = w1.m AND w1.n < w2.n
+  GROUP BY w1.n, w2.n
+  HAVING count(*) >= 2
+),
+cand AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM und e
+                    WHERE e.u = p.a AND e.v = p.b)
+)
+SELECT c.a, c.b, c.common,
+       CAST(c.common * 1000000 // (da.deg + db.deg - c.common)
+            AS BIGINT) AS jaccard_ppm
+FROM cand c JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b
 """
 
 
@@ -1110,6 +1155,7 @@ def oracle_sql() -> dict[str, str]:
     out["kg_pagerank"] = _pagerank_oracle(iters=3)
     out["kg_communities"] = _lpa_oracle(iters=3)
     out["kg_triangles"] = _triangles_oracle()
+    out["kg_common_neighbors"] = _common_neighbors_oracle()
     out["kg_clustering"] = _clustering_oracle()
     out["media_caption_pairs"] = _caption_oracle()
     out["export_bel"] = _bel_oracle()

@@ -257,3 +257,50 @@ def label_propagation(triples: DataFrame, iters: int = 3) -> DataFrame:
                   .groupBy("node")
                   .agg(F.expr("substring(min(k), 11)").alias("label")))
     return labels.select("node", F.col("label").alias("community"))
+
+
+def common_neighbors(triples: DataFrame, min_common: int = 2) -> DataFrame:
+    """Link prediction baseline over the undirected asserted KG:
+    candidate (unconnected) node pairs ranked by shared-neighbor count +
+    integer Jaccard — "entities that co-regulate the same partners but
+    have no asserted edge yet" is the KG-completion shortlist a curator
+    reads.
+
+    Same wedge shape as `triangles` (sym edge list self-joined on the
+    middle node, a < b once), but KEEPING the wedges that do NOT close:
+    an anti-join against the edge set replaces the closing join. Degrees
+    join in for the Jaccard denominator; all arithmetic is integer ppm
+    so the DuckDB oracle matches exactly. Equi-joins on node keys
+    throughout — the wedge relation is sum(deg^2) sized, the standard
+    distributed cost, vocabulary-bounded on the EER table.
+
+    Output: (a, b, common, jaccard_ppm), a < b, common >= `min_common`.
+    """
+    e = kg_edges(triples)
+    und = (e.select(F.least("src", "dst").alias("u"),
+                    F.greatest("src", "dst").alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .distinct())
+    sym = (und.select(F.col("u").alias("n"), F.col("v").alias("m"))
+           .unionByName(und.select(F.col("v").alias("n"),
+                                   F.col("u").alias("m"))))
+    deg = sym.groupBy("n").agg(F.count("*").cast("bigint").alias("deg"))
+    w1 = sym.select(F.col("m").alias("mid"), F.col("n").alias("a"))
+    w2 = sym.select(F.col("m").alias("mid"), F.col("n").alias("b"))
+    pairs = (w1.join(w2, "mid")
+             .where(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count("*").cast("bigint").alias("common"))
+             .where(F.col("common") >= min_common))
+    candidates = pairs.join(
+        und, (pairs["a"] == und["u"]) & (pairs["b"] == und["v"]),
+        "left_anti")
+    return (candidates
+            .join(deg.select(F.col("n").alias("a"),
+                             F.col("deg").alias("deg_a")), "a")
+            .join(deg.select(F.col("n").alias("b"),
+                             F.col("deg").alias("deg_b")), "b")
+            .select("a", "b", "common",
+                    F.expr("common * 1000000 DIV "
+                           "(deg_a + deg_b - common)")
+                    .cast("bigint").alias("jaccard_ppm")))

@@ -173,3 +173,26 @@ def test_label_propagation_two_cliques(spark):
             for r in label_propagation(eer.repartition(7), iters=3)
             .collect()}
     assert got2 == got
+
+
+def test_common_neighbors_link_prediction(spark):
+    """common_neighbors: only UNCONNECTED pairs appear, counts are the
+    true shared-neighbor counts, Jaccard is integer ppm over the
+    undirected degrees; hand-checked diamond graph."""
+    from reach_spark.graph_ops import common_neighbors
+    # diamond: A-B, A-C, D-B, D-C (A,D unconnected, share {B,C});
+    # B,C unconnected, share {A,D}; plus edge B-C would close it — omit.
+    rows = [("A", "B"), ("A", "C"), ("D", "B"), ("D", "C")]
+    df = spark.createDataFrame(
+        [(s, "Binding", o, False, 1) for s, o in rows],
+        "subj string, pred string, obj string, negated boolean, seen long")
+    out = {(r.a, r.b): (r.common, r.jaccard_ppm)
+           for r in common_neighbors(df).collect()}
+    assert out == {("A", "D"): (2, 1_000_000),
+                   ("B", "C"): (2, 1_000_000)}
+    # connect A-D: the pair must vanish from the candidate list
+    df2 = spark.createDataFrame(
+        [(s, "Binding", o, False, 1) for s, o in rows + [("A", "D")]],
+        "subj string, pred string, obj string, negated boolean, seen long")
+    out2 = {(r.a, r.b) for r in common_neighbors(df2).collect()}
+    assert ("A", "D") not in out2 and ("B", "C") in out2
