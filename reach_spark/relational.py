@@ -310,3 +310,99 @@ def q1_rollup_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.coalesce("l_linestatus", F.lit("<all>"))
                     .alias("linestatus"),
                     "gid", "sum_qty", "count_order"))
+
+
+_DAY_US = 86_400_000_000
+
+
+@_register("retention_cohorts", f"""
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+), d0 AS (
+  SELECT user_id, min(day) AS day0 FROM d GROUP BY user_id
+)
+SELECT CAST(d0.day0 // 7 AS BIGINT) AS cohort_week,
+       CAST((d.day - d0.day0) // 7 AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT d.user_id) AS BIGINT) AS active_users
+FROM d JOIN d0 ON d0.user_id = d.user_id
+GROUP BY 1, 2
+""")
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen week, one
+    row per (cohort_week, week_offset) with distinct active users — the
+    classic product-analytics triangle. Integer epoch-day arithmetic
+    end-to-end (the session TZ is pinned UTC, so epoch microseconds are
+    engine-identical; no calendar week-truncation semantics to
+    disagree on). Spark shape: one aggregate for cohort day-0 per user,
+    re-joined on user_id (shuffle on the join key), then a distinct
+    hash aggregate — no windows over the corpus."""
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .select("user_id",
+                 F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) "
+                        f"DIV {_DAY_US}").alias("day")))
+    d0 = e.groupBy("user_id").agg(F.min("day").alias("day0"))
+    return (e.join(d0, "user_id")
+            .select("user_id",
+                    F.expr("day0 DIV 7").cast("bigint")
+                    .alias("cohort_week"),
+                    F.expr("(day - day0) DIV 7").cast("bigint")
+                    .alias("week_offset"))
+            .groupBy("cohort_week", "week_offset")
+            .agg(F.countDistinct("user_id").cast("bigint")
+                 .alias("active_users")))
+
+
+@_register("funnel_conversion", f"""
+WITH s AS (
+  SELECT user_id, min(epoch_us(ts)) AS s_us FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+), conv AS (
+  SELECT s.user_id, s.s_us,
+         CASE WHEN EXISTS (
+           SELECT 1 FROM events p
+           WHERE p.user_id = s.user_id AND p.event_type = 'purchase'
+             AND epoch_us(p.ts) > s.s_us
+             AND epoch_us(p.ts) <= s.s_us + 7 * {_DAY_US}
+         ) THEN 1 ELSE 0 END AS converted
+  FROM s
+)
+SELECT CAST(s_us // {_DAY_US} // 7 AS BIGINT) AS cohort_week,
+       CAST(count(*) AS BIGINT) AS signups,
+       CAST(sum(converted) AS BIGINT) AS converted,
+       CAST(sum(converted) * 1000000 // count(*) AS BIGINT)
+         AS conv_ppm
+FROM conv GROUP BY 1
+""")
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signup→purchase funnel by signup-week cohort: share of users
+    whose FIRST signup is followed by a purchase within 7 days —
+    the two-stage conversion query every events pipeline runs.
+
+    Spark shape: min-aggregate for first signup, one equi-join to the
+    purchase events with the time window as a join filter (a bounded
+    interval join on the user key — never a cartesian), then
+    left_semi-style existence via groupBy max. Integer ppm output."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP))").alias("tus"))
+    s = (ev.where(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("tus").alias("s_us")))
+    p = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", F.col("tus").alias("p_us"))
+    hits = (s.join(p, "user_id")
+            .where((F.col("p_us") > F.col("s_us")) &
+                   (F.col("p_us") <= F.col("s_us") +
+                    F.lit(7 * _DAY_US)))
+            .select("user_id").distinct()
+            .withColumn("converted", F.lit(1)))
+    conv = s.join(hits.select("user_id", "converted"), "user_id",
+                  "left").fillna({"converted": 0})
+    return (conv
+            .select(F.expr(f"s_us DIV {_DAY_US} DIV 7").cast("bigint")
+                    .alias("cohort_week"), "converted")
+            .groupBy("cohort_week")
+            .agg(F.count("*").cast("bigint").alias("signups"),
+                 F.sum("converted").cast("bigint").alias("converted"))
+            .withColumn("conv_ppm",
+                        F.expr("converted * 1000000 DIV signups")
+                        .cast("bigint")))

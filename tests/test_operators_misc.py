@@ -743,3 +743,25 @@ def test_mixing_rates_water_fill(spark):
         # the whole-kept binding source wobble the tail)
         assert abs(share_ppm - r.target_ppm) < 20_000, (r, share_ppm)
     assert all(r.planned_tokens <= r.tokens for r in rows)
+
+
+def test_retention_and_funnel(spark):
+    """retention_cohorts: week_offset 0 is each cohort's max (everyone is
+    active in their first week); funnel_conversion: ppm consistent with
+    the counted columns."""
+    from reach_spark import relational
+    sf = "/root/testdata/sf0.001"
+    rows = relational.QUERIES["retention_cohorts"][0](spark, sf).collect()
+    assert rows
+    by_cohort = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, {})[r.week_offset] = \
+            r.active_users
+    for cw, offs in by_cohort.items():
+        assert 0 in offs
+        assert offs[0] == max(offs.values()), (cw, offs)
+    f = relational.QUERIES["funnel_conversion"][0](spark, sf).collect()
+    assert f
+    for r in f:
+        assert 0 <= r.converted <= r.signups
+        assert r.conv_ppm == r.converted * 1_000_000 // r.signups
