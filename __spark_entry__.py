@@ -280,6 +280,32 @@ def kg_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return common_neighbors(_eer_table(spark, sf_dir))
 
 
+def kg_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph] Bounded-round 2-core peel over the undirected asserted KG
+    (graph_ops.kcore): nodes surviving repeated deletion of degree-<2
+    leaves, with their in-core degree — the pathway-backbone filter.
+    8 synchronous peel rounds, identical unroll in the DuckDB oracle."""
+    from reach_spark.graph_ops import kcore
+    return kcore(_eer_table(spark, sf_dir), k=2, rounds=8)
+
+
+def kg_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph] Multi-source BFS hop distance from hub entities (symmetric
+    degree >= 3) over the undirected asserted KG (graph_ops.bfs_hops):
+    4 rounds of synchronous min-relaxation; unreached fringe absent."""
+    from reach_spark.graph_ops import bfs_hops
+    return bfs_hops(_eer_table(spark, sf_dir), min_seed_deg=3, max_hops=4)
+
+
+def kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph] Fixed-point integer HITS (3 iterations, max-renormalized
+    to 1e6 per half-step) over the directed asserted edge set
+    (graph_ops.hits_fp): authorities = regulation targets, hubs = master
+    regulators — all-integer arithmetic, bit-identical across engines."""
+    from reach_spark.graph_ops import hits_fp
+    return hits_fp(_eer_table(spark, sf_dir), iters=3)
+
+
 def export_bel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[export/BEL] OpenBEL 1.0 statements over the materialized EER table
     (reach_spark.bel — pure column expressions, no UDF; the reference
@@ -368,6 +394,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_triangles"] = kg_triangles
     out["kg_clustering"] = kg_clustering
     out["kg_common_neighbors"] = kg_common_neighbors
+    out["kg_kcore"] = kg_kcore
+    out["kg_bfs_hops"] = kg_bfs_hops
+    out["kg_hits"] = kg_hits
     out["media_caption_pairs"] = media_caption_pairs
     out["export_bel"] = export_bel
     out["export_biopax"] = export_biopax
@@ -631,6 +660,125 @@ SELECT c.a, c.b, c.common,
        CAST(c.common * 1000000 // (da.deg + db.deg - c.common)
             AS BIGINT) AS jaccard_ppm
 FROM cand c JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b
+"""
+
+
+def _und_sym_sql() -> str:
+    """Shared CTE tail: undirected-normalized distinct edges + symmetric
+    adjacency over the reconstructed EER (same front end as
+    graph_ops._und_sym)."""
+    return """
+und AS (
+  SELECT DISTINCT least(subj, obj) AS u, greatest(subj, obj) AS v
+  FROM eer
+  WHERE NOT negated AND subj IS NOT NULL AND obj IS NOT NULL
+        AND subj <> obj
+),
+s0 AS (
+  SELECT u AS n, v AS m FROM und
+  UNION ALL SELECT v, u FROM und
+)"""
+
+
+def _kcore_oracle(k: int = 2, rounds: int = 8) -> str:
+    """kg_kcore oracle: graph_ops.kcore unrolled — per round a degree
+    aggregate keeps nodes with deg >= k and the symmetric adjacency is
+    semi-joined on both endpoints; identical fixed round count. The
+    per-round CTEs are MATERIALIZED: each round references the previous
+    one three times, and DuckDB's default inlining would otherwise expand
+    the 8-round chain into 3^8 scans of the base table."""
+    steps = []
+    prev = "s0m"
+    for i in range(1, rounds + 1):
+        steps.append(f"""k{i} AS MATERIALIZED (
+  SELECT n FROM {prev} GROUP BY n HAVING count(*) >= {k}
+), s{i} AS MATERIALIZED (
+  SELECT s.n, s.m FROM {prev} s
+  JOIN k{i} a ON a.n = s.n JOIN k{i} b ON b.n = s.m
+)""")
+        prev = f"s{i}"
+    return f"""
+WITH {_eer_cte()},
+{_und_sym_sql()},
+s0m AS MATERIALIZED (SELECT n, m FROM s0),
+{",".join(steps)}
+SELECT n AS node, CAST(count(*) AS BIGINT) AS core_deg
+FROM {prev} GROUP BY n
+"""
+
+
+def _bfs_hops_oracle(min_seed_deg: int = 3, max_hops: int = 4) -> str:
+    """kg_bfs_hops oracle: graph_ops.bfs_hops unrolled — seeds are nodes
+    of symmetric degree >= min_seed_deg at hops 0; each round candidate
+    distances flow one hop and each node keeps the min."""
+    steps = []
+    prev = "d0"
+    for i in range(1, max_hops + 1):
+        steps.append(f"""d{i} AS (
+  SELECT node, CAST(min(hops) AS BIGINT) AS hops FROM (
+    SELECT node, hops FROM {prev}
+    UNION ALL
+    SELECT s.m AS node, d.hops + 1 AS hops
+    FROM s0 s JOIN {prev} d ON d.node = s.n
+  ) GROUP BY node
+)""")
+        prev = f"d{i}"
+    return f"""
+WITH {_eer_cte()},
+{_und_sym_sql()},
+d0 AS (
+  SELECT n AS node, CAST(0 AS BIGINT) AS hops
+  FROM s0 GROUP BY n HAVING count(*) >= {min_seed_deg}
+),
+{",".join(steps)}
+SELECT node, hops FROM {prev}
+"""
+
+
+def _hits_oracle(iters: int = 3) -> str:
+    """kg_hits oracle: graph_ops.hits_fp unrolled — auth half-step from
+    the previous hub vector, hub half-step from the NEW auth vector, each
+    max-renormalized to HITS_SCALE by integer division (scalar subquery =
+    the Spark side's 1-row broadcast)."""
+    from reach_spark.graph_ops import HITS_SCALE
+    steps = []
+    hub_prev = "h0"
+    for i in range(1, iters + 1):
+        steps.append(f"""ra{i} AS (
+  SELECT e.dst AS node, sum(h.hub) AS s
+  FROM edges e JOIN {hub_prev} h ON h.node = e.src GROUP BY e.dst
+), ap{i} AS (
+  SELECT n.node, CAST(coalesce(r.s, 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN ra{i} r ON r.node = n.node
+), a{i} AS (
+  SELECT node, CAST(v * {HITS_SCALE} //
+         (SELECT greatest(max(v), 1) FROM ap{i}) AS BIGINT) AS auth
+  FROM ap{i}
+), rh{i} AS (
+  SELECT e.src AS node, sum(a.auth) AS s
+  FROM edges e JOIN a{i} a ON a.node = e.dst GROUP BY e.src
+), hp{i} AS (
+  SELECT n.node, CAST(coalesce(r.s, 0) AS BIGINT) AS v
+  FROM nodes n LEFT JOIN rh{i} r ON r.node = n.node
+), h{i} AS (
+  SELECT node, CAST(v * {HITS_SCALE} //
+         (SELECT greatest(max(v), 1) FROM hp{i}) AS BIGINT) AS hub
+  FROM hp{i}
+)""")
+        hub_prev = f"h{i}"
+    return f"""
+WITH {_eer_cte()},
+edges AS (
+  SELECT DISTINCT subj AS src, obj AS dst FROM eer
+  WHERE NOT negated AND subj IS NOT NULL AND obj IS NOT NULL
+),
+nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+),
+h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS hub FROM nodes),
+{",".join(steps)}
+SELECT a.node, a.auth AS auth_fp, h.hub AS hub_fp
+FROM a{iters} a JOIN h{iters} h ON h.node = a.node
 """
 
 
@@ -1156,6 +1304,9 @@ def oracle_sql() -> dict[str, str]:
     out["kg_communities"] = _lpa_oracle(iters=3)
     out["kg_triangles"] = _triangles_oracle()
     out["kg_common_neighbors"] = _common_neighbors_oracle()
+    out["kg_kcore"] = _kcore_oracle(k=2, rounds=8)
+    out["kg_bfs_hops"] = _bfs_hops_oracle(min_seed_deg=3, max_hops=4)
+    out["kg_hits"] = _hits_oracle(iters=3)
     out["kg_clustering"] = _clustering_oracle()
     out["media_caption_pairs"] = _caption_oracle()
     out["export_bel"] = _bel_oracle()

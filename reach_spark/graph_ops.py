@@ -304,3 +304,150 @@ def common_neighbors(triples: DataFrame, min_common: int = 2) -> DataFrame:
                     F.expr("common * 1000000 DIV "
                            "(deg_a + deg_b - common)")
                     .cast("bigint").alias("jaccard_ppm")))
+
+
+def _und_sym(triples: DataFrame) -> DataFrame:
+    """Symmetric (n, m) adjacency of the undirected asserted graph —
+    the shared front end of the peel/BFS operators. Each undirected
+    edge appears exactly twice (n→m and m→n), self-loops dropped."""
+    e = kg_edges(triples)
+    und = (e.select(F.least("src", "dst").alias("u"),
+                    F.greatest("src", "dst").alias("v"))
+           .where(F.col("u") != F.col("v"))
+           .distinct())
+    return (und.select(F.col("u").alias("n"), F.col("v").alias("m"))
+            .unionByName(und.select(F.col("v").alias("n"),
+                                    F.col("u").alias("m"))))
+
+
+def kcore(triples: DataFrame, k: int = 2, rounds: int = 8) -> DataFrame:
+    """Bounded-round k-core peel over the undirected asserted graph: the
+    dense backbone of the KG that survives repeatedly deleting every node
+    of degree < k (Seidman 1983). Hubs with many one-off leaf partners
+    drop out of the 2-core leaf by leaf — the standard "is this entity in
+    a real pathway module or just promiscuously mentioned" filter.
+
+    Synchronous peel, `rounds` fixed iterations: each round computes
+    degrees over the surviving symmetric adjacency, keeps nodes with
+    deg >= k, and semi-joins the adjacency on BOTH endpoints. A fixed
+    round count (rather than loop-until-stable) keeps the computation
+    identical on any engine — the DuckDB oracle unrolls the same rounds —
+    and on a diameter-bounded peel cascade extra rounds are no-ops.
+    Per round: one map-side-combinable count + two equi semi-joins;
+    lineage truncated per round (localCheckpoint) exactly like
+    pagerank_fp. At cluster scale the adjacency would be bucketed on `n`
+    once so every round's aggregate and first semi-join are shuffle-free.
+
+    Output: (node, core_deg) — survivors of the k-core with their degree
+    inside the core.
+    """
+    sym = _und_sym(triples).localCheckpoint(eager=True)
+    for _ in range(rounds):
+        keep = (sym.groupBy("n").agg(F.count("*").alias("deg"))
+                .where(F.col("deg") >= k)
+                .select("n"))
+        sym = (sym.join(keep, "n", "left_semi")
+               .join(keep.withColumnRenamed("n", "m"), "m", "left_semi")
+               .localCheckpoint(eager=True))
+    return (sym.groupBy(F.col("n").alias("node"))
+            .agg(F.count("*").cast("long").alias("core_deg")))
+
+
+def bfs_hops(triples: DataFrame, min_seed_deg: int = 3,
+             max_hops: int = 4) -> DataFrame:
+    """Multi-source BFS hop distance over the undirected asserted graph:
+    how many interaction hops each entity sits from the nearest hub
+    (deterministic seed set = nodes of symmetric degree >= `min_seed_deg`).
+    The KG-curation reading: "pathway neighborhood radius" — entities far
+    from every hub are isolated fragments worth review.
+
+    Classic synchronous frontier relaxation, `max_hops` rounds: each round
+    candidate distances flow one hop along the adjacency and a node keeps
+    min(current, neighbor+1). min() is order-insensitive, so the result is
+    deterministic under any partitioning, and the DuckDB oracle unrolls
+    the identical rounds. Unreached nodes are absent from the output (a
+    corpus-scale graph's fringe stays fringe — no dense all-nodes row
+    set). Per round: one equi-join + one min-aggregate, lineage truncated
+    per round; at cluster scale the adjacency is bucketed on `n` once and
+    every round reuses that layout.
+
+    Output: (node, hops) with 0 <= hops <= max_hops.
+    """
+    sym = _und_sym(triples).localCheckpoint(eager=True)
+    dist = (sym.groupBy("n").agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= min_seed_deg)
+            .select(F.col("n").alias("node"),
+                    F.lit(0).cast("long").alias("hops")))
+    for _ in range(max_hops):
+        nxt = (sym.join(dist.withColumnRenamed("node", "n"), "n")
+               .select(F.col("m").alias("node"),
+                       (F.col("hops") + F.lit(1)).alias("hops")))
+        dist = (dist.unionByName(nxt)
+                .groupBy("node")
+                .agg(F.min("hops").cast("long").alias("hops"))
+                .localCheckpoint(eager=True))
+    return dist
+
+
+# HITS fixed-point parameters: scores are renormalized to max = 1e6 after
+# every half-step via integer (truncating) division, so the iteration is
+# bit-identical across engines, partitionings and summation orders.
+HITS_SCALE = 1_000_000
+
+
+def hits_fp(triples: DataFrame, iters: int = 3) -> DataFrame:
+    """Fixed-point integer HITS (Kleinberg 1999) over the distinct
+    asserted DIRECTED edge set — the natural companion of pagerank_fp on
+    a KG whose edges are controller → controlled: authorities are
+    entities many regulators point AT (regulation targets), hubs are
+    entities that point at many good targets (master regulators). A plain
+    degree count can't separate the two roles; the mutual recursion can.
+
+    Each iteration: auth(n) = Σ hub over in-edges, then hub(n) = Σ auth
+    over out-edges, each half-step renormalized to max = HITS_SCALE by
+    integer division (the float L2 normalization of the paper is
+    summation-order-dependent; max-normalization in int64 is exact and
+    preserves the ranking). The global max is a 1-row aggregate broadcast
+    back (crossJoin of a scalar — the same shape as the stride scalar in
+    doc_winnow). Per iteration: two equi-joins + two hash aggregates over
+    the static edge list; at cluster scale the edge list is bucketed once
+    on each key side and the rank vectors stay node-keyed.
+
+    Output: (node, auth_fp, hub_fp), scaled integers in [0, HITS_SCALE].
+    """
+    edges = kg_edges(triples).localCheckpoint(eager=True)
+    nodes = (edges.select(F.col("src").alias("node"))
+             .union(edges.select(F.col("dst").alias("node")))
+             .distinct())
+    hub = nodes.select("node",
+                       F.lit(HITS_SCALE).cast("long").alias("hub_fp"))
+    auth = nodes.select("node",
+                        F.lit(HITS_SCALE).cast("long").alias("auth_fp"))
+
+    def _renorm(df: DataFrame, col: str) -> DataFrame:
+        mx = df.agg(F.greatest(F.max(F.col(col)),
+                               F.lit(1).cast("long")).alias("_mx"))
+        return (df.crossJoin(F.broadcast(mx))
+                .select("node",
+                        F.expr(f"({col} * {HITS_SCALE}) div _mx")
+                        .cast("long").alias(col)))
+
+    for _ in range(iters):
+        raw_a = (edges.join(hub.withColumnRenamed("node", "src"), "src")
+                 .groupBy(F.col("dst").alias("node"))
+                 .agg(F.sum("hub_fp").alias("s")))
+        auth = _renorm(
+            nodes.join(raw_a, "node", "left")
+            .select("node", F.coalesce("s", F.lit(0)).cast("long")
+                    .alias("auth_fp")),
+            "auth_fp")
+        raw_h = (edges.join(auth.withColumnRenamed("node", "dst"), "dst")
+                 .groupBy(F.col("src").alias("node"))
+                 .agg(F.sum("auth_fp").alias("s")))
+        hub = _renorm(
+            nodes.join(raw_h, "node", "left")
+            .select("node", F.coalesce("s", F.lit(0)).cast("long")
+                    .alias("hub_fp")),
+            "hub_fp")
+    return (auth.join(hub, "node")
+            .select("node", "auth_fp", "hub_fp"))

@@ -196,3 +196,84 @@ def test_common_neighbors_link_prediction(spark):
         "subj string, pred string, obj string, negated boolean, seen long")
     out2 = {(r.a, r.b) for r in common_neighbors(df2).collect()}
     assert ("A", "D") not in out2 and ("B", "C") in out2
+
+
+def test_kcore_peel_cascade(spark):
+    """kcore(k=2): a triangle with a two-node tail — the tail peels off in
+    a CASCADE (e first, which drops d below k the next round), leaving the
+    triangle with in-core degree 2 everywhere."""
+    from reach_spark.graph_ops import kcore
+    rows = [(s, "P", o, False, 1) for s, o in
+            [("a", "b"), ("b", "c"), ("a", "c"),   # triangle = the 2-core
+             ("c", "d"), ("d", "e")]]              # tail: deg(e)=1
+    eer = spark.createDataFrame(rows, SCHEMA)
+    got = {r.node: r.core_deg for r in kcore(eer, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 2}
+    # determinism across partitionings
+    got2 = {r.node: r.core_deg
+            for r in kcore(eer.repartition(7), k=2).collect()}
+    assert got2 == got
+    # k=3 empties this graph entirely
+    assert kcore(eer, k=3).count() == 0
+
+
+def test_bfs_hops_from_hub(spark):
+    """bfs_hops: on the triangle+tail graph only c has degree >= 3, so it
+    is the sole seed; hops are graph distance from c, tail end at 2."""
+    from reach_spark.graph_ops import bfs_hops
+    rows = [(s, "P", o, False, 1) for s, o in
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]]
+    eer = spark.createDataFrame(rows, SCHEMA)
+    got = {r.node: r.hops for r in bfs_hops(eer, min_seed_deg=3).collect()}
+    assert got == {"c": 0, "a": 1, "b": 1, "d": 1, "e": 2}
+    got2 = {r.node: r.hops
+            for r in bfs_hops(eer.repartition(5), min_seed_deg=3).collect()}
+    assert got2 == got
+
+
+def test_bfs_hops_bounded(spark):
+    """Nodes beyond max_hops from every seed are absent (no dense
+    all-nodes output), and a tighter bound truncates the frontier."""
+    from reach_spark.graph_ops import bfs_hops
+    # star hub h-(x1..x3) then a path x1-p1-p2-p3
+    rows = [("h", x) for x in ("x1", "x2", "x3")] + [
+        ("x1", "p1"), ("p1", "p2"), ("p2", "p3")]
+    eer = spark.createDataFrame(
+        [(s, "P", o, False, 1) for s, o in rows], SCHEMA)
+    got = {r.node: r.hops for r in bfs_hops(eer, min_seed_deg=3,
+                                            max_hops=2).collect()}
+    assert got == {"h": 0, "x1": 1, "x2": 1, "x3": 1, "p1": 2}
+    assert "p2" not in got and "p3" not in got
+
+
+def test_hits_hand_computed(spark):
+    """hits_fp on a->b, c->b, b->d: b is the authority (both hubs point at
+    it), a and c are the hubs; hand-unrolled 3 iterations of the
+    max-renormalized integer recursion."""
+    from reach_spark.graph_ops import hits_fp
+    rows = [("a", "P", "b", False, 1), ("c", "P", "b", False, 1),
+            ("b", "P", "d", False, 1)]
+    eer = spark.createDataFrame(rows, SCHEMA)
+    got = {r.node: (r.auth_fp, r.hub_fp) for r in hits_fp(eer).collect()}
+    assert got == {"a": (0, 1_000_000), "c": (0, 1_000_000),
+                   "b": (1_000_000, 125_000), "d": (125_000, 0)}
+    got2 = {r.node: (r.auth_fp, r.hub_fp)
+            for r in hits_fp(eer.repartition(5)).collect()}
+    assert got2 == got
+
+
+def test_kcore_bfs_hits_plans_no_cartesian(eer):
+    """Plan gate: every join in the three new iterative operators is an
+    equi-join (or a broadcast of the 1-row renorm scalar) — never a
+    cartesian/BNLJ over node-keyed relations."""
+    from reach_spark.graph_ops import bfs_hops, hits_fp, kcore
+    for df in (kcore(eer, rounds=2), bfs_hops(eer, max_hops=2)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+    # hits_fp: the renorm scalar is a deliberate 1-row broadcast (the same
+    # bounded shape as doc_winnow's stride scalar) — BNLJ against one row
+    # is the intended plan; a CartesianProduct would not be.
+    plan = hits_fp(eer, iters=1)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
