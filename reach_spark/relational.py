@@ -406,3 +406,62 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("conv_ppm",
                         F.expr("converted * 1000000 DIV signups")
                         .cast("bigint")))
+
+
+_HOUR_US = 3_600_000_000
+
+
+@_register("events_rollup_hourly", f"""
+WITH b AS (
+  SELECT epoch_us(ts) // {_HOUR_US} AS hour, event_type,
+         CAST(floor(value * 1000000) AS BIGINT) AS vus
+  FROM events
+), agg AS (
+  SELECT hour, event_type, count(*) AS n_events, sum(vus) AS value_micros
+  FROM b GROUP BY hour, event_type
+)
+SELECT CAST(hour AS BIGINT) AS hour, event_type,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(value_micros AS BIGINT) AS value_micros,
+       CAST(sum(n_events) OVER w * 1000 // count(*) OVER w AS BIGINT)
+         AS ma3_events_x1000
+FROM agg
+WINDOW w AS (PARTITION BY event_type ORDER BY hour
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+""")
+def events_rollup_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly continuous-aggregate rollup over the events stream — the
+    hypertable/time-bucket pattern: raw events collapse to one row per
+    (hour bucket, event_type) with count + integer-micros value sum, then
+    a 3-bucket trailing moving average smooths the series.
+
+    The scale split is the point: the bucket aggregate runs over RAW
+    events and is a plain map-side-combinable hash aggregate (no window
+    touches the raw table); the moving-average window runs over the
+    ALREADY-AGGREGATED rollup, whose cardinality is hours × event types —
+    time-bounded, not corpus-bounded. value is fixed to integer micros
+    via floor(value * 1e6) (identical IEEE-double → floor result on both
+    engines) so sums and the x1000 moving average hash-compare exactly;
+    the window average is (sum * 1000) DIV n with the leading-edge n < 3
+    handled by the windowed count."""
+    e = (spark.read.parquet(f"{sf_dir}/events.parquet")
+         .select(F.expr(f"unix_micros(CAST(ts AS TIMESTAMP)) "
+                        f"DIV {_HOUR_US}").alias("hour"),
+                 "event_type",
+                 F.expr("CAST(floor(value * 1000000) AS BIGINT)")
+                 .alias("vus")))
+    agg = (e.groupBy("hour", "event_type")
+           .agg(F.count("*").alias("n_events"),
+                F.sum("vus").alias("value_micros")))
+    w = (Window.partitionBy("event_type").orderBy("hour")
+         .rowsBetween(-2, 0))
+    return (agg
+            .withColumn("_ma_sum", F.sum("n_events").over(w))
+            .withColumn("_ma_n", F.count("*").over(w))
+            .select(F.col("hour").cast("bigint").alias("hour"),
+                    "event_type",
+                    F.col("n_events").cast("bigint").alias("n_events"),
+                    F.col("value_micros").cast("bigint")
+                    .alias("value_micros"),
+                    F.expr("CAST(_ma_sum * 1000 DIV _ma_n AS BIGINT)")
+                    .alias("ma3_events_x1000")))

@@ -1215,3 +1215,62 @@ def mixing_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("planned_tokens",
                         F.expr("tokens * keep_ppm DIV 1000000")
                         .cast("bigint")))
+
+
+@_register("quality_bigram_novelty", """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(text, ' ') AS t FROM documents
+), bg AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS bigram
+  FROM toks WHERE len(t) >= 2
+), df AS (
+  SELECT bigram, count(*) AS df FROM bg GROUP BY bigram
+)
+SELECT b.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+       CAST(sum(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS novel_ppm
+FROM bg b JOIN df d ON d.bigram = b.bigram
+GROUP BY b.doc_id
+""")
+def quality_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-novelty quality score: per document, the fraction (ppm) of
+    its DISTINCT word bigrams that occur in no other document. Low
+    novelty = boilerplate/template text sharing its phrasing corpus-wide;
+    near-total novelty on a large corpus flags gibberish — the two tails
+    a crawl-quality filter cuts. Complements quality_repetition (which is
+    within-doc) with a cross-doc phrase statistic.
+
+    Shape: explode per-doc distinct bigrams (corpus-token-bounded), one
+    map-side-combinable document-frequency aggregate, one equi-join back
+    on the bigram key, one per-doc aggregate. All integer arithmetic
+    (count + ppm by truncating division). At crawl scale the df join is
+    the standard hot-key surface — the same mitigation as
+    dedup_jaccard_pairs' JACCARD_DF_CAP applies (drop bigrams above a df
+    cap: they are by definition not novel, so the novel count is
+    unaffected; only n_bigrams bookkeeping would shift — documented, not
+    applied at test scale so the oracle stays exhaustive). Docs with < 2
+    tokens have no bigram and are absent, like dedup shingle ops.
+    """
+    toks = (_docs(spark, sf_dir)
+            .select("doc_id", F.split("text", " ").alias("t"))
+            .where(F.size("t") >= 2))
+    bg = (toks.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, size(t) - 1), "
+            "i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"))
+        .alias("bigram"))
+        .distinct())
+    df = bg.groupBy("bigram").agg(F.count("*").alias("df"))
+    return (bg.join(df, "bigram")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("bigint").alias("n_bigrams"),
+                 F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                 .cast("bigint").alias("novel"))
+            .withColumn("novel_ppm",
+                        F.expr("novel * 1000000 DIV n_bigrams")
+                        .cast("bigint")))

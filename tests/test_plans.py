@@ -67,7 +67,8 @@ def test_q3_broadcasts_dims(spark):
                                    "lang_id", "quality_score",
                                    "vocab_topk", "dedup_substring_spans",
                                    "quality_lm_rank", "doc_keywords_tfidf",
-                                   "source_stats", "mixing_rates"])
+                                   "source_stats", "mixing_rates",
+                                   "quality_bigram_novelty"])
 def test_textops_no_python_udf(spark, qname):
     """Dedup/text-analysis hot paths are built-in expressions only — no
     row-at-a-time Python, no pandas UDF (BASELINE.json input_hint
@@ -442,3 +443,25 @@ def test_brat_standoff_plan_no_cartesian_no_python(spark):
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
         assert out.count() > 0
+
+
+def test_events_rollup_window_over_aggregate(spark):
+    """events_rollup_hourly: the moving-average Window must consume the
+    bucketed AGGREGATE, never raw events — in the executed plan the
+    HashAggregate sits below the Window; and no Python UDF anywhere."""
+    from reach_spark.relational import events_rollup_hourly
+    df = events_rollup_hourly(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    wpos = plan.find("Window")
+    apos = plan.rfind("HashAggregate")
+    assert wpos != -1 and apos != -1
+    # executedPlan prints top-down: the aggregate feeding the window
+    # appears AFTER (below) the Window operator in the string
+    assert apos > wpos
+    # correctness spot: leading-edge moving average equals its own count
+    import pyspark.sql.functions as F
+    first = (df.where(F.col("event_type") == df.select("event_type")
+                      .orderBy("event_type").first()[0])
+             .orderBy("hour").first())
+    assert first["ma3_events_x1000"] == first["n_events"] * 1000
