@@ -82,7 +82,9 @@ def light_deps(words: list[str], tags: list[str],
     neg, nsubj, nsubjpass, dobj, nmod_of, nmod_by, nmod_<prep> for the
     general prepositions (at/on/in/to/with/for/from), conj_and, aux,
     plus the clause tier (vars.yml:55-68 census): xcomp, ccomp, acl_relcl
-    (UD acl:relcl), acl (reduced relative participle), appos."""
+    (UD acl:relcl), acl (reduced relative participle), appos, and the
+    noun-modifier tier (vars.yml:50 census): amod (adjectival +
+    participial premodifier), compound, nummod, advmod, nmod_poss."""
     n = len(words)
     lows = [w.lower() for w in words]
     # determiner-governed gerunds are nominals in UD ("The binding of
@@ -338,6 +340,85 @@ def light_deps(words: list[str], tags: list[str],
             while j + 1 < n and isn[j + 1]:
                 j += 1
             edges.append((j, i, "nmod_poss"))
+
+    # --- noun-modifier tier (vars.yml:50 noun_modifiers census:
+    # amod|compound|advmod|nmod:poss|nummod — nmod_poss above, the other
+    # four here). Pure graph enrichment: every rule constraint in
+    # rules/*.yml is ^…$-anchored, so new labels cannot change existing
+    # matches; consumers are the syntax standoff and future rule shapes.
+
+    # amod: adjectival (JJ) or PARTICIPIAL (VBN) premodifier → NP head.
+    # UD attaches the modifier to the noun it modifies: head = rightmost
+    # noun of the contiguous run, ended by the same uppercase→lowercase
+    # transition as the nmod tier. A VBN preceded by a noun-ish token is
+    # simple-past transitive ("MEK phosphorylated ERK") — that reading
+    # stays with nsubj/dobj; participial amod covers "The phosphorylated
+    # ERK …" / "levels of ubiquitinated p53" (the PTM-premodifier shape
+    # the cascade reads as an entity modification).
+    for j, t in enumerate(tags):
+        is_adj = t == "JJ"
+        is_part = t == "VBN" and (j == 0 or not isn[j - 1])
+        if not (is_adj or is_part) or j + 1 >= n or not isn[j + 1]:
+            continue
+        h = j + 1
+        while h + 1 < n and isn[h + 1] and not (
+                any(c.isupper() for c in words[h]) and
+                words[h + 1].islower()):
+            h += 1
+        edges.append((h, j, "amod"))
+
+    # compound: noun-noun premodifiers inside one NP run ("KRAS protein",
+    # "insulin receptor") — head = last NN of the run, one edge per
+    # earlier NN. The POS-lite tagger defaults unknown premodifiers to NN
+    # (adjectives included), so this is precision-gated: the run breaks at
+    # -ly tokens and at the uppercase→lowercase boundary (the NP-head
+    # convention above), and a modifier must LOOK nominal — an
+    # uppercase/digit entity symbol or a bio-nominal suffix (-in/-or/
+    # -ase/…). "distinct subunits" (defaulted-NN adjective) stays out;
+    # "insulin receptor", "KRAS protein" come through. CD stays out
+    # (nummod below).
+    def _nominal_shape(w: str) -> bool:
+        if any(c.isupper() or c.isdigit() for c in w):
+            return True
+        return w.endswith(("in", "or", "ase", "ate", "ide", "one", "gen",
+                           "some", "mer", "tide", "body", "protein",
+                           "factor", "ion"))
+
+    a = 0
+    while a < n:
+        if tags[a] != "NN" or endsly[a]:
+            a += 1
+            continue
+        h = a
+        # the uppercase→lowercase boundary usually marks a mis-tagged
+        # verb ("MAPK occurs") — but a lowercase continuation with a
+        # nominal suffix is a genuine head ("KRAS protein", "Raf kinase")
+        while h + 1 < n and tags[h + 1] == "NN" and not endsly[h + 1] \
+                and (not (any(c.isupper() for c in words[h]) and
+                          words[h + 1].islower())
+                     or _nominal_shape(words[h + 1])):
+            h += 1
+        for m in range(a, h):
+            if _nominal_shape(words[m]):
+                edges.append((h, m, "compound"))
+        a = h + 1
+
+    # nummod: digit numeral directly before its noun ("2 subunits",
+    # "5 sites") — adjacent-only, CD tag (the tagger reads digit tokens
+    # as CD; spelled-out numerals default to NN and are not attached —
+    # documented precision gap).
+    for c, t in enumerate(tags):
+        if t == "CD" and c + 1 < n and tags[c + 1] == "NN":
+            edges.append((c + 1, c, "nummod"))
+
+    # advmod: -ly/RB adverb directly before the verb or adjective it
+    # scales ("strongly inhibits", "highly specific") — conservative
+    # adjacent-only subset; 'not/never' are owned by the neg tier.
+    for i in range(n - 1):
+        if (endsly[i] or tags[i] == "RB") and \
+                lows[i] not in _NEG_CUES and \
+                (isv[i + 1] or tags[i + 1] == "JJ"):
+            edges.append((i + 1, i, "advmod"))
 
     return edges
 

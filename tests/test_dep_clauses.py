@@ -331,3 +331,70 @@ class TestPossessiveRules:
         assert not any(lbl == "Positive_activation" and
                        args.get("controlled") == ["STAT1"]
                        for lbl, args in out)
+
+
+class TestNounModifierTier:
+    """vars.yml:50 noun_modifiers census (amod|compound|advmod|nmod:poss|
+    nummod): the four relations added in round 4's continuation. Novel
+    symbols throughout — structural generalization, not memorization."""
+
+    def test_amod_participial_premodifier(self):
+        # the PTM-premodifier shape the cascade reads as an entity mod
+        assert ("QRZ9", "phosphorylated", "amod") in _edges(
+            "The phosphorylated QRZ9 accumulates in the nucleus.")
+        assert ("WXV44", "ubiquitinated", "amod") in _edges(
+            "Levels of ubiquitinated WXV44 increase.")
+
+    def test_amod_not_on_simple_past(self):
+        # noun VBN noun = transitive past, owned by nsubj/dobj
+        es = _edges("XKL3 phosphorylated WXV44.")
+        assert not any(l == "amod" for _, _, l in es)
+        assert ("phosphorylated", "XKL3", "nsubj") in es
+        assert ("phosphorylated", "WXV44", "dobj") in es
+
+    def test_compound_entity_head_and_nominal_suffix(self):
+        assert ("protein", "KRAS", "compound") in _edges(
+            "The KRAS protein binds QRZ9.")
+        assert ("kinase", "Raf", "compound") in _edges(
+            "The Raf kinase phosphorylates MEK.")
+        assert ("receptor", "insulin", "compound") in _edges(
+            "The insulin receptor binds XKL3.")
+
+    def test_compound_blocked_on_mistagged_adjectives(self):
+        # defaulted-NN adjectives must not become compound modifiers
+        es = _edges("Two distinct subunits assemble rapidly.")
+        assert not any(l == "compound" for _, _, l in es)
+        # and the mis-tagged-verb boundary still breaks the run
+        es2 = _edges("MAPK occurs in the cytosol.")
+        assert not any(l == "compound" for _, _, l in es2)
+
+    def test_nummod_digit_adjacent(self):
+        assert ("sites", "2", "nummod") in _edges(
+            "The insulin receptor binds XKL3 at 2 sites.")
+
+    def test_advmod_adjacent_adverb(self):
+        assert ("inhibits", "strongly", "advmod") in _edges(
+            "XKL3 strongly inhibits WXV44.")
+        # 'not' stays with the neg tier
+        es = _edges("XKL3 does not inhibit WXV44.")
+        assert not any(l == "advmod" for _, _, l in es)
+
+    def test_amod_parity_with_cascade_ptm(self):
+        """Corpus property: on out-of-fixture PTM-premodifier sentences
+        the participial amod edge and the cascade's PTM entity
+        modification tell the SAME story — the dep layer is the
+        structural account of the modification the cascade attaches."""
+        from reach_spark.extract import extract_sentence
+        cases = [("The phosphorylated QRZ9 accumulates.", "QRZ9",
+                  "Phosphorylation"),
+                 ("Ubiquitinated WXV44 is degraded.", "WXV44",
+                  "Ubiquitination"),
+                 ("The acetylated PLK9 binds DNA.", "PLK9",
+                  "Acetylation")]
+        for text, sym, modlabel in cases:
+            es = _edges(text)
+            assert any(h == sym and l == "amod" for h, _, l in es), text
+            _, mentions = extract_sentence("d", 0, text, DICT)
+            ent = next(m for m in mentions if m["text"] == sym)
+            assert any(mod["kind"] == "PTM" and mod["label"] == modlabel
+                       for mod in ent["mods"]), (text, ent["mods"])
