@@ -1274,3 +1274,83 @@ def quality_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("novel_ppm",
                         F.expr("novel * 1000000 DIV n_bigrams")
                         .cast("bigint")))
+
+
+# --------------------------------------------------------------------------
+# deterministic train/val/test split — every training pipeline's first
+# materialization: membership by a doc_id-keyed md5 bucket (three nibbles,
+# 0..4095, thresholded at 90% / 95% of 4096) so reruns, resumes, and
+# downstream joins all see the same assignment with no RNG state. Pure
+# row-local expressions; engine-portable via the same hex-nibble reading
+# as sample_mix_stratified.
+# --------------------------------------------------------------------------
+_SPLIT_TRAIN_LT = 3687   # floor(4096 * 0.90)
+_SPLIT_VAL_LT = 3892     # floor(4096 * 0.95); >= 3892 → test
+
+
+def _hex3_bucket_sql(strpos: str, substr: str,
+                     strtype: str = "VARCHAR") -> str:
+    """0..4095 bucket from the first three md5 nibbles of doc_id —
+    `strpos`/`substr`/`strtype` spell the engine's names."""
+    h = f"md5(CAST(doc_id AS {strtype}))"
+    nib = (f"({strpos}('0123456789abcdef', {substr}({h}, {{i}}, 1)) - 1)")
+    return (f"({nib.format(i=1)} * 256 + {nib.format(i=2)} * 16 "
+            f"+ {nib.format(i=3)})")
+
+
+@_register("split_assign", f"""
+WITH b AS (
+  SELECT doc_id, lang, source,
+         {_hex3_bucket_sql('strpos', 'substr')} AS bucket
+  FROM documents)
+SELECT doc_id, lang, source,
+       CASE WHEN bucket < {_SPLIT_TRAIN_LT} THEN 'train'
+            WHEN bucket < {_SPLIT_VAL_LT} THEN 'val'
+            ELSE 'test' END AS split
+FROM b
+""")
+def split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document deterministic split assignment (train/val/test ≈
+    90/5/5). The bucket is a pure function of doc_id, so the split is
+    stable under reruns, repartitioning, and incremental appends — the
+    property a with-RNG split cannot give without persisting state. At
+    crawl scale this is a row-local projection (no shuffle, no join);
+    the split column is what the output writer partitions by."""
+    return _docs(spark, sf_dir).selectExpr(
+        "doc_id", "lang", "source",
+        f"CASE WHEN {_hex3_bucket_sql('instr', 'substring', 'STRING')} "
+        f"< {_SPLIT_TRAIN_LT} THEN 'train' "
+        f"WHEN {_hex3_bucket_sql('instr', 'substring', 'STRING')} "
+        f"< {_SPLIT_VAL_LT} THEN 'val' ELSE 'test' END AS split")
+
+
+@_register("corpus_profile", """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(quantile_disc(n_chars, 0.5) AS BIGINT) AS p50_chars,
+       CAST(quantile_disc(n_chars, 0.9) AS BIGINT) AS p90_chars
+FROM documents GROUP BY source
+""")
+def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus profile: doc counts, char mass, and EXACT
+    discrete length percentiles (percentile_disc — the smallest value at
+    cumulative probability >= p, identical in both engines; approximate
+    percentile sketches would not hash-compare). The profiling pass a
+    crawl pipeline runs before choosing filter thresholds. One hash
+    aggregate; percentile_disc sorts within each source group — at crawl
+    scale sources are many and the per-group sort is partition-local
+    after the shuffle-on-source, the same cost class as any grouped
+    quantile."""
+    return (_docs(spark, sf_dir)
+            .groupBy("source")
+            .agg(F.count("*").cast("bigint").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.min("n_chars").cast("bigint").alias("min_chars"),
+                 F.max("n_chars").cast("bigint").alias("max_chars"),
+                 F.expr("CAST(percentile_disc(0.5) WITHIN GROUP "
+                        "(ORDER BY n_chars) AS BIGINT)").alias("p50_chars"),
+                 F.expr("CAST(percentile_disc(0.9) WITHIN GROUP "
+                        "(ORDER BY n_chars) AS BIGINT)").alias("p90_chars")))

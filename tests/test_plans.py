@@ -68,7 +68,8 @@ def test_q3_broadcasts_dims(spark):
                                    "vocab_topk", "dedup_substring_spans",
                                    "quality_lm_rank", "doc_keywords_tfidf",
                                    "source_stats", "mixing_rates",
-                                   "quality_bigram_novelty"])
+                                   "quality_bigram_novelty",
+                                   "split_assign", "corpus_profile"])
 def test_textops_no_python_udf(spark, qname):
     """Dedup/text-analysis hot paths are built-in expressions only — no
     row-at-a-time Python, no pandas UDF (BASELINE.json input_hint
