@@ -279,3 +279,119 @@ def stream_dedup_exact(spark: SparkSession, input_dir: str, out_dir: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# --- streaming sessionization -------------------------------------------
+# Session-window state: the one OPEN session per user. Output rows carry
+# status 'closed' (final) or 'open' (superseded by later updates /
+# eventually a closed row); read_sessions reconstructs the session table.
+_SESS_OUT = ("user_id bigint, session_start_us bigint, "
+             "session_end_us bigint, n_events bigint, status string")
+_SESS_STATE = "start_us bigint, last_us bigint, n_events bigint"
+_SESS_GAP_US = 30 * 60 * 1_000_000   # == relational._SESSION_GAP_US
+
+
+def _session_update(key, pdfs, state):
+    """Per-user session-window transition: fold this batch's events (in
+    event-time order) into the open session; emit a CLOSED row whenever
+    the 30-min gap splits, and an OPEN row for the in-flight session so
+    the sink always has the latest picture. MUST mirror
+    relational.sessionize_events' gap rule (> gap starts a new session) —
+    the test replays a two-batch feed against the batch operator."""
+    import pandas as pd
+    (user_id,) = key
+    rows = []
+    if state.hasTimedOut:
+        if state.exists:
+            s0, s1, ne = state.get
+            rows.append((user_id, s0, s1, ne, "closed"))
+        state.remove()
+    else:
+        ts: list[int] = []
+        for pdf in pdfs:
+            # timestamp[us/ns] → integer microseconds (session TZ is UTC)
+            ts.extend(int(v) // 1000 for v in
+                      pdf["ts"].astype("datetime64[ns]").astype("int64"))
+        ts.sort()
+        if state.exists:
+            s0, s1, ne = state.get
+        else:
+            s0 = s1 = ne = None
+        for t in ts:
+            if s0 is None:
+                s0, s1, ne = t, t, 1
+            elif t - s1 > _SESS_GAP_US:
+                rows.append((user_id, s0, s1, ne, "closed"))
+                s0, s1, ne = t, t, 1
+            else:
+                s1, ne = t, ne + 1
+        if s0 is not None:
+            rows.append((user_id, s0, s1, ne, "open"))
+            state.update((s0, s1, ne))
+            # evict once event time passes last_event + gap
+            state.setTimeoutTimestamp(s1 // 1000 + _SESS_GAP_US // 1000)
+    if rows:
+        yield pd.DataFrame(rows, columns=["user_id", "session_start_us",
+                                          "session_end_us", "n_events",
+                                          "status"])
+
+
+def stream_sessionize(spark: SparkSession, input_dir: str, out_dir: str,
+                      checkpoint_dir: str, watermark: str = "30 minutes",
+                      available_now: bool = True):
+    """Session windows over the events stream as a custom STATEFUL
+    operator (`applyInPandasWithState` with EventTimeTimeout) — the
+    streaming analog of relational.sessionize_events, and the canonical
+    case built-in windowed aggs can't express (the window end depends on
+    the data: a session stays open while events keep arriving within the
+    gap).
+
+    State = one open session per user (three ints — bounded by the live
+    user population, not history: the event-time timeout closes and
+    EVICTS a user's state once the watermark passes last_event + gap).
+    Per micro-batch work is O(batch events + touched users). The sink
+    receives an upsert changelog: 'closed' rows are final; 'open' rows
+    are superseded by later updates of the same (user, session_start).
+    `read_sessions` reconstructs the current session table. In-order
+    arrival per user within the watermark horizon is assumed (the
+    standard session-window contract; later-than-watermark events are
+    dropped by the engine)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    ev = (spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string")
+        .parquet(input_dir)
+        .withWatermark("ts", watermark))
+    sess = (ev.groupBy("user_id")
+            .applyInPandasWithState(_session_update, _SESS_OUT,
+                                    _SESS_STATE, "update",
+                                    GroupStateTimeout.EventTimeTimeout))
+
+    def sink(batch_df, batch_id: int) -> None:
+        (batch_df.withColumn("batch_id", F.lit(batch_id))
+         .write.mode("append").parquet(f"{out_dir}/session_updates"))
+
+    writer = (sess.writeStream
+              .outputMode("update")
+              .foreachBatch(sink)
+              .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_sessions(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Current session table from the changelog: latest row per
+    (user_id, session_start_us) — a closed row is final, otherwise the
+    open row with the largest event count wins."""
+    from pyspark.sql import Window
+    upd = spark.read.parquet(f"{out_dir}/session_updates")
+    w = (Window.partitionBy("user_id", "session_start_us")
+         .orderBy(F.col("status").asc(),           # 'closed' < 'open'
+                  F.col("n_events").desc(),
+                  F.col("batch_id").desc()))
+    return (upd.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("user_id", "session_start_us", "session_end_us",
+                    "n_events", "status"))

@@ -466,3 +466,112 @@ def test_events_rollup_window_over_aggregate(spark):
                       .orderBy("event_type").first()[0])
              .orderBy("hour").first())
     assert first["ma3_events_x1000"] == first["n_events"] * 1000
+
+
+def test_stream_sessionize_matches_batch(spark, tmp_path):
+    """applyInPandasWithState session windows: a two-micro-batch event
+    feed (batch B continues one user's open session, starts another's
+    new session) reconstructs EXACTLY the batch sessionize_events
+    sessions — including a session stitched ACROSS the batch boundary —
+    and closed/open statuses reflect the 30-min gap rule."""
+    import datetime as dt
+
+    from reach_spark.streaming import read_sessions, stream_sessionize
+
+    ev_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t0 + dt.timedelta(minutes=m), u, "click", 0.0, "")
+             for i, (u, m) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string")
+
+    # batch A: u1 two events 5' apart; u2 one event
+    mk([(1, 0), (1, 5), (2, 0)]).coalesce(1) \
+        .write.mode("append").parquet(ev_dir)
+    q = stream_sessionize(spark, ev_dir, out_dir, ck_dir)
+    q.awaitTermination(180)
+    # batch B: u1 continues within the gap (25' after last) then breaks
+    # it (90'); u2 breaks the gap (60')
+    mk([(1, 30), (1, 120), (2, 60)]).coalesce(1) \
+        .write.mode("append").parquet(ev_dir)
+    q = stream_sessionize(spark, ev_dir, out_dir, ck_dir)
+    q.awaitTermination(180)
+
+    got = {(r.user_id, r.session_start_us): (r.session_end_us, r.n_events,
+                                             r.status)
+           for r in read_sessions(spark, out_dir).collect()}
+    us = lambda m: int((t0 + dt.timedelta(minutes=m)).replace(
+        tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    # u1: [0,5,30] stitched across the boundary then closed by the 90'
+    # event, which opens a new session; u2: [0] closed by 60', new open
+    assert got == {
+        (1, us(0)): (us(30), 3, "closed"),
+        (1, us(120)): (us(120), 1, "open"),
+        (2, us(0)): (us(0), 1, "closed"),
+        (2, us(60)): (us(60), 1, "open"),
+    }
+
+    # cross-check n_events/durations against the batch operator over the
+    # full log (session identity = (user, start))
+    import reach_spark.relational as R
+    ev_df = spark.read.parquet(ev_dir)
+    batch = (ev_df.selectExpr(
+        "user_id", "event_id",
+        "unix_micros(CAST(ts AS TIMESTAMP)) AS tus"))
+    from pyspark.sql import Window, functions as F2
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    flagged = batch.withColumn(
+        "new_s", F2.when(F2.lag("tus").over(w).isNull()
+                         | ((F2.col("tus") - F2.lag("tus").over(w))
+                            > R._SESSION_GAP_US), 1).otherwise(0))
+    sess = (flagged.withColumn(
+        "sid", F2.sum("new_s").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sid")
+        .agg(F2.min("tus").alias("start_us"),
+             F2.max("tus").alias("end_us"),
+             F2.count("*").alias("n")))
+    expect = {(r.user_id, r.start_us): (r.end_us, r.n)
+              for r in sess.collect()}
+    assert {k: v[:2] for k, v in got.items()} == expect
+
+
+def test_stream_sessionize_event_time_eviction(spark, tmp_path):
+    """EventTimeTimeout eviction: once the watermark passes
+    last_event + gap, the engine fires the timer and the open session is
+    emitted CLOSED and its state removed — bounded state on an unbounded
+    stream. The watermark is computed from the PREVIOUS batch's max
+    event time, so the feed advances it in two steps."""
+    import datetime as dt
+
+    from reach_spark.streaming import read_sessions, stream_sessionize
+
+    ev_dir = str(tmp_path / "ev")
+    out_dir = str(tmp_path / "out")
+    ck_dir = str(tmp_path / "ck")
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def feed(rows):
+        spark.createDataFrame(
+            [(i, t0 + dt.timedelta(minutes=m), u, "click", 0.0, "")
+             for i, (u, m) in enumerate(rows)],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string") \
+            .coalesce(1).write.mode("append").parquet(ev_dir)
+        q = stream_sessionize(spark, ev_dir, out_dir, ck_dir)
+        q.awaitTermination(180)
+
+    feed([(1, 0)])              # u1 opens a session
+    feed([(9, 300)])            # far-future event; watermark still at -30'
+    feed([(9, 301)])            # watermark now 270' > u1's 30' timer
+    got = {(r.user_id, r.session_start_us): r.status
+           for r in read_sessions(spark, out_dir).collect()}
+    us = lambda m: int((t0 + dt.timedelta(minutes=m)).replace(
+        tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    assert got[(1, us(0))] == "closed"
+    assert got[(9, us(300))] == "open"
