@@ -667,3 +667,36 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (a.join(dup, a["vec_id"] == dup["id_b"], "left")
             .select("vec_id", F.col("cell").cast("bigint").alias("cluster"),
                     "dup_of", F.col("dup_of").isNull().alias("keep")))
+
+
+# --------------------------------------------------------------------------
+# centroid-distance outlier detection — the noise-pruning complement of
+# SemDeDup: where dedup_semantic removes the TOO-SIMILAR inside a
+# cluster, this flags the TOO-FAR tail (mislabeled/garbage embeddings a
+# curation pass reviews before training). Outlier = similarity to the
+# assigned centroid strictly below the cluster's exact 5th discrete
+# percentile (percentile_disc — engine-identical on the integer-exact
+# rounded sims, unlike approximate sketches). One grouped aggregate over
+# K groups + a broadcast join of the K thresholds back; at 100 TB the
+# K-group aggregate is the only skewed step and is subsampled per cell
+# (the threshold is a quantile — a per-cell sample estimates it without
+# touching every row), which keeps the shape flat.
+# --------------------------------------------------------------------------
+@_register("embedding_outliers", _km_oracle() + """,
+thr AS (
+  SELECT cell, quantile_disc(sim, 0.05) AS p05 FROM afinal GROUP BY cell
+)
+SELECT f.vec_id, CAST(f.cell AS BIGINT) AS cluster, f.sim,
+       f.sim < t.p05 AS is_outlier
+FROM afinal f JOIN thr t ON t.cell = f.cell
+""")
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _km_assigned(spark, sf_dir)
+    thr = a.groupBy("cell").agg(
+        F.expr("percentile_disc(0.05) WITHIN GROUP (ORDER BY sim)")
+        .alias("p05"))
+    return (a.join(F.broadcast(thr), "cell")
+            .select("vec_id",
+                    F.col("cell").cast("bigint").alias("cluster"),
+                    "sim",
+                    (F.col("sim") < F.col("p05")).alias("is_outlier")))

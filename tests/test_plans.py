@@ -575,3 +575,22 @@ def test_stream_sessionize_event_time_eviction(spark, tmp_path):
         tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
     assert got[(1, us(0))] == "closed"
     assert got[(9, us(300))] == "open"
+
+
+def test_embedding_outliers_tail_bounded(spark):
+    """embedding_outliers: the strict-below-5th-percentile rule flags
+    UNDER 5% of each cluster (percentile_disc value itself is not an
+    outlier), and the threshold join is a broadcast, not a shuffle."""
+    from reach_spark import similarity
+    fn, _ = similarity.QUERIES["embedding_outliers"]
+    df = fn(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    import pyspark.sql.functions as F2
+    per = (df.groupBy("cluster")
+           .agg(F2.count("*").alias("n"),
+                F2.sum(F2.col("is_outlier").cast("int")).alias("o"))
+           .collect())
+    assert per
+    for r in per:
+        assert r.o * 20 < r.n + 20, (r.cluster, r.o, r.n)
