@@ -306,6 +306,15 @@ def kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits_fp(_eer_table(spark, sf_dir), iters=3)
 
 
+def kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph] Fixed-point integer PERSONALIZED PageRank (3 iterations,
+    teleport restricted to hub seeds of symmetric degree >= 3) over the
+    directed asserted edge set (graph_ops.ppr_fp) — importance relative
+    to the pathway core, the KG-completion ranking."""
+    from reach_spark.graph_ops import ppr_fp
+    return ppr_fp(_eer_table(spark, sf_dir), seed_min_deg=3, iters=3)
+
+
 def export_bel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[export/BEL] OpenBEL 1.0 statements over the materialized EER table
     (reach_spark.bel — pure column expressions, no UDF; the reference
@@ -397,6 +406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_kcore"] = kg_kcore
     out["kg_bfs_hops"] = kg_bfs_hops
     out["kg_hits"] = kg_hits
+    out["kg_ppr"] = kg_ppr
     out["media_caption_pairs"] = media_caption_pairs
     out["export_bel"] = export_bel
     out["export_biopax"] = export_biopax
@@ -521,6 +531,53 @@ od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
 r0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS pr FROM nodes),
 {",".join(steps)}
 SELECT node, pr AS pr_fp FROM {prev}
+"""
+
+
+def _ppr_oracle(seed_min_deg: int = 3, iters: int = 3) -> str:
+    """kg_ppr oracle: graph_ops.ppr_fp unrolled — pagerank recursion with
+    the teleport mass restricted to the hub seed set (symmetric degree >=
+    seed_min_deg, the bfs_hops seeds)."""
+    from reach_spark.graph_ops import (PR_DAMP_DEN, PR_DAMP_NUM, PR_SCALE,
+                                       PR_TELEPORT)
+    steps = []
+    prev = "r0"
+    for i in range(1, iters + 1):
+        steps.append(f"""c{i} AS (
+  SELECT e.dst AS node, CAST(sum(r.pr // o.outdeg) AS BIGINT) AS contrib
+  FROM edges e JOIN {prev} r ON r.node = e.src JOIN od o ON o.src = e.src
+  GROUP BY e.dst
+), r{i} AS (
+  SELECT n.node,
+         CAST((CASE WHEN n.is_seed THEN {PR_TELEPORT} ELSE 0 END)
+              + ({PR_DAMP_NUM} * coalesce(c.contrib, 0))
+              // {PR_DAMP_DEN} AS BIGINT) AS pr
+  FROM base n LEFT JOIN c{i} c ON c.node = n.node
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH {_eer_cte()},
+{_und_sym_sql()},
+edges AS (
+  SELECT DISTINCT subj AS src, obj AS dst FROM eer
+  WHERE NOT negated AND subj IS NOT NULL AND obj IS NOT NULL
+),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+seeds AS (
+  SELECT n AS node FROM s0 GROUP BY n HAVING count(*) >= {seed_min_deg}
+),
+base AS (
+  SELECT n.node, s.node IS NOT NULL AS is_seed
+  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+),
+od AS (SELECT src, CAST(count(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+r0 AS (
+  SELECT node, CAST(CASE WHEN is_seed THEN {PR_SCALE} ELSE 0 END AS BIGINT)
+         AS pr
+  FROM base
+),
+{",".join(steps)}
+SELECT node, pr AS ppr_fp FROM {prev}
 """
 
 
@@ -1307,6 +1364,7 @@ def oracle_sql() -> dict[str, str]:
     out["kg_kcore"] = _kcore_oracle(k=2, rounds=8)
     out["kg_bfs_hops"] = _bfs_hops_oracle(min_seed_deg=3, max_hops=4)
     out["kg_hits"] = _hits_oracle(iters=3)
+    out["kg_ppr"] = _ppr_oracle(seed_min_deg=3, iters=3)
     out["kg_clustering"] = _clustering_oracle()
     out["media_caption_pairs"] = _caption_oracle()
     out["export_bel"] = _bel_oracle()

@@ -277,3 +277,24 @@ def test_kcore_bfs_hits_plans_no_cartesian(eer):
     plan = hits_fp(eer, iters=1)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_ppr_seed_restricted_teleport(spark):
+    """ppr_fp: teleport mass lands only on seeds — on the triangle+tail
+    graph (sole hub c), c keeps the full teleport term, its neighbors get
+    only received endorsement, and nodes with no inbound path from the
+    seed decay toward zero; deterministic across partitionings."""
+    from reach_spark.graph_ops import PR_TELEPORT, ppr_fp
+    rows = [(s, "P", o, False, 1) for s, o in
+            [("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e")]]
+    eer = spark.createDataFrame(rows, SCHEMA)
+    got = {r.node: r.ppr_fp for r in ppr_fp(eer).collect()}
+    # c is the only seed: its rank includes the teleport floor
+    assert got["c"] >= PR_TELEPORT
+    # a has no in-edges and is not a seed -> exactly zero after iter 1
+    assert got["a"] == 0
+    # d is fed by the seed directly; e by d — both positive, d > e
+    assert got["d"] > got["e"] > 0
+    got2 = {r.node: r.ppr_fp
+            for r in ppr_fp(eer.repartition(5)).collect()}
+    assert got2 == got
