@@ -172,3 +172,122 @@ def read_nxml(spark: SparkSession, path: str,
             yield pd.DataFrame(rows, columns=["doc_id", "spans"])
 
     return files.mapInPandas(gen, schema=DOCUMENTS)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """Directory of .warc files (ISO 28500 / Common-Crawl layout) →
+    interleaved documents — the crawl-ingestion source a web-scale corpus
+    actually starts from. No reference counterpart (PaperReader reads
+    NXML/DSV/plaintext); this connector exists for the 10^12-document
+    crawl mandate and lands on the same `documents` schema as every
+    other source, so downstream plans are unchanged.
+
+    Record mapping: `response` records carry an HTTP payload — status
+    line + headers are stripped, the real Content-Type read from the
+    HTTP headers; `conversion` records are taken as-is. text/* bodies
+    become ONE text span (script/style subtrees dropped, tags stripped,
+    entities unescaped, whitespace collapsed — the minimal extraction;
+    boilerplate-line removal is a downstream op); non-text bodies become
+    a MEDIA span with media_ref = the target URI, which is exactly the
+    interleaved text+media shape. warcinfo/request/metadata records are
+    skipped. Content-Length is honored byte-exactly, so payloads
+    containing "WARC/1.0" do not split records.
+
+    Spark shape: `binaryFile` source (payloads are bytes, not lines) →
+    Arrow-batched mapInPandas, one task per file batch — embarrassingly
+    parallel source-stage work like read_nxml. At crawl scale WARC files
+    are ~1 GiB each, so file-level parallelism saturates any executor
+    count; gzip members (.warc.gz) would be decompressed per record by
+    the same walk (not wired in-sandbox — plain .warc only)."""
+    from .schemas import DOCUMENTS
+
+    files = (spark.read.format("binaryFile")
+             .option("pathGlobFilter", "*.warc")
+             .load(path)
+             .select("path", "content"))
+
+    def gen(batches):
+        import pandas as pd
+        for pdf in batches:
+            rows = []
+            for content in pdf["content"]:
+                rows.extend(_parse_warc(bytes(content)))
+            yield pd.DataFrame(rows, columns=["doc_id", "spans"]) \
+                if rows else pd.DataFrame(
+                    {"doc_id": pd.Series([], dtype="str"),
+                     "spans": pd.Series([], dtype="object")})
+
+    return files.mapInPandas(gen, DOCUMENTS)
+
+
+def _strip_html(body: str) -> str:
+    """Minimal text extraction: drop script/style subtrees, strip tags,
+    unescape entities, collapse whitespace."""
+    import html as _html
+    import re as _re
+    body = _re.sub(r"(?is)<(script|style)\b.*?</\1\s*>", " ", body)
+    body = _re.sub(r"(?s)<[^>]*>", " ", body)
+    return _re.sub(r"\s+", " ", _html.unescape(body)).strip()
+
+
+def _parse_warc(b: bytes) -> list[tuple[str, list[dict]]]:
+    """Byte-exact WARC record walk (Content-Length honored; CRLF per
+    spec). Returns (doc_id, spans) rows on the interleaved shape."""
+    import re as _re
+    out = []
+    i = 0
+    n = len(b)
+    while i < n:
+        j = b.find(b"WARC/", i)
+        if j < 0:
+            break
+        hdr_end = b.find(b"\r\n\r\n", j)
+        if hdr_end < 0:
+            break
+        headers = {}
+        for line in b[j:hdr_end].split(b"\r\n")[1:]:
+            k, _, v = line.partition(b":")
+            headers[k.strip().lower()] = v.strip()
+        try:
+            clen = int(headers.get(b"content-length", b"0"))
+        except ValueError:
+            clen = 0
+        payload = b[hdr_end + 4:hdr_end + 4 + clen]
+        i = hdr_end + 4 + clen
+        wtype = headers.get(b"warc-type", b"").decode("ascii", "replace")
+        if wtype not in ("response", "conversion"):
+            continue
+        uri = headers.get(b"warc-target-uri", b"") \
+            .decode("utf-8", "replace")
+        rid = headers.get(b"warc-record-id", b"") \
+            .decode("ascii", "replace").strip("<>")
+        ctype = headers.get(b"content-type", b"") \
+            .decode("ascii", "replace")
+        body = payload
+        if ctype.startswith("application/http"):
+            he = payload.find(b"\r\n\r\n")
+            http_hdr = payload[:max(he, 0)]
+            body = payload[he + 4:] if he >= 0 else payload
+            m = _re.search(rb"(?im)^content-type:\s*([^\r\n;]+)",
+                           http_hdr)
+            ctype = (m.group(1).decode("ascii", "replace").strip()
+                     if m else "text/html")
+        else:
+            ctype = ctype.split(";")[0].strip()
+        doc_id = rid or uri
+        if not doc_id:
+            continue
+        if ctype.startswith("text/"):
+            text = body.decode("utf-8", "replace")
+            if ctype == "text/html":
+                text = _strip_html(text)
+            else:
+                import re as _re2
+                text = _re2.sub(r"\s+", " ", text).strip()
+            spans = [{"kind": "text", "text": text, "media_ref": "",
+                      "offset": 0}]
+        else:
+            spans = [{"kind": "media", "text": "",
+                      "media_ref": uri or doc_id, "offset": 0}]
+        out.append((doc_id, spans))
+    return out

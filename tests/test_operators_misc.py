@@ -765,3 +765,55 @@ def test_retention_and_funnel(spark):
     for r in f:
         assert 0 <= r.converted <= r.signups
         assert r.conv_ppm == r.converted * 1_000_000 // r.signups
+
+
+def test_read_warc(spark, tmp_path):
+    """WARC-lite connector: response records get their HTTP envelope
+    stripped and the REAL content type from the HTTP headers (html →
+    tag-stripped text span; image → media span with the target URI);
+    conversion records pass through; warcinfo is skipped; Content-Length
+    is honored byte-exactly even when a payload contains 'WARC/1.0'."""
+    from reach_spark.sources import read_warc
+
+    def rec(wtype, uri, rid, ctype, payload: bytes) -> bytes:
+        h = (f"WARC/1.0\r\nWARC-Type: {wtype}\r\n"
+             f"WARC-Target-URI: {uri}\r\n"
+             f"WARC-Record-ID: <{rid}>\r\n"
+             f"Content-Type: {ctype}\r\n"
+             f"Content-Length: {len(payload)}\r\n\r\n")
+        return h.encode() + payload + b"\r\n\r\n"
+
+    html_http = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html;"
+                 b" charset=utf-8\r\n\r\n"
+                 b"<html><head><style>p{a:b}</style></head><body>"
+                 b"<p>KRAS &amp; MEK bind.</p>"
+                 b"<script>var x = 'WARC/1.0';</script></body></html>")
+    png_http = (b"HTTP/1.1 200 OK\r\nContent-Type: image/png\r\n\r\n"
+                b"\x89PNG\r\n\x1a\nWARC/1.0 fake inside binary")
+    warc = (rec("warcinfo", "", "urn:info:0", "application/warc-fields",
+                b"software: test\r\n")
+            + rec("response", "http://x.test/a", "urn:uuid:a",
+                  "application/http;msgtype=response", html_http)
+            + rec("response", "http://x.test/img", "urn:uuid:b",
+                  "application/http;msgtype=response", png_http)
+            + rec("conversion", "http://x.test/c", "urn:uuid:c",
+                  "text/plain", b"plain  body\ntext"))
+    (tmp_path / "crawl.warc").write_bytes(warc)
+
+    rows = {r.doc_id: r.spans for r in
+            read_warc(spark, str(tmp_path)).collect()}
+    assert set(rows) == {"urn:uuid:a", "urn:uuid:b", "urn:uuid:c"}
+    a = rows["urn:uuid:a"]
+    assert len(a) == 1 and a[0].kind == "text"
+    assert a[0].text == "KRAS & MEK bind."          # tags/script/style gone
+    b = rows["urn:uuid:b"]
+    assert len(b) == 1 and b[0].kind == "media"
+    assert b[0].media_ref == "http://x.test/img"
+    c = rows["urn:uuid:c"]
+    assert c[0].kind == "text" and c[0].text == "plain body text"
+
+    # the connector output feeds the pipeline unchanged (span invariant)
+    from reach_spark.annotate import extract_text
+    texts = {r.doc_id: r.text for r in
+             extract_text(read_warc(spark, str(tmp_path))).collect()}
+    assert texts["urn:uuid:a"] == "KRAS & MEK bind."
