@@ -19,6 +19,14 @@ import argparse
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
+    ap.add_argument("--input-format", default="parquet",
+                    choices=["parquet", "warc", "nxml", "dsv",
+                             "plaintext"],
+                    help="input connector (reach_spark.sources): parquet "
+                         "reads the interleaved documents table directly; "
+                         "warc/nxml/dsv/plaintext parse raw files onto "
+                         "the same schema (batch mode; streaming watches "
+                         "a parquet documents directory)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--streaming", action="store_true")
@@ -44,6 +52,10 @@ def main() -> None:
                       shuffle_partitions=args.partitions)
 
     if args.streaming:
+        if args.input_format != "parquet":
+            raise SystemExit("--streaming watches a parquet documents "
+                             "directory; parse raw formats in batch mode "
+                             "first (--input-format is batch-only)")
         from reach_spark.streaming import stream_pipeline
         q = stream_pipeline(spark, args.input, args.output,
                             f"{args.output}/_stream_checkpoint",
@@ -52,7 +64,15 @@ def main() -> None:
         q.awaitTermination()
     else:
         from reach_spark.pipeline import run_batch
-        docs = spark.read.parquet(args.input)
+        if args.input_format == "parquet":
+            docs = spark.read.parquet(args.input)
+        else:
+            from reach_spark import sources
+            docs = {"warc": sources.read_warc,
+                    "nxml": sources.read_nxml,
+                    "dsv": sources.read_dsv,
+                    "plaintext": sources.read_plaintext,
+                    }[args.input_format](spark, args.input)
         if args.partitions:
             docs = docs.repartition(args.partitions, "doc_id")
         counts = run_batch(spark, docs, args.output,
