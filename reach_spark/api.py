@@ -256,6 +256,14 @@ def _ruler_results(spark: SparkSession, text: str, rules: str,
             "error": error}
 
 
+# OpenSystem.scala:20-36 caches the compiled ExtractorEngine keyed by
+# the exact rules string, so the rule-editor's repeated runs with
+# unchanged rules skip recompilation; same contract here (compile
+# errors are never cached). Bounded like the extraction memos.
+_RULE_ENGINE_CACHE: dict[str, object] = {}
+_RULE_ENGINE_CACHE_MAX = 64
+
+
 def run_rules(spark: SparkSession, text: str, rules: str) -> dict:
     """Ruler.runOpen (:22-61): run USER-SUPPLIED token rules over a text
     and return standoff annotations of the matches — the rule-playground
@@ -264,7 +272,8 @@ def run_rules(spark: SparkSession, text: str, rules: str) -> dict:
     (rules/entity_tokens.yml); a per-rule compile failure returns
     [ruleName, message] in `error` with no standoff, an unnamed parse
     failure returns [None, message] (OdinNamedCompileException /
-    OdinCompileException analogs)."""
+    OdinCompileException analogs). The compiled engine is cached on the
+    rules string (OpenSystem.scala:20-36 cachedRules semantics)."""
     from .annotate import annotate_sentences
     from .odin import TokenRule, TokenRuleEngine
 
@@ -275,29 +284,34 @@ def run_rules(spark: SparkSession, text: str, rules: str) -> dict:
         if not rules.strip():
             return _ruler_results(spark, text, rules, sentences, None,
                                   [None, "rulesStr is empty"])
-        try:
-            import yaml
-            doc = yaml.safe_load(rules)
-        except Exception as exc:                 # noqa: BLE001
-            return _ruler_results(spark, text, rules, sentences, None,
-                                  [None, str(exc)])
-        specs = doc.get("rules", doc) if isinstance(doc, dict) else doc
-        if not isinstance(specs, list):
-            return _ruler_results(spark, text, rules, sentences, None,
-                                  [None, "expected a `rules:` list"])
-        compiled = []
-        for d in specs:
-            name = (d or {}).get("name", "<unnamed>")
+        engine = _RULE_ENGINE_CACHE.get(rules)
+        if engine is None:
             try:
-                compiled.append(TokenRule(
-                    name=name, label=d.get("label", name),
-                    pattern_src=" ".join(str(d["pattern"]).split("\n")),
-                    priority=int(d.get("priority", 1)),
-                    consume=bool(d.get("consume", True)), meta={}))
+                import yaml
+                doc = yaml.safe_load(rules)
             except Exception as exc:             # noqa: BLE001
-                return _ruler_results(spark, text, rules, sentences,
-                                      None, [name, str(exc)])
-        engine = TokenRuleEngine(compiled)
+                return _ruler_results(spark, text, rules, sentences, None,
+                                      [None, str(exc)])
+            specs = doc.get("rules", doc) if isinstance(doc, dict) else doc
+            if not isinstance(specs, list):
+                return _ruler_results(spark, text, rules, sentences, None,
+                                      [None, "expected a `rules:` list"])
+            compiled = []
+            for d in specs:
+                name = (d or {}).get("name", "<unnamed>")
+                try:
+                    compiled.append(TokenRule(
+                        name=name, label=d.get("label", name),
+                        pattern_src=" ".join(str(d["pattern"]).split("\n")),
+                        priority=int(d.get("priority", 1)),
+                        consume=bool(d.get("consume", True)), meta={}))
+                except Exception as exc:         # noqa: BLE001
+                    return _ruler_results(spark, text, rules, sentences,
+                                          None, [name, str(exc)])
+            engine = TokenRuleEngine(compiled)
+            if len(_RULE_ENGINE_CACHE) >= _RULE_ENGINE_CACHE_MAX:
+                _RULE_ENGINE_CACHE.clear()
+            _RULE_ENGINE_CACHE[rules] = engine
 
         # single-request path: one doc, driver-side dispatch like the
         # reference's in-process ExtractorEngine call

@@ -108,3 +108,23 @@ def test_http_server_roundtrip(spark):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_run_rules_engine_cache(spark):
+    """OpenSystem.scala:20-36 cachedRules semantics: a second run with
+    the IDENTICAL rules string reuses the compiled engine object; a
+    failing rules string is never cached."""
+    from reach_spark import api
+    api._RULE_ENGINE_CACHE.clear()
+    rules = ("rules:\n- name: r1\n  label: L\n"
+             "  pattern: '[word=KRAS]'\n")
+    r1 = api.run_rules(spark, "KRAS binds MEK.", rules)
+    assert r1["error"] is None and len(api._RULE_ENGINE_CACHE) == 1
+    eng = api._RULE_ENGINE_CACHE[rules]
+    r2 = api.run_rules(spark, "MEK binds KRAS.", rules)
+    assert r2["error"] is None
+    assert api._RULE_ENGINE_CACHE[rules] is eng     # reused, not rebuilt
+    bad = "rules:\n- name: broken\n  pattern: '[unclosed'\n"
+    rb = api.run_rules(spark, "KRAS.", bad)
+    assert rb["error"] is not None
+    assert bad not in api._RULE_ENGINE_CACHE        # errors not cached
