@@ -315,6 +315,16 @@ def kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppr_fp(_eer_table(spark, sf_dir), seed_min_deg=3, iters=3)
 
 
+def export_graphml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[export/GraphML] The materialized KG as ordered GraphML text
+    lines (tables.graphml_lines) — header/node/edge/footer sections with
+    pred/seen/negated data keys, XML-escaped by column expressions; a
+    consumer writes orderBy(section, sort_key) and gets a valid
+    document."""
+    from reach_spark.tables import graphml_lines
+    return graphml_lines(_eer_table(spark, sf_dir))
+
+
 def export_bel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[export/BEL] OpenBEL 1.0 statements over the materialized EER table
     (reach_spark.bel — pure column expressions, no UDF; the reference
@@ -408,6 +418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_hits"] = kg_hits
     out["kg_ppr"] = kg_ppr
     out["media_caption_pairs"] = media_caption_pairs
+    out["export_graphml"] = export_graphml
     out["export_bel"] = export_bel
     out["export_biopax"] = export_biopax
     out["export_brat"] = export_brat
@@ -836,6 +847,55 @@ h0 AS (SELECT node, CAST({HITS_SCALE} AS BIGINT) AS hub FROM nodes),
 {",".join(steps)}
 SELECT a.node, a.auth AS auth_fp, h.hub AS hub_fp
 FROM a{iters} a JOIN h{iters} h ON h.node = a.node
+"""
+
+
+def _graphml_oracle() -> str:
+    """export_graphml oracle: the same header/node/edge/footer line build
+    over the reconstructed EER, XML-escaping as the identical chained
+    replace (& first)."""
+    esc = ("replace(replace(replace(replace(CAST({c} AS VARCHAR),"
+           " '&', '&amp;'), '<', '&lt;'), '>', '&gt;'), '\"', '&quot;')")
+    hdr_lines = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+        '<key id="pred" for="edge" attr.name="pred" attr.type="string"/>',
+        '<key id="seen" for="edge" attr.name="seen" attr.type="long"/>',
+        '<key id="negated" for="edge" attr.name="negated"'
+        ' attr.type="boolean"/>',
+        '<graph id="kg" edgedefault="directed">',
+    ]
+    hdr = ",\n".join(
+        f"(0, '{i:02d}', {_sql_lit(ln)})" for i, ln in enumerate(hdr_lines))
+    return f"""
+WITH {_eer_cte()},
+t AS (
+  SELECT subj, pred, obj, negated, seen FROM eer
+  WHERE subj IS NOT NULL AND obj IS NOT NULL
+),
+hdr(section, sort_key, line) AS (VALUES
+{hdr},
+(3, '00', '</graph>'), (3, '01', '</graphml>')
+),
+nodes AS (
+  SELECT DISTINCT 1 AS section, n AS sort_key,
+         '<node id="' || {esc.format(c='n')} || '"/>' AS line
+  FROM (SELECT subj AS n FROM t UNION SELECT obj FROM t)
+),
+edges AS (
+  SELECT 2 AS section,
+         subj || '|' || pred || '|' || obj || '|'
+              || CAST(negated AS VARCHAR) AS sort_key,
+         '<edge source="' || {esc.format(c='subj')}
+           || '" target="' || {esc.format(c='obj')}
+           || '"><data key="pred">' || {esc.format(c='pred')}
+           || '</data><data key="seen">' || CAST(seen AS VARCHAR)
+           || '</data><data key="negated">' || CAST(negated AS VARCHAR)
+           || '</data></edge>' AS line
+  FROM t
+)
+SELECT * FROM hdr UNION ALL SELECT * FROM nodes
+UNION ALL SELECT * FROM edges
 """
 
 
@@ -1367,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
     out["kg_ppr"] = _ppr_oracle(seed_min_deg=3, iters=3)
     out["kg_clustering"] = _clustering_oracle()
     out["media_caption_pairs"] = _caption_oracle()
+    out["export_graphml"] = _graphml_oracle()
     out["export_bel"] = _bel_oracle()
     out["export_biopax"] = _biopax_oracle()
     out["export_brat"] = _brat_oracle()

@@ -110,3 +110,70 @@ def materialize_graph(results: Mapping[str, DataFrame],
         materialize(ents, ent, mode=mode)
         out["entities"] = ent
     return out
+
+
+def graphml_lines(triples: DataFrame) -> DataFrame:
+    """GraphML serialization of the materialized KG as ordered text
+    lines — the hand-off to Gephi/Cytoscape/NetworkX (no reference
+    counterpart: Reach's exporters stop at row formats; the graph-viz
+    consumer of the DARPA pipeline sat outside the repo).
+
+    Output: (section, sort_key, line) where `section` is 0=header,
+    1=nodes, 2=edges, 3=footer and `sort_key` orders within a section —
+    a consumer writes `orderBy(section, sort_key)` as text and gets a
+    valid GraphML document. Emitting (section, sort_key) instead of a
+    global line number keeps the build fully distributed (a dense global
+    row_number would be a single-partition window; a write-time range
+    sort is the standard distributed text-sink pattern).
+
+    Every line is a pure column expression (XML-escaping as chained
+    replace, & first); edges carry pred/seen/negated as <data> keys,
+    negated classes included — an export carries the whole graph, the
+    asserted-only view is the reader's filter."""
+    from pyspark.sql import functions as F
+
+    def esc(c):
+        e = F.regexp_replace(c.cast("string"), "&", "&amp;")
+        e = F.regexp_replace(e, "<", "&lt;")
+        e = F.regexp_replace(e, ">", "&gt;")
+        return F.regexp_replace(e, '"', "&quot;")
+
+    hdr = [
+        '<?xml version="1.0" encoding="UTF-8"?>',
+        '<graphml xmlns="http://graphml.graphdrawing.org/xmlns">',
+        '<key id="pred" for="edge" attr.name="pred" attr.type="string"/>',
+        '<key id="seen" for="edge" attr.name="seen" attr.type="long"/>',
+        '<key id="negated" for="edge" attr.name="negated"'
+        ' attr.type="boolean"/>',
+        '<graph id="kg" edgedefault="directed">',
+    ]
+    spark = triples.sparkSession
+    header = spark.createDataFrame(
+        [(0, f"{i:02d}", ln) for i, ln in enumerate(hdr)],
+        "section int, sort_key string, line string")
+    footer = spark.createDataFrame(
+        [(3, "00", "</graph>"), (3, "01", "</graphml>")],
+        "section int, sort_key string, line string")
+    t = triples.where(F.col("subj").isNotNull() & F.col("obj").isNotNull())
+    nodes = (t.select(F.col("subj").alias("n"))
+             .union(t.select(F.col("obj").alias("n")))
+             .distinct()
+             .select(F.lit(1).alias("section"),
+                     F.col("n").alias("sort_key"),
+                     F.concat(F.lit('<node id="'), esc(F.col("n")),
+                              F.lit('"/>')).alias("line")))
+    edges = t.select(
+        F.lit(2).alias("section"),
+        F.concat_ws("|", "subj", "pred", "obj",
+                    F.col("negated").cast("string")).alias("sort_key"),
+        F.concat(
+            F.lit('<edge source="'), esc(F.col("subj")),
+            F.lit('" target="'), esc(F.col("obj")),
+            F.lit('"><data key="pred">'), esc(F.col("pred")),
+            F.lit('</data><data key="seen">'),
+            F.col("seen").cast("string"),
+            F.lit('</data><data key="negated">'),
+            F.col("negated").cast("string"),
+            F.lit("</data></edge>")).alias("line"))
+    return header.unionByName(nodes).unionByName(edges) \
+        .unionByName(footer)

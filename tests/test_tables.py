@@ -161,3 +161,34 @@ def test_streaming_catalog_materialization(spark, tmp_path):
     assert rows(tbl) == rows(pq)
     assert tbl.count() > 0
     spark.sql("DROP TABLE t_stream_triples")
+
+
+def test_graphml_lines_valid_document(spark):
+    """graphml_lines: ordering by (section, sort_key) yields a
+    WELL-FORMED GraphML document (ElementTree parses it), with one node
+    element per distinct endpoint, one edge per EER class (negated
+    included), and XML-escaped ids."""
+    import xml.etree.ElementTree as ET
+
+    from reach_spark.tables import graphml_lines
+    rows = [("a&b", "P<Q", 'c"d', False, 3),
+            ("a&b", "N", "x", True, 1),
+            (None, "Phos", "x", False, 2)]   # no edge: null subj
+    eer = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, negated boolean,"
+              " seen long")
+    lines = [r.line for r in graphml_lines(eer)
+             .orderBy("section", "sort_key").collect()]
+    doc = "\n".join(lines)
+    root = ET.fromstring(doc)
+    ns = "{http://graphml.graphdrawing.org/xmlns}"
+    graph = root.find(f"{ns}graph")
+    nodes = graph.findall(f"{ns}node")
+    edges = graph.findall(f"{ns}edge")
+    assert {n.get("id") for n in nodes} == {"a&b", 'c"d', "x"}
+    assert len(edges) == 2
+    by_tgt = {e.get("target"): e for e in edges}
+    e1 = by_tgt['c"d']
+    data = {d.get("key"): d.text for d in e1.findall(f"{ns}data")}
+    assert data == {"pred": "P<Q", "seen": "3", "negated": "false"}
+    assert by_tgt["x"].get("source") == "a&b"
