@@ -1354,3 +1354,111 @@ def corpus_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "(ORDER BY n_chars) AS BIGINT)").alias("p50_chars"),
                  F.expr("CAST(percentile_disc(0.9) WITHIN GROUP "
                         "(ORDER BY n_chars) AS BIGINT)").alias("p90_chars")))
+
+
+# --------------------------------------------------------------------------
+# corpus curation — the capstone composition: the per-document KEEP/DROP
+# decision a training-data pipeline materializes by chaining the stages
+# this module provides (exact dedup -> benchmark holdout -> n-gram
+# decontamination -> quality tier -> split assignment). One row per
+# document with the decision and the FIRST failing reason (priority:
+# duplicate > benchmark > contaminated > low_quality), so downstream
+# audits can reconstruct every cut. Pure composition of the already-
+# oracled stage outputs, joined on the doc key — five doc_id equi-joins,
+# no new shapes.
+# --------------------------------------------------------------------------
+@_register("corpus_curation", """
+WITH dd AS (
+  SELECT doc_id,
+         (doc_id = min(doc_id) OVER (PARTITION BY md5(text)))
+           AS is_canonical
+  FROM documents),
+q AS (
+  SELECT doc_id,
+    len(regexp_split_to_array(text, ' ')) AS n_tokens,
+    len(regexp_extract_all(text, '[[:punct:]]')) AS n_punct,
+    len(list_filter(regexp_split_to_array(text, ' '),
+        w -> w IN ('the','a','of','and','to','in','is','was'))) AS n_stop
+  FROM documents),
+qt AS (
+  SELECT doc_id,
+    CASE WHEN n_tokens >= 20 AND 100 * n_stop >= 2 * n_tokens
+              AND 100 * n_punct <= 20 * n_tokens THEN 'high'
+         WHEN n_tokens >= 5 THEN 'medium' ELSE 'low' END AS tier
+  FROM q),
+bench AS (
+  SELECT DISTINCT unnest(
+    list_transform(
+      range(1, greatest(len(regexp_split_to_array(text, ' ')) - 1, 1)),
+      i -> regexp_split_to_array(text, ' ')[i] || ' ' ||
+           regexp_split_to_array(text, ' ')[i+1] || ' ' ||
+           regexp_split_to_array(text, ' ')[i+2])) AS shingle
+  FROM documents WHERE doc_id % 100 < 2),
+corpus AS (
+  SELECT doc_id, unnest(
+    list_transform(
+      range(1, greatest(len(regexp_split_to_array(text, ' ')) - 1, 1)),
+      i -> regexp_split_to_array(text, ' ')[i] || ' ' ||
+           regexp_split_to_array(text, ' ')[i+1] || ' ' ||
+           regexp_split_to_array(text, ' ')[i+2])) AS shingle
+  FROM documents WHERE doc_id % 100 >= 2),
+cont AS (
+  SELECT DISTINCT c.doc_id FROM corpus c JOIN bench b USING (shingle)),
+sp AS (
+  SELECT doc_id,
+         ((strpos('0123456789abcdef',
+                  substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 256
+          + (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 16
+          + (strpos('0123456789abcdef',
+                    substr(md5(CAST(doc_id AS VARCHAR)), 3, 1)) - 1))
+           AS bucket
+  FROM documents)
+SELECT d.doc_id, dd.is_canonical, qt.tier,
+       (d.doc_id % 100 < 2) AS is_benchmark,
+       (cont.doc_id IS NOT NULL) AS is_contaminated,
+       CASE WHEN sp.bucket < 3687 THEN 'train'
+            WHEN sp.bucket < 3892 THEN 'val' ELSE 'test' END AS split,
+       CASE WHEN NOT dd.is_canonical THEN 'duplicate'
+            WHEN d.doc_id % 100 < 2 THEN 'benchmark'
+            WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+            WHEN qt.tier = 'low' THEN 'low_quality'
+       END AS drop_reason,
+       (dd.is_canonical AND d.doc_id % 100 >= 2
+        AND cont.doc_id IS NULL AND qt.tier <> 'low') AS keep
+FROM documents d
+JOIN dd ON dd.doc_id = d.doc_id
+JOIN qt ON qt.doc_id = d.doc_id
+JOIN sp ON sp.doc_id = d.doc_id
+LEFT JOIN cont ON cont.doc_id = d.doc_id
+""")
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composes the registry's own stage queries (dedup_exact, the
+    quality tier, decontaminate_ngram's hit set, split_assign) into the
+    per-document keep/drop table — proving the stages CHAIN, not just
+    run alone."""
+    dd = QUERIES["dedup_exact"][0](spark, sf_dir) \
+        .select("doc_id", F.col("keep").alias("is_canonical"))
+    qt = QUERIES["quality_score"][0](spark, sf_dir) \
+        .select("doc_id", "tier")
+    cont = (QUERIES["decontaminate_ngram"][0](spark, sf_dir)
+            .where(F.col("is_contaminated"))
+            .select("doc_id", F.lit(True).alias("_cont")))
+    sp = QUERIES["split_assign"][0](spark, sf_dir) \
+        .select("doc_id", "split")
+    d = _docs(spark, sf_dir).select("doc_id")
+    j = (d.join(dd, "doc_id").join(qt, "doc_id").join(sp, "doc_id")
+         .join(cont, "doc_id", "left")
+         .withColumn("is_benchmark", F.expr("doc_id % 100 < 2"))
+         .withColumn("is_contaminated",
+                     F.coalesce("_cont", F.lit(False))))
+    return j.select(
+        "doc_id", "is_canonical", "tier", "is_benchmark",
+        "is_contaminated", "split",
+        F.expr("CASE WHEN NOT is_canonical THEN 'duplicate' "
+               "WHEN is_benchmark THEN 'benchmark' "
+               "WHEN is_contaminated THEN 'contaminated' "
+               "WHEN tier = 'low' THEN 'low_quality' END")
+        .alias("drop_reason"),
+        F.expr("is_canonical AND NOT is_benchmark AND NOT "
+               "is_contaminated AND tier <> 'low'").alias("keep"))
