@@ -315,6 +315,15 @@ def kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppr_fp(_eer_table(spark, sf_dir), seed_min_deg=3, iters=3)
 
 
+def kg_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph] Adamic-Adar / resource-allocation link prediction
+    (graph_ops.adamic_adar): unconnected pairs scored by the integer sum
+    of 1e6 DIV deg(shared neighbor) — rare shared partners outweigh
+    hubs; the degree-weighted refinement of kg_common_neighbors."""
+    from reach_spark.graph_ops import adamic_adar
+    return adamic_adar(_eer_table(spark, sf_dir), min_common=2)
+
+
 def export_graphml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[export/GraphML] The materialized KG as ordered GraphML text
     lines (tables.graphml_lines) — header/node/edge/footer sections with
@@ -417,6 +426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_bfs_hops"] = kg_bfs_hops
     out["kg_hits"] = kg_hits
     out["kg_ppr"] = kg_ppr
+    out["kg_adamic_adar"] = kg_adamic_adar
     out["media_caption_pairs"] = media_caption_pairs
     out["export_graphml"] = export_graphml
     out["export_bel"] = export_bel
@@ -896,6 +906,28 @@ edges AS (
 )
 SELECT * FROM hdr UNION ALL SELECT * FROM nodes
 UNION ALL SELECT * FROM edges
+"""
+
+
+def _adamic_adar_oracle() -> str:
+    """kg_adamic_adar oracle: the common_neighbors wedge enumeration
+    with the middle node's degree joined before aggregation; per-term
+    integer division then integer sum."""
+    return f"""
+WITH {_eer_cte()},
+{_und_sym_sql()},
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM s0 GROUP BY n),
+pairs AS (
+  SELECT w1.n AS a, w2.n AS b,
+         CAST(count(*) AS BIGINT) AS common,
+         CAST(sum(1000000 // d.deg) AS BIGINT) AS aa_ppm
+  FROM s0 w1 JOIN s0 w2 ON w2.m = w1.m AND w1.n < w2.n
+       JOIN deg d ON d.n = w1.m
+  GROUP BY w1.n, w2.n
+  HAVING count(*) >= 2
+)
+SELECT p.* FROM pairs p
+WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = p.a AND e.v = p.b)
 """
 
 
@@ -1425,6 +1457,7 @@ def oracle_sql() -> dict[str, str]:
     out["kg_bfs_hops"] = _bfs_hops_oracle(min_seed_deg=3, max_hops=4)
     out["kg_hits"] = _hits_oracle(iters=3)
     out["kg_ppr"] = _ppr_oracle(seed_min_deg=3, iters=3)
+    out["kg_adamic_adar"] = _adamic_adar_oracle()
     out["kg_clustering"] = _clustering_oracle()
     out["media_caption_pairs"] = _caption_oracle()
     out["export_graphml"] = _graphml_oracle()

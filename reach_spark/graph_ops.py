@@ -507,3 +507,37 @@ def ppr_fp(triples: DataFrame, seed_min_deg: int = 3,
                                    f" 0L)) div {PR_DAMP_DEN}"))
                          .cast("long").alias("ppr_fp")))
     return ranks
+
+
+def adamic_adar(triples: DataFrame, min_common: int = 2) -> DataFrame:
+    """Adamic–Adar link prediction over the undirected asserted KG — the
+    degree-weighted refinement of `common_neighbors`: a shared neighbor
+    counts for 1/deg(z) (rare shared partners are stronger evidence than
+    promiscuous hubs). The classical 1/log deg(z) needs floats; the
+    resource-allocation variant (Zhou et al. 2009) uses plain 1/deg and
+    is made hash-comparable here as the integer sum of
+    (1e6 DIV deg(z)) per shared neighbor — per-term truncating division
+    THEN an integer sum, associative on both engines.
+
+    Same wedge shape as common_neighbors with the degree joined on the
+    MIDDLE node before aggregation; candidates are unconnected pairs
+    with >= `min_common` shared neighbors. Output: (a, b, common,
+    aa_ppm), a < b.
+    """
+    sym = _und_sym(triples)
+    und = sym.where(F.col("n") < F.col("m")) \
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+    deg = sym.groupBy("n").agg(F.count("*").cast("bigint").alias("deg"))
+    w1 = sym.select(F.col("m").alias("mid"), F.col("n").alias("a"))
+    w2 = sym.select(F.col("m").alias("mid"), F.col("n").alias("b"))
+    pairs = (w1.join(w2, "mid")
+             .where(F.col("a") < F.col("b"))
+             .join(deg.select(F.col("n").alias("mid"), "deg"), "mid")
+             .groupBy("a", "b")
+             .agg(F.count("*").cast("bigint").alias("common"),
+                  F.sum(F.expr("1000000 DIV deg")).cast("bigint")
+                  .alias("aa_ppm"))
+             .where(F.col("common") >= min_common))
+    return pairs.join(
+        und, (pairs["a"] == und["u"]) & (pairs["b"] == und["v"]),
+        "left_anti")

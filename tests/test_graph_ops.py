@@ -298,3 +298,28 @@ def test_ppr_seed_restricted_teleport(spark):
     got2 = {r.node: r.ppr_fp
             for r in ppr_fp(eer.repartition(5)).collect()}
     assert got2 == got
+
+
+def test_adamic_adar_weights_rare_neighbors(spark):
+    """adamic_adar: on a double-diamond where one candidate pair shares
+    two degree-2 neighbors and another shares two hub neighbors, the
+    rare-neighbor pair scores higher at equal common counts; connected
+    pairs never appear."""
+    from reach_spark.graph_ops import adamic_adar
+    # A-B, A-C, D-B, D-C  (A,D share B,C — both degree 2 + hub edges)
+    # plus hub H connected to B and C and E,F..., raising deg(B),deg(C)
+    rows = [("A", "B"), ("A", "C"), ("D", "B"), ("D", "C"),
+            ("E", "X"), ("E", "Y"), ("F", "X"), ("F", "Y"),
+            ("X", "H1"), ("X", "H2"), ("Y", "H3"), ("Y", "H4")]
+    eer = spark.createDataFrame(
+        [(s, "P", o, False, 1) for s, o in rows], SCHEMA)
+    got = {(r.a, r.b): (r.common, r.aa_ppm)
+           for r in adamic_adar(eer).collect()}
+    # A,D share B(deg2) and C(deg2): aa = 2 * (1e6 div 2) = 1_000_000
+    assert got[("A", "D")] == (2, 1_000_000)
+    # E,F share X(deg4) and Y(deg4): aa = 2 * (1e6 div 4) = 500_000
+    assert got[("E", "F")] == (2, 500_000)
+    assert got[("A", "D")][1] > got[("E", "F")][1]
+    got2 = {(r.a, r.b): (r.common, r.aa_ppm)
+            for r in adamic_adar(eer.repartition(5)).collect()}
+    assert got2 == got
