@@ -54,6 +54,10 @@ HEADLINE = [
     # query comparison is unaffected)
     "dedup_substring_spans",
     "kmeans_embeddings",
+    # round-4 third-continuation addition (appended, same policy): the
+    # composed end-to-end curation decision table — dedup + holdout +
+    # decontamination + quality + split in one plan
+    "corpus_curation",
 ]
 
 
