@@ -324,6 +324,16 @@ def kg_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adamic_adar(_eer_table(spark, sf_dir), min_common=2)
 
 
+def kg_pref_attachment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[graph] Preferential-attachment link prediction
+    (graph_ops.preferential_attachment): deg(a)*deg(b) over the same
+    unconnected candidate pairs as kg_common_neighbors/kg_adamic_adar —
+    the third classic baseline, int64-exact."""
+    from reach_spark.graph_ops import preferential_attachment
+    return preferential_attachment(_eer_table(spark, sf_dir),
+                                   min_common=2)
+
+
 def export_graphml(spark: SparkSession, sf_dir: str) -> DataFrame:
     """[export/GraphML] The materialized KG as ordered GraphML text
     lines (tables.graphml_lines) — header/node/edge/footer sections with
@@ -427,6 +437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["kg_hits"] = kg_hits
     out["kg_ppr"] = kg_ppr
     out["kg_adamic_adar"] = kg_adamic_adar
+    out["kg_pref_attachment"] = kg_pref_attachment
     out["media_caption_pairs"] = media_caption_pairs
     out["export_graphml"] = export_graphml
     out["export_bel"] = export_bel
@@ -928,6 +939,29 @@ pairs AS (
 )
 SELECT p.* FROM pairs p
 WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = p.a AND e.v = p.b)
+"""
+
+
+def _pref_attachment_oracle() -> str:
+    """kg_pref_attachment oracle: same candidate CTEs as adamic_adar
+    with the endpoint degrees joined and multiplied."""
+    return f"""
+WITH {_eer_cte()},
+{_und_sym_sql()},
+deg AS (SELECT n, CAST(count(*) AS BIGINT) AS deg FROM s0 GROUP BY n),
+pairs AS (
+  SELECT w1.n AS a, w2.n AS b, CAST(count(*) AS BIGINT) AS common
+  FROM s0 w1 JOIN s0 w2 ON w2.m = w1.m AND w1.n < w2.n
+  GROUP BY w1.n, w2.n
+  HAVING count(*) >= 2
+),
+cand AS (
+  SELECT p.* FROM pairs p
+  WHERE NOT EXISTS (SELECT 1 FROM und e WHERE e.u = p.a AND e.v = p.b)
+)
+SELECT c.a, c.b, c.common,
+       CAST(da.deg * db.deg AS BIGINT) AS pa_score
+FROM cand c JOIN deg da ON da.n = c.a JOIN deg db ON db.n = c.b
 """
 
 
@@ -1458,6 +1492,7 @@ def oracle_sql() -> dict[str, str]:
     out["kg_hits"] = _hits_oracle(iters=3)
     out["kg_ppr"] = _ppr_oracle(seed_min_deg=3, iters=3)
     out["kg_adamic_adar"] = _adamic_adar_oracle()
+    out["kg_pref_attachment"] = _pref_attachment_oracle()
     out["kg_clustering"] = _clustering_oracle()
     out["media_caption_pairs"] = _caption_oracle()
     out["export_graphml"] = _graphml_oracle()

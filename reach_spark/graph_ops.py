@@ -541,3 +541,41 @@ def adamic_adar(triples: DataFrame, min_common: int = 2) -> DataFrame:
     return pairs.join(
         und, (pairs["a"] == und["u"]) & (pairs["b"] == und["v"]),
         "left_anti")
+
+
+def preferential_attachment(triples: DataFrame,
+                            min_common: int = 2) -> DataFrame:
+    """Preferential-attachment link prediction score deg(a)·deg(b) —
+    the third classic baseline beside `common_neighbors` (count) and
+    `adamic_adar` (rarity-weighted): hubs attract links, so high-degree
+    unconnected pairs are a-priori likely. Restricted to the same
+    candidate set (unconnected pairs sharing >= `min_common` neighbors)
+    so the three scores rank one population and consumers can ensemble
+    them directly. Integer product of int64 degrees — exact on both
+    engines. Same wedge + anti-join shape; two broadcastable degree
+    joins on the pair endpoints.
+
+    Output: (a, b, common, pa_score), a < b.
+    """
+    sym = _und_sym(triples)
+    und = sym.where(F.col("n") < F.col("m")) \
+        .select(F.col("n").alias("u"), F.col("m").alias("v"))
+    deg = sym.groupBy("n").agg(F.count("*").cast("bigint").alias("deg"))
+    w1 = sym.select(F.col("m").alias("mid"), F.col("n").alias("a"))
+    w2 = sym.select(F.col("m").alias("mid"), F.col("n").alias("b"))
+    pairs = (w1.join(w2, "mid")
+             .where(F.col("a") < F.col("b"))
+             .groupBy("a", "b")
+             .agg(F.count("*").cast("bigint").alias("common"))
+             .where(F.col("common") >= min_common))
+    cand = pairs.join(
+        und, (pairs["a"] == und["u"]) & (pairs["b"] == und["v"]),
+        "left_anti")
+    return (cand
+            .join(deg.select(F.col("n").alias("a"),
+                             F.col("deg").alias("deg_a")), "a")
+            .join(deg.select(F.col("n").alias("b"),
+                             F.col("deg").alias("deg_b")), "b")
+            .select("a", "b", "common",
+                    (F.col("deg_a") * F.col("deg_b")).cast("bigint")
+                    .alias("pa_score")))

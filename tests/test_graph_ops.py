@@ -323,3 +323,20 @@ def test_adamic_adar_weights_rare_neighbors(spark):
     got2 = {(r.a, r.b): (r.common, r.aa_ppm)
             for r in adamic_adar(eer.repartition(5)).collect()}
     assert got2 == got
+
+
+def test_preferential_attachment_scores(spark):
+    """preferential_attachment: same candidate set as the other two LP
+    baselines (unconnected, common >= 2), score = deg(a)*deg(b)."""
+    from reach_spark.graph_ops import preferential_attachment
+    rows = [("A", "B"), ("A", "C"), ("D", "B"), ("D", "C"), ("D", "E")]
+    eer = spark.createDataFrame(
+        [(s, "P", o, False, 1) for s, o in rows], SCHEMA)
+    got = {(r.a, r.b): (r.common, r.pa_score)
+           for r in preferential_attachment(eer).collect()}
+    # A(deg2), D(deg3) share B,C -> 2*3; B(deg2),C(deg2) share A,D -> 4
+    assert got == {("A", "D"): (2, 6), ("B", "C"): (2, 4)}
+    got2 = {(r.a, r.b): (r.common, r.pa_score)
+            for r in preferential_attachment(eer.repartition(5))
+            .collect()}
+    assert got2 == got
