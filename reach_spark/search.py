@@ -10,9 +10,11 @@ similarity is BM25 since 6.0 — the scoring re-implemented here), writing
 artifact from a corpus, then rank documents for a free-text query.
 
 Spark shape (the 100 TB design):
-- The "index" is two tables, not a service: `postings(term, doc_id, tf)`
-  and `doclens(doc_id, len)`. Building them is one tokenize+explode scan
-  with a map-side-combinable groupBy — at scale, write both partitioned/
+- The "index" is two tables, not a service: `postings(term, doc_id, len,
+  tf)` — document length denormalized inline, Lucene-norms style, so
+  scoring never joins a corpus-sized side — and `doclens(doc_id, len)`
+  kept for stats/compat. Building them is one tokenize+explode scan with
+  a map-side-combinable groupBy — at scale, write postings partitioned/
   bucketed BY TERM so a query's term filter prunes to its buckets and the
   scoring join needs no shuffle of the postings table.
 - A query touches |query| terms: filter postings on the tiny term set
@@ -57,9 +59,17 @@ def build_index(documents: DataFrame,
     toks = documents.select(F.col(id_col).alias("doc_id"),
                             tokens_expr(F.col(text_col)).alias("toks"))
     doclens = toks.select("doc_id", F.size("toks").alias("len"))
+    # `len` is DENORMALIZED into the postings (one extra int per row, like
+    # Lucene's per-doc norms stored inline in the segment): scoring then
+    # needs NO join against the corpus-sized doclens table — at 10^12 docs
+    # a broadcast of doclens would OOM the driver and a shuffle join would
+    # move the whole corpus; here the length arrives with the pruned
+    # postings rows for free. groupBy key includes `len` (functionally
+    # dependent on doc_id) so the aggregate stays map-side combinable.
     postings = (toks
-                .select("doc_id", F.explode("toks").alias("term"))
-                .groupBy("term", "doc_id")
+                .select("doc_id", F.size("toks").alias("len"),
+                        F.explode("toks").alias("term"))
+                .groupBy("term", "doc_id", "len")
                 .agg(F.count("*").alias("tf")))
     # global stats live in the index artifact, exactly like Lucene's
     # segment metadata: computed ONCE at build, so searches never pay a
@@ -95,6 +105,11 @@ def bm25_search(index: dict[str, DataFrame], query: str,
         n_docs, avglen = stats["n"], float(stats["avglen"] or 0.0)
 
     hit = postings.where(F.col("term").isin(terms))
+    if "len" not in postings.columns:
+        # legacy index without denormalized lengths: join doclens with NO
+        # broadcast hint — doclens is corpus-sized (one row per document),
+        # so the strategy must be AQE's call, never a forced broadcast
+        hit = hit.join(doclens, "doc_id")
     # per-term df over the pruned postings only
     df_by_term = hit.groupBy("term").agg(
         F.count("*").alias("df"))
@@ -103,7 +118,6 @@ def bm25_search(index: dict[str, DataFrame], query: str,
                 (F.col("df") + F.lit(0.5)))
     scored = (hit
               .join(F.broadcast(df_by_term), "term")
-              .join(F.broadcast(doclens), "doc_id")
               .withColumn("tfn", (F.col("tf") * (BM25_K1 + 1)) /
                           (F.col("tf") + BM25_K1 *
                            (1 - BM25_B + BM25_B * F.col("len") / avglen)))

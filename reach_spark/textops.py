@@ -786,7 +786,8 @@ WITH b AS (
   FROM documents)
 SELECT lang, rate,
        count(*) AS n_docs,
-       sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END) AS n_kept,
+       CAST(sum(CASE WHEN bucket < rate THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
        min(CASE WHEN bucket < rate THEN doc_id END) AS first_kept_doc
 FROM b GROUP BY lang, rate
 """)
@@ -835,9 +836,9 @@ WITH toks AS (
   FROM documents),
 pref AS (
   SELECT doc_id, n_tokens,
-         sum(n_tokens) OVER (ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens
-           AS tok_offset
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                                  ROWS UNBOUNDED PRECEDING) - n_tokens
+              AS BIGINT) AS tok_offset
   FROM toks)
 SELECT doc_id, n_tokens, tok_offset,
        tok_offset // {_PACK_BLOCK} AS first_block,

@@ -71,6 +71,34 @@ def test_topk_plan_no_global_sort(index):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_scoring_plan_no_corpus_sized_join(index):
+    """Document length is denormalized into the postings at build time,
+    so the scoring plan's ONLY join is the broadcast of the |query|-row
+    per-term df table — no join (broadcast or shuffle) against the
+    corpus-sized doclens side. A forced doclens broadcast OOMs the driver
+    at 10^12 docs; this gate keeps it out of the plan for good."""
+    assert "len" in index["postings"].columns
+    plan = bm25_search(index, "hash join", k=2)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 1      # df_by_term only
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
+def test_legacy_index_without_len_still_scores(spark):
+    """Indexes persisted before the denormalization (postings without
+    `len`) fall back to an unhinted doclens join and score identically."""
+    docs = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    idx = build_index(docs)
+    legacy = dict(idx)
+    legacy["postings"] = idx["postings"].drop("len")
+    new = {r["doc_id"]: r["score"]
+           for r in bm25_search(idx, "hash join", k=4).collect()}
+    old = {r["doc_id"]: r["score"]
+           for r in bm25_search(legacy, "hash join", k=4).collect()}
+    assert new == old
+
+
 def test_s8_driver_query(spark):
     out = s8_bm25_search(spark, "/root/testdata/sf0.001").collect()
     assert len(out) == 10
