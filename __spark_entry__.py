@@ -886,7 +886,7 @@ def _hits_oracle(iters: int = 3) -> str:
   SELECT n.node, CAST(coalesce(r.s, 0) AS BIGINT) AS v
   FROM nodes n LEFT JOIN ra{i} r ON r.node = n.node
 ), a{i} AS (
-  SELECT node, CAST(v * {HITS_SCALE} //
+  SELECT node, CAST(CAST(v AS HUGEINT) * {HITS_SCALE} //
          (SELECT greatest(max(v), 1) FROM ap{i}) AS BIGINT) AS auth
   FROM ap{i}
 ), rh{i} AS (
@@ -896,7 +896,7 @@ def _hits_oracle(iters: int = 3) -> str:
   SELECT n.node, CAST(coalesce(r.s, 0) AS BIGINT) AS v
   FROM nodes n LEFT JOIN rh{i} r ON r.node = n.node
 ), h{i} AS (
-  SELECT node, CAST(v * {HITS_SCALE} //
+  SELECT node, CAST(CAST(v AS HUGEINT) * {HITS_SCALE} //
          (SELECT greatest(max(v), 1) FROM hp{i}) AS BIGINT) AS hub
   FROM hp{i}
 )""")

@@ -310,7 +310,10 @@ def run_rules(spark: SparkSession, text: str, rules: str) -> dict:
                                           None, [name, str(exc)])
             engine = TokenRuleEngine(compiled)
             if len(_RULE_ENGINE_CACHE) >= _RULE_ENGINE_CACHE_MAX:
-                _RULE_ENGINE_CACHE.clear()
+                # FIFO-evict the oldest entry (dict preserves insertion
+                # order) — clearing everything caused a recompile burst
+                # for still-hot grammars
+                _RULE_ENGINE_CACHE.pop(next(iter(_RULE_ENGINE_CACHE)))
             _RULE_ENGINE_CACHE[rules] = engine
 
         # single-request path: one doc, driver-side dispatch like the

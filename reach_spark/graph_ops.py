@@ -331,8 +331,14 @@ def kcore(triples: DataFrame, k: int = 2, rounds: int = 8) -> DataFrame:
     degrees over the surviving symmetric adjacency, keeps nodes with
     deg >= k, and semi-joins the adjacency on BOTH endpoints. A fixed
     round count (rather than loop-until-stable) keeps the computation
-    identical on any engine — the DuckDB oracle unrolls the same rounds —
-    and on a diameter-bounded peel cascade extra rounds are no-ops.
+    identical on any engine — the DuckDB oracle unrolls the same rounds.
+    The bound is real, not cosmetic: each round peels one leaf layer, so
+    a degree-<k cascade deeper than `rounds` (e.g. a bare path of more
+    than 2*rounds nodes, peeled from both ends) would retain non-core
+    mid nodes. Extra rounds are no-ops only once the peel has converged;
+    tests/test_graph_ops.py gates rounds==rounds+1 equality on the
+    shipped corpus default, and callers with deeper cascades must raise
+    `rounds` to ~half the longest expected pendant path.
     Per round: one map-side-combinable count + two equi semi-joins;
     lineage truncated per round (localCheckpoint) exactly like
     pagerank_fp. At cluster scale the adjacency would be bucketed on `n`
@@ -427,9 +433,16 @@ def hits_fp(triples: DataFrame, iters: int = 3) -> DataFrame:
     def _renorm(df: DataFrame, col: str) -> DataFrame:
         mx = df.agg(F.greatest(F.max(F.col(col)),
                                F.lit(1).cast("long")).alias("_mx"))
+        # the product v * HITS_SCALE can reach HITS_SCALE^2 * in_degree —
+        # past int64 once any node's in-degree nears ~9.2e6 (real at crawl
+        # scale). Widen the multiply to decimal(38,0): exact, wrap-free,
+        # and `div` still returns BIGINT; the DuckDB oracle widens the
+        # same product to HUGEINT, so the engines stay value-identical
+        # instead of Spark wrapping silently where DuckDB raises.
         return (df.crossJoin(F.broadcast(mx))
                 .select("node",
-                        F.expr(f"({col} * {HITS_SCALE}) div _mx")
+                        F.expr(f"(CAST({col} AS DECIMAL(38,0))"
+                               f" * {HITS_SCALE}) div _mx")
                         .cast("long").alias(col)))
 
     for _ in range(iters):

@@ -245,13 +245,26 @@ def _parse_warc(b: bytes) -> list[tuple[str, list[dict]]]:
         if hdr_end < 0:
             break
         headers = {}
-        for line in b[j:hdr_end].split(b"\r\n")[1:]:
+        # unfold continuation lines (RFC-style LWS folding) BEFORE
+        # parsing — a folded Content-Length would otherwise silently
+        # read as missing
+        hdr_block = (b[j:hdr_end]
+                     .replace(b"\r\n ", b" ").replace(b"\r\n\t", b" "))
+        for line in hdr_block.split(b"\r\n")[1:]:
             k, _, v = line.partition(b":")
             headers[k.strip().lower()] = v.strip()
         try:
-            clen = int(headers.get(b"content-length", b"0"))
-        except ValueError:
-            clen = 0
+            clen = int(headers[b"content-length"])
+        except (KeyError, ValueError):
+            # no parseable payload boundary: SKIP the record (emit
+            # nothing) and resync at the spec record terminator
+            # (CRLFCRLF before the next header) — never scan a payload
+            # for a bare 'WARC/', which a body can legitimately contain
+            nxt = b.find(b"\r\n\r\nWARC/", hdr_end + 4)
+            if nxt < 0:
+                break
+            i = nxt + 4
+            continue
         payload = b[hdr_end + 4:hdr_end + 4 + clen]
         i = hdr_end + 4 + clen
         wtype = headers.get(b"warc-type", b"").decode("ascii", "replace")

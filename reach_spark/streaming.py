@@ -324,7 +324,12 @@ def _session_update(key, pdfs, state):
                 rows.append((user_id, s0, s1, ne, "closed"))
                 s0, s1, ne = t, t, 1
             else:
-                s1, ne = t, ne + 1
+                # fold with min/max, not assignment: a late-but-within-
+                # watermark event from a LATER micro-batch can have
+                # t < s1 (cross-batch out-of-order; within a batch ts is
+                # sorted) — plain s1 = t would shrink the session end
+                # below its start
+                s0, s1, ne = min(s0, t), max(s1, t), ne + 1
         if s0 is not None:
             rows.append((user_id, s0, s1, ne, "open"))
             state.update((s0, s1, ne))

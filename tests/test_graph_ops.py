@@ -217,6 +217,38 @@ def test_kcore_peel_cascade(spark):
     assert kcore(eer, k=3).count() == 0
 
 
+def test_kcore_round_bound_is_real_and_documented(spark):
+    """The fixed round count under-approximates on peel cascades deeper
+    than `rounds`: a bare path peels from both ends, one leaf layer per
+    round, so a path of > 2*rounds nodes retains mid nodes at the
+    default. This pins the documented bound — and that raising `rounds`
+    reaches the true (empty) 2-core."""
+    from reach_spark.graph_ops import kcore
+    L = 20  # path p0-p1-...-p19: true 2-core is empty
+    rows = [(f"p{i:02d}", "P", f"p{i + 1:02d}", False, 1)
+            for i in range(L - 1)]
+    eer = spark.createDataFrame(rows, SCHEMA)
+    # rounds=8 peels 2 nodes/round -> 4 mid nodes survive spuriously
+    assert kcore(eer, k=2, rounds=8).count() == 4
+    # rounds >= ceil(L/2) converges to the true empty 2-core
+    assert kcore(eer, k=2, rounds=10).count() == 0
+
+
+def test_kcore_default_rounds_converged_on_flagship_corpus(spark):
+    """Convergence gate for the SHIPPED default (kg_kcore: k=2, rounds=8)
+    on the corpus the driver checks: round 8 must equal round 9, i.e. the
+    fixed unroll is demonstrably at the fixed point, so the oracle-parity
+    equality is also true-2-core equality (ADVICE r4)."""
+    import __spark_entry__ as entrymod
+    from reach_spark.graph_ops import kcore
+    eer = entrymod._eer_table(spark, "/root/testdata/sf0.001")
+    r8 = {(r.node, r.core_deg)
+          for r in kcore(eer, k=2, rounds=8).collect()}
+    r9 = {(r.node, r.core_deg)
+          for r in kcore(eer, k=2, rounds=9).collect()}
+    assert r8 == r9
+
+
 def test_bfs_hops_from_hub(spark):
     """bfs_hops: on the triangle+tail graph only c has degree >= 3, so it
     is the sole seed; hops are graph distance from c, tail end at 2."""

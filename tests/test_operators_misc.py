@@ -817,3 +817,38 @@ def test_read_warc(spark, tmp_path):
     texts = {r.doc_id: r.text for r in
              extract_text(read_warc(spark, str(tmp_path))).collect()}
     assert texts["urn:uuid:a"] == "KRAS & MEK bind."
+
+
+def test_read_warc_malformed_length_and_folded_headers(spark, tmp_path):
+    """ADVICE r4 hardening: (a) a record with a missing/invalid
+    Content-Length is SKIPPED, with resync at the CRLFCRLF+WARC/ record
+    terminator — its payload is never scanned for a bare 'WARC/', so a
+    body containing that string can't spawn garbage records; (b) folded
+    (continuation-line) headers are unfolded before parsing, so a folded
+    Content-Length is honored instead of silently reading as missing."""
+    from reach_spark.sources import read_warc
+
+    good = b"good payload text"
+    bad_payload = b"junk WARC/1.0 fake-header\r\n\r\n trailing"
+    warc = (
+        # record with NO Content-Length and a payload containing WARC/
+        b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://x.test/bad\r\n"
+        b"WARC-Record-ID: <urn:uuid:bad>\r\n"
+        b"Content-Type: text/plain\r\n\r\n"
+        + bad_payload + b"\r\n\r\n"
+        # record whose Content-Length is FOLDED onto a continuation line
+        + b"WARC/1.0\r\nWARC-Type: conversion\r\n"
+        b"WARC-Target-URI: http://x.test/folded\r\n"
+        b"WARC-Record-ID: <urn:uuid:folded>\r\n"
+        b"Content-Type: text/plain\r\nContent-Length:\r\n "
+        + str(len(good)).encode() + b"\r\n\r\n"
+        + good + b"\r\n\r\n")
+    (tmp_path / "crawl.warc").write_bytes(warc)
+
+    rows = {r.doc_id: r.spans for r in
+            read_warc(spark, str(tmp_path)).collect()}
+    # the malformed record is dropped, never resynced-into; the folded
+    # one parses byte-exactly
+    assert set(rows) == {"urn:uuid:folded"}
+    assert rows["urn:uuid:folded"][0].text == "good payload text"

@@ -577,6 +577,56 @@ def test_stream_sessionize_event_time_eviction(spark, tmp_path):
     assert got[(9, us(300))] == "open"
 
 
+def test_session_update_late_event_folds_with_min_max():
+    """ADVICE r4: a late-but-within-watermark event arriving in a LATER
+    micro-batch (t < the open session's last_us) must fold with
+    min/max — never shrink session_end below session_start — while the
+    gap rule still keys off the true latest event."""
+    import pandas as pd
+
+    from reach_spark.streaming import _session_update
+
+    class FakeState:
+        hasTimedOut = False
+
+        def __init__(self, tup=None):
+            self._t = tup
+
+        @property
+        def exists(self):
+            return self._t is not None
+
+        @property
+        def get(self):
+            return self._t
+
+        def update(self, tup):
+            self._t = tup
+
+        def setTimeoutTimestamp(self, ms):
+            self.timeout_ms = ms
+
+        def remove(self):
+            self._t = None
+
+    M = 60 * 1_000_000  # one minute in us
+    st = FakeState((100 * M, 120 * M, 3))  # open session [100', 120']
+    out = list(_session_update(
+        (7,), [pd.DataFrame({"ts": pd.to_datetime([110 * M * 1000],
+                                                  unit="ns")})], st))
+    rows = pd.concat(out)
+    assert list(rows.itertuples(index=False, name=None)) == [
+        (7, 100 * M, 120 * M, 4, "open")]   # end NOT shrunk to 110'
+    assert st.get == (100 * M, 120 * M, 4)
+    # an even-earlier late event extends the start downward instead
+    st2 = FakeState((100 * M, 120 * M, 3))
+    out2 = list(_session_update(
+        (7,), [pd.DataFrame({"ts": pd.to_datetime([80 * M * 1000],
+                                                  unit="ns")})], st2))
+    assert pd.concat(out2).iloc[0]["session_start_us"] == 80 * M
+    assert st2.get == (80 * M, 120 * M, 4)
+
+
 def test_embedding_outliers_tail_bounded(spark):
     """embedding_outliers: the strict-below-5th-percentile rule flags
     UNDER 5% of each cluster (percentile_disc value itself is not an
