@@ -979,6 +979,26 @@ def _wrapper_sign(lw: str) -> int:
     return 0
 
 
+# participial pre-modifiers whose stem carries no sign but that negate a
+# bare-NP controller's presence ("lost/silenced PTPN13 increases ...")
+_NEG_PREMOD_EXTRA = frozenset({"lost", "absent", "silenced", "ablated"})
+
+
+def _premod_neg(lw: str) -> bool:
+    """True iff a token directly left of a bare entity controller reads
+    as a NEGATIVE participial pre-modifier — "decreased/lost PTPN13
+    increases EphrinB1 activation" flips the controller sign (wild-PMC
+    tier, r5; the bare-NP analog of the wrapper-nominal
+    SEMANTIC_NEGATIVE flip). Slash compounds flip if ANY segment is
+    negative; positive/unsigned modifiers are inert."""
+    for part in lw.split("/"):
+        if part in _NEG_PREMOD_EXTRA:
+            return True
+        if part.endswith(("ed", "en")) and _sign_of_stem(part) == -1:
+            return True
+    return False
+
+
 @lru_cache(maxsize=65536)
 def _match_trigger_cached(lw: str) -> tuple[str, str, bool] | None:
     """token -> (event_label, form verb|noun, is_auto); memoized - the per-token trigger match is a pure function of the lowered token and the hot path of the cascade. De-prefix guard: deubiquitination must NOT match Ubiquitination (simple-event_template.yml triggerPrefix !word=/^(de|auto)/)."""
@@ -3141,6 +3161,9 @@ class SentenceExtractor:
     _KD_POSTFIX = frozenset({"knockdown", "knock-down", "silencing",
                              "depletion", "ablation", "deletion",
                              "knockout", "knock-out"})
+    # adjectives heading an absence-PP over the controller entity
+    # ("deficient in PTEN", "devoid of X") — wild-PMC tier, r5
+    _ABSENT_PRE = frozenset({"deficient", "depleted", "devoid"})
 
     def _kd_gerund_controller(self, pos: int) -> Mention | None:
         """Gerund knockdown subject: 'silencing TAK1 [in ... cells]
@@ -3233,6 +3256,20 @@ class SentenceExtractor:
                 # → controller TAK1 with sign -1
                 if e["end"] < self.n and \
                         self.lows[e["end"]] in self._KD_POSTFIX:
+                    return e, -1
+                # absence-of-controller PP: "tumors deficient in PTEN
+                # have activated Akt" → PTEN controls through its
+                # ABSENCE, sign -1 (wild-PMC tier, r5 — the bare-NP
+                # analog of the KD postfix above)
+                if k >= 1 and self.lows[k] in ("in", "of") and \
+                        self.lows[k - 1] in self._ABSENT_PRE:
+                    return e, -1
+                if k >= 0 and self.lows[k] in ("lacking", "without"):
+                    return e, -1
+                # negative participial pre-modifier on a bare entity
+                # controller: "decreased/lost PTPN13 increases ..." →
+                # sign -1 (wild-PMC tier, r5)
+                if k >= 0 and _premod_neg(self.lows[k]):
                     return e, -1
                 return e, 1
             # bare wrapper directly: "RAS activation" handled via compound
@@ -3530,6 +3567,16 @@ class SentenceExtractor:
                 if k >= 0 and self.lows[k].endswith("ly"):
                     k -= 1
                 if k < 0 or self.ent_ending_at(k) is None:
+                    # "with" + participle + entity is a state adjective
+                    # on that entity, never a trigger controlled by the
+                    # matrix subject ("mNeuNT associates with activated
+                    # Src" — wild-PMC tier, r5; the reference reads the
+                    # participle as an entity modification)
+                    if i > 0 and self.lows[i - 1] == "with":
+                        nxt = self.conj_ents_right(i + 1)
+                        if nxt and nxt[0]["start"] == i + 1:
+                            i += 1
+                            continue
                     # no adjacent controller: a later tensed verb means
                     # this participle pre-modifies that verb's controller
                     # NP — leave the relation to the tensed trigger

@@ -24,6 +24,10 @@ SENTS = [
     "Overexpression of ZQX741 increased the acetylation of YWB233 "
     "by QRT55.",                                                    # nested
     "ZQX741 fails to promote the hydrolysis of YWB233.",            # negation
+    # wild-PMC r5 tiers (PMC3261204 / PMC1289294 / PMC3261204 shapes)
+    "Decreased/lost ZQX741 increases YWB233 activation.",           # premod-
+    "Tumors deficient in ZQX741 have activated YWB233.",            # absence
+    "ZQX741 associates with activated YWB233.",                     # stateadj
 ]
 
 
@@ -92,3 +96,33 @@ def test_nested_wrapper_and_by_phrase(novel_results):
 def test_negation_parity_on_novel_event(novel_results):
     assert _has(novel_results["triples"], "ZQX741",
                 "Positive_regulation->Hydrolysis", "YWB233", negated=True)
+
+
+def test_negative_premod_flips_bare_controller(novel_results):
+    """Wild-PMC r5 tier: 'Decreased/lost X increases Y activation' —
+    the slash-compound negative participial pre-modifier flips the bare
+    entity controller's sign (X controls through its absence)."""
+    assert _has(novel_results["triples"], "ZQX741",
+                "Negative_activation", "YWB233")
+
+
+def test_absence_pp_flips_controller(novel_results):
+    """Wild-PMC r5 tier: 'Tumors deficient in X have activated Y' —
+    the absence-PP controller gets sign -1."""
+    trips = [t for t in novel_results["triples"]
+             if t["pred"] == "Negative_activation"
+             and (t["subj"] or "").startswith("ZQX741::uaz:")
+             and (t["obj"] or "").startswith("YWB233::uaz:")]
+    assert trips
+
+
+def test_with_participle_is_state_adjective(novel_results):
+    """Wild-PMC r5 tier: 'X associates with activated Y' yields the
+    Binding only — no spurious activation event with the matrix subject
+    as controller."""
+    trips = novel_results["triples"]
+    bind = [t for t in trips if t["pred"] == "Binding"
+            and "ZQX741" in (t["subj"] or "") + (t["obj"] or "")
+            and "YWB233" in (t["subj"] or "") + (t["obj"] or "")]
+    assert bind
+    assert not _has(trips, "ZQX741", "Positive_activation", "YWB233")
