@@ -544,7 +544,7 @@ def _find_sites(doc_id: str, sent_idx: int, words: list[str],
     fields = [{"word": w} for w in words]
     found: list[Mention] = []
     engine = _entity_token_rules()
-    rules = engine.rules
+    candidates = engine.candidates
     start_ok = engine.start_ok
     i = 0
     while i < n:
@@ -552,7 +552,10 @@ def _find_sites(doc_id: str, sent_idx: int, words: list[str],
             i += 1
             continue
         advanced = False
-        for rule in rules:
+        # per-word dispatch index: only the rules whose entry gate can
+        # pass at this word are probed, in file order (exact — the same
+        # _first_ok gate match_at re-checks)
+        for rule in candidates(words[i]):
             end = rule.match_at(fields, i)
             if end is None:
                 continue

@@ -508,6 +508,27 @@ class TokenRuleEngine:
         self.rules = rules
         self.start_word_re = self._combined_start_re()
         self._start_cache: dict[str, bool] = {}
+        self._cand_cache: dict[str, tuple[TokenRule, ...]] = {}
+        # rules whose entry gate is NOT a pure function of the word must
+        # always be probed; word-only rules are filtered per word below
+        self._always = tuple(r for r in rules if not r._first_word_only)
+
+    def candidates(self, word: str) -> tuple[TokenRule, ...]:
+        """The ordered subset of rules whose entry gate can pass at a
+        token with this word — the per-word dispatch index (memoized;
+        Zipf makes the cache hit rate ~1). Rules with non-word entry
+        gates are always candidates; word-only rules are pre-filtered by
+        their memoized first-token test, so the dispatch loop probes ~1
+        rule per gated token instead of the whole rule file. Exact:
+        filtering uses the same _first_ok gate match_at re-checks."""
+        cand = self._cand_cache.get(word)
+        if cand is None:
+            f = [{"word": word}]
+            cand = tuple(r for r in self.rules
+                         if not r._first_word_only or r._first_ok(f, 0))
+            if len(self._cand_cache) < (1 << 17):
+                self._cand_cache[word] = cand
+        return cand
 
     def start_ok(self, word: str) -> bool:
         """Memoized combined-start-gate test: can ANY rule begin at a
