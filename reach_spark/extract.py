@@ -364,6 +364,8 @@ def _is_event_nominal(s: str) -> bool:
 
 _SITE_AA_RE = re.compile(r"^([ACDEFGHIKLMNPQRSTVWY])[-]?(\d+)$")
 _MUTANT_RE = re.compile(r"^([ACDEFGHIKLMNPQRSTVWY])(\d+)([ACDEFGHIKLMNPQRSTVWY])$")
+# assay potency/toxicity measures (IC50, EC50, CC50, LD50, TD50, IC90...)
+_ASSAY_MEASURE_RE = re.compile(r"^(?:IC|EC|CC|LD|TD)\d{2,3}$")
 # HGVS-ish mutant token shapes (reference mutants.yml / modifications.yml
 # mutant rules): Ser785His, ΔF508, K29del, K29_M30insQSK, G31_Q33dup,
 # Arg83fs, … The shape vocabulary is DATA in rules/mutant_tokens.yml
@@ -740,8 +742,11 @@ def _shape_ner_key(w: str) -> str | None:
         return None
     if _SITE_AA_RE.match(w) or _MUTANT_RE.match(w) or _AA3_RE.match(w):
         return None
-    if w.endswith("RNA") or w.endswith("DNA"):
-        return None  # mRNA/shRNA/tRNA/cDNA — nucleic acids, not proteins
+    if w.endswith(("RNA", "RNAs", "DNA", "DNAs")):
+        return None  # mRNA(s)/shRNA/tRNA/cDNA — nucleic acids, not proteins
+    if _ASSAY_MEASURE_RE.match(w):
+        return None  # IC50/EC50/CC50/LD50 — assay potency measures, not
+        # entities ("the IC50 for erlotinib", wild-PMC precision tier r5)
     low2 = w[:2].lower() if len(w) > 3 else ""
     shape_digit = (w[0].isupper() and any(c.isdigit() for c in w) and
                    sum(c.isalpha() for c in w) >= 2 and

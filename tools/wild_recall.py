@@ -36,9 +36,13 @@ def corpus_stats(spark, documents, tag: str) -> dict:
     ents = m.where(F.col("kind") == "tbm")
     n_ents = ents.count()
     # grounding: failsafe ids are ns 'uaz' (AzFailsafeKBML analog); a
-    # real KB hit is any other namespace
-    n_grounded = ents.where(F.col("g_ns").isNotNull()
-                            & (F.col("g_ns") != "uaz")).count()
+    # real KB hit is any other namespace. Site mentions are excluded
+    # from the rate — the reference grounds sites failsafe-only (no
+    # site KB exists), so counting them as misses understates linking.
+    kb_targeted = ents.where(F.col("label") != "Site")
+    n_kb_targeted = kb_targeted.count()
+    n_grounded = kb_targeted.where(F.col("g_ns").isNotNull()
+                                   & (F.col("g_ns") != "uaz")).count()
     events = m.where(F.col("kind").isin("event", "relation"))
     n_events = events.count()
     by_label = {r["label"]: r["n"] for r in
@@ -56,8 +60,9 @@ def corpus_stats(spark, documents, tag: str) -> dict:
         "sentences": sent,
         "entity_mentions": n_ents,
         "entities_per_sentence": round(n_ents / max(sent, 1), 3),
+        "kb_targeted_mentions": n_kb_targeted,
         "grounded_nonfailsafe": n_grounded,
-        "grounded_rate": round(n_grounded / max(n_ents, 1), 4),
+        "grounded_rate": round(n_grounded / max(n_kb_targeted, 1), 4),
         "event_mentions": n_events,
         "events_per_sentence": round(n_events / max(sent, 1), 3),
         "triples": n_triples,
