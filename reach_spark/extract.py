@@ -366,6 +366,12 @@ _SITE_AA_RE = re.compile(r"^([ACDEFGHIKLMNPQRSTVWY])[-]?(\d+)$")
 _MUTANT_RE = re.compile(r"^([ACDEFGHIKLMNPQRSTVWY])(\d+)([ACDEFGHIKLMNPQRSTVWY])$")
 # assay potency/toxicity measures (IC50, EC50, CC50, LD50, TD50, IC90...)
 _ASSAY_MEASURE_RE = re.compile(r"^(?:IC|EC|CC|LD|TD)\d{2,3}$")
+# bare amino-acid names (3-letter + the phospho-acceptor full names) —
+# the residue tail of a protein-site hyphen compound ("p53-Ser 15")
+_AA_NAMES = frozenset({
+    "ala", "arg", "asn", "asp", "cys", "gln", "glu", "gly", "his", "ile",
+    "leu", "lys", "met", "phe", "pro", "ser", "thr", "trp", "tyr", "val",
+    "serine", "threonine", "tyrosine"})
 # HGVS-ish mutant token shapes (reference mutants.yml / modifications.yml
 # mutant rules): Ser785His, ΔF508, K29del, K29_M30insQSK, G31_Q33dup,
 # Arg83fs, … The shape vocabulary is DATA in rules/mutant_tokens.yml
@@ -645,10 +651,20 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
             # "RAS-GTP" — one entity over the whole token, canonical =
             # the full lowered form (entities.yml hyphen rules);
             # "p53-phosphorylation" is an event, not an entity
-            label, _ = dictionary[lows[i].split("-", 1)[0]]
+            head, tail = lows[i].split("-", 1)
+            label, canon = dictionary[head]
             m = _mk(doc_id, sent_idx, "tbm", label, i, i + 1, words,
                     "rule-ner-hyphen-compound")
-            m["canonical"] = lows[i]
+            if tail in _AA_NAMES:
+                # residue tail: "p53-Ser 15 phosphorylation" is protein
+                # p53 + site Ser 15, not an entity named 'p53-ser' (the
+                # reference bio tokenizer splits the hyphen so its NER
+                # sees p53 alone; wild-PMC tier r5). Ground as the head
+                # and read the arg text as the head protein.
+                m["text"] = words[i].split("-", 1)[0]
+                m["canonical"] = canon
+            else:
+                m["canonical"] = lows[i]
             out.append(m)
             i += 1
         elif "-" in words[i] and lows[i].rsplit("-", 1)[-1] in dictionary \
@@ -1148,6 +1164,15 @@ class SentenceExtractor:
                     continue
             e = self.ent_ending_at(j)
             if e and e["label"] not in skip:
+                if e["end"] < self.n and \
+                        self.lows[e["end"]] in ("cells", "cell"):
+                    # entity heading a cell NP is a cell-line context
+                    # carrier, not a subject ("BT474 cells express
+                    # endogenous PTPN13" — the cell line hosts the
+                    # event; wild-PMC tier r5)
+                    j = e["start"] - 1
+                    hops += 1
+                    continue
                 return e
             lw = self.lows[j]
             if lw in {".", ";", ":"}:
@@ -3241,6 +3266,16 @@ class SentenceExtractor:
                 # Species/CellLine/Organ mentions never control events
                 # ("in human cancers, ... switching off p53" — Wip1 is the
                 # controller, not 'human'; mkRegulation bioprocess guard)
+                j = e["start"] - 1
+                hops += 1
+                continue
+            if e is not None and e["end"] < self.n and \
+                    self.lows[e["end"]] in ("cells", "cell"):
+                # an entity heading a cell NP is a cell-line context
+                # carrier, not a controller ("BT474 cells express
+                # endogenous PTPN13" — the cell line hosts the event;
+                # wild-PMC tier r5, the shape-NER analog of the
+                # CONTEXT_ENTITY_LABELS guard above)
                 j = e["start"] - 1
                 hops += 1
                 continue

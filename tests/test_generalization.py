@@ -30,6 +30,7 @@ SENTS = [
     "ZQX741 associates with activated YWB233.",                     # stateadj
     "QRT55 acts in the absence of any ZQX741-induced "
     "phosphorylation of YWB233.",                                   # absenceof
+    "BQV881 cells express endogenous ZQX741.",                      # cell-NP
 ]
 
 
@@ -126,6 +127,16 @@ def test_absence_of_negates_pp_local_event(novel_results):
              if t["pred"] == "Phosphorylation"
              and "YWB233" in (t["obj"] or "")]
     assert trips and all(t["negated"] for t in trips)
+
+
+def test_cell_np_head_is_context_not_controller(novel_results):
+    """Wild-PMC r5 tier: an entity heading a cell NP ('BQV881 cells
+    express endogenous ZQX741') is a context carrier — the Transcription
+    fires but the cell line never becomes a regulation controller."""
+    trips = novel_results["triples"]
+    assert any(t["pred"] == "Transcription"
+               and "ZQX741" in (t["obj"] or "") for t in trips)
+    assert not any("BQV881" in (t["subj"] or "") for t in trips)
 
 
 def test_with_participle_is_state_adjective(novel_results):
