@@ -1823,7 +1823,13 @@ class SentenceExtractor:
                     sources.extend(cands)
                     j = sources[-1]["end"]
                     continue
-            if lw in ("to", "into") and not dests:
+            if lw in ("to", "into") and not dests and \
+                    (j == 0 or self.lows[j - 1] not in
+                     ("binding", "bind", "binds", "bound")):
+                # "binding to X" is that predicate's partner, never this
+                # translocation's destination ("translocation of ASPP2,
+                # which results in the increased binding to p53" —
+                # wild-PMC tier r5)
                 cands = self.conj_ents_right(j + 1)
                 if cands:
                     dests.extend(cands)

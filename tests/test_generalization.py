@@ -31,6 +31,8 @@ SENTS = [
     "QRT55 acts in the absence of any ZQX741-induced "
     "phosphorylation of YWB233.",                                   # absenceof
     "BQV881 cells express endogenous ZQX741.",                      # cell-NP
+    "QRT55 translocates ZQX741 to the nucleus and the increased "
+    "binding to YWB233 follows.",                                   # bind-to
 ]
 
 
@@ -127,6 +129,16 @@ def test_absence_of_negates_pp_local_event(novel_results):
              if t["pred"] == "Phosphorylation"
              and "YWB233" in (t["obj"] or "")]
     assert trips and all(t["negated"] for t in trips)
+
+
+def test_binding_to_never_becomes_destination(novel_results):
+    """Wild-PMC r5 tier: 'binding to X' is the binding's partner, never a
+    translocation destination — the real destination ('to the nucleus')
+    still lands."""
+    trans = [t for t in novel_results["triples"]
+             if t["pred"].endswith("Translocation")]
+    assert any("ZQX741" in (t["obj"] or "") for t in trans)
+    assert not any("YWB233" in (t["obj"] or "") for t in trans)
 
 
 def test_cell_np_head_is_context_not_controller(novel_results):
