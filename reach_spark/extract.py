@@ -2304,8 +2304,18 @@ class SentenceExtractor:
                         causes = cands
             elif self._pronoun_at(i - 1):
                 # possessive anaphor: "as is their phosphorylation" →
-                # one event per resolved antecedent
-                themes = self.resolve_pronoun(i - 1)
+                # one event per resolved antecedent. A tensed verb
+                # directly before the pronoun makes its subject the
+                # CONTROLLER, not an antecedent ("RAF1 accelerates their
+                # phosphorylation" → their = the earlier conjuncts, never
+                # RAF1 itself; wild-PMC tier r5)
+                excl: frozenset = frozenset()
+                if i >= 2 and self.tags[i - 2].startswith("V") and \
+                        not self.lows[i - 2].endswith("ing"):
+                    subj = self.nearest_ent_left(i - 2)
+                    if subj is not None:
+                        excl = frozenset({subj["mention_id"]})
+                themes = self.resolve_pronoun(i - 1, excl)
                 rule = "simple-nominal-pron"
                 if not themes:
                     return
@@ -3735,8 +3745,29 @@ class SentenceExtractor:
                         # regulation over an (embedded) activation or a
                         # nested regulation event
                         targets = [controlled]
+                # anaphoric controlled ("... mobilizes the X and Y
+                # complexes away, accelerating their degradation"): an
+                # entity that is itself one of the pronoun's antecedents
+                # cannot control the regulation over it, and a
+                # comma-preceded gerund's logical subject is the
+                # preceding CLAUSE, never a nearby entity — both shapes
+                # fabricate n-squared regulations over the antecedent set
+                # (wild-PMC tier, r5)
+                pron_ante = ({a["mention_id"] for t in targets
+                              if t.get("found_by") == "simple-nominal-pron"
+                              for a in t["args"] if a["role"] == "theme"}
+                             if ckind == "event" else set())
+                comma_gerund = (lw.endswith("ing") and i > 0 and
+                                self.lows[i - 1] == ",")
                 for t in targets:
+                    skip_entity_ctrl = (
+                        t.get("found_by") == "simple-nominal-pron" and
+                        comma_gerund)
                     for ctrl in [controller] + extra_controllers:
+                        if skip_entity_ctrl or (
+                                ctrl["mention_id"] in pron_ante and
+                                t.get("found_by") == "simple-nominal-pron"):
+                            continue
                         self._emit_reg_or_act((i, i + 1), ctrl, wsign,
                                               t, sign * csign, ckind,
                                               "reg-active")

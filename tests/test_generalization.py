@@ -33,6 +33,10 @@ SENTS = [
     "BQV881 cells express endogenous ZQX741.",                      # cell-NP
     "QRT55 translocates ZQX741 to the nucleus and the increased "
     "binding to YWB233 follows.",                                   # bind-to
+    "ZQX741 and YWB233 are present, and QRT55 accelerates their "
+    "ubiquitination.",                                              # pron-subj
+    "KPW412 mobilizes ZQX741 and YWB233 complexes away, "
+    "accelerating their degradation.",                              # pron-ger
 ]
 
 
@@ -129,6 +133,36 @@ def test_absence_of_negates_pp_local_event(novel_results):
              if t["pred"] == "Phosphorylation"
              and "YWB233" in (t["obj"] or "")]
     assert trips and all(t["negated"] for t in trips)
+
+
+def test_pronoun_subject_excluded_from_antecedents(novel_results):
+    """Wild-PMC r5 tier: 'QRT55 accelerates their ubiquitination' — the
+    tensed verb's subject is the controller, never one of the plural
+    possessive's antecedents (no Ubiquitination(QRT55) event; one reg
+    per real antecedent)."""
+    trips = novel_results["triples"]
+    assert _has(trips, "QRT55", "Positive_regulation->Ubiquitination",
+                "ZQX741")
+    assert _has(trips, "QRT55", "Positive_regulation->Ubiquitination",
+                "YWB233")
+    assert not any(t["pred"].endswith("Ubiquitination")
+                   and "QRT55" in (t["obj"] or "") for t in trips)
+
+
+def test_comma_gerund_takes_no_entity_controller(novel_results):
+    """Wild-PMC r5 tier: a comma-preceded gerund's logical subject is the
+    preceding clause — '..., accelerating their degradation' emits the
+    DecreaseAmount events but never a regulation with a nearby entity
+    (an antecedent sibling) as controller."""
+    trips = novel_results["triples"]
+    degr = [t for t in trips if "DecreaseAmount" in t["pred"]
+            or "Degradation" in t["pred"]]
+    assert any("ZQX741" in (t["obj"] or "") for t in degr)
+    assert not any(t["subj"] and "KPW412" not in t["subj"]
+                   and "ZQX741" in (t["subj"] or "")
+                   and "YWB233" in (t["obj"] or "") for t in degr)
+    assert not any((t["subj"] or "").startswith(("ZQX741", "YWB233"))
+                   for t in degr)
 
 
 def test_binding_to_never_becomes_destination(novel_results):

@@ -72,9 +72,11 @@ def corpus_stats(spark, documents, tag: str) -> dict:
     return out, res
 
 
-def sample_events(res, n: int, seed: int):
-    """Deterministic sample of extracted events joined back to their
-    sentence text, for hand precision adjudication."""
+def sample_events(res, n: int, offset: int = 0):
+    """Deterministic md5-ordered sample of extracted events joined back
+    to their sentence text, for hand precision adjudication. `offset`
+    skips the first K so a SECOND adjudication round can be drawn from
+    events disjoint from the ones that drove fixes (out-of-sample)."""
     m = res["resolved_mentions"]
     sents = res["sentences"].select("doc_id", "sent_idx", "sent_text")
     ev = (m.where(F.col("kind").isin("event", "relation"))
@@ -83,8 +85,8 @@ def sample_events(res, n: int, seed: int):
                   "sent_text")
           .withColumn("_h", F.md5(F.concat_ws("|", "doc_id", "sent_idx",
                                               "label", "text")))
-          .orderBy("_h").limit(n))
-    return ev.collect()
+          .orderBy("_h").limit(offset + n))
+    return ev.collect()[offset:]
 
 
 def main():
@@ -92,9 +94,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("nxml_dir", nargs="?", default=NXML_DIR)
     p.add_argument("--sample", type=int, default=0)
-    p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--offset", type=int, default=0)
     ns = p.parse_args()
-    nxml_dir, n_sample, seed = ns.nxml_dir, ns.sample, ns.seed
+    nxml_dir, n_sample, offset = ns.nxml_dir, ns.sample, ns.offset
 
     from reach_spark.session import get_spark
     from reach_spark.sources import read_nxml
@@ -121,7 +123,7 @@ def main():
 
     if n_sample:
         print("\n=== sampled events (hand-adjudication input) ===")
-        for r in sample_events(wild_res, n_sample, seed):
+        for r in sample_events(wild_res, n_sample, offset):
             print(json.dumps({
                 "doc": r["doc_id"], "sent": r["sent_idx"],
                 "label": r["label"], "trigger_span": r["text"],
