@@ -334,6 +334,14 @@ def _arg(role: str, m: Mention) -> dict:
     (convertEventToEntity depth-1, DarpaActions.scala:581-665)."""
     if m["kind"] == "event":
         theme = next((a for a in m["args"] if a["role"] == "theme"), None)
+        if theme is None:
+            # activations/regulations carry controller/controlled, not
+            # theme — convertEventToEntity reduces them to the CONTROLLED
+            # participant ("Shp2 regulates Gab1-mediated Akt activation"
+            # → the regulation's obj is Akt, not the trigger word;
+            # wild-PMC tier r5)
+            theme = next((a for a in m["args"]
+                          if a["role"] == "controlled"), None)
         return {"role": role, "mention_id": m["mention_id"],
                 "text": theme["text"] if theme else m["text"],
                 "canonical": theme["canonical"] if theme else None,
@@ -4254,7 +4262,12 @@ class SentenceExtractor:
                 k = self._alias_marker_end(j + 1)
                 start = k if k is not None else j + 1
                 label = anchor["label"] if anchor is not None else None
-                if label is None and self._nameish_at(i):
+                if label is None and self._nameish_at(i) and \
+                        not (i > 0 and
+                             self.lows[i - 1][:1].isdigit()):
+                    # a numeric premodifier marks a MEASUREMENT with a
+                    # parenthetical sample id ("10 nM (VMM39)"), not an
+                    # alias construction (wild-PMC tier r5)
                     probe = self.ent_starting_at(start)
                     if probe is not None:
                         label = probe["label"]
