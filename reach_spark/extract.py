@@ -380,6 +380,18 @@ _AA_NAMES = frozenset({
     "ala", "arg", "asn", "asp", "cys", "gln", "glu", "gly", "his", "ile",
     "leu", "lys", "met", "phe", "pro", "ser", "thr", "trp", "tyr", "val",
     "serine", "threonine", "tyrosine"})
+
+
+def _adjectival_tail(tail: str) -> bool:
+    """Hyphen-compound tail that reads as a plain adjective, so the
+    compound is a modifier phrase over the head entity, not a new entity
+    ('FGFR3-skeletal dysplasias', 'Gab1-specific'). Lowercase alphabetic
+    with an adjectival suffix or an explicit modifier word."""
+    return tail.isalpha() and tail.islower() and (
+        tail.endswith(("al", "ic", "ous", "ive"))
+        or tail in ("dependent", "specific", "sensitive", "positive",
+                    "negative", "deficient", "like", "type", "rich",
+                    "free"))
 # HGVS-ish mutant token shapes (reference mutants.yml / modifications.yml
 # mutant rules): Ser785His, ΔF508, K29del, K29_M30insQSK, G31_Q33dup,
 # Arg83fs, … The shape vocabulary is DATA in rules/mutant_tokens.yml
@@ -660,6 +672,12 @@ def find_entities(doc_id: str, sent_idx: int, words: list[str],
             # the full lowered form (entities.yml hyphen rules);
             # "p53-phosphorylation" is an event, not an entity
             head, tail = lows[i].split("-", 1)
+            if _adjectival_tail(tail) and tail not in dictionary:
+                # plain adjective tail: "FGFR3-skeletal dysplasias" /
+                # "Gab1-specific" is a modifier phrase, not an entity
+                # named by the whole token (wild-PMC tier r5)
+                i += 1
+                continue
             label, canon = dictionary[head]
             m = _mk(doc_id, sent_idx, "tbm", label, i, i + 1, words,
                     "rule-ner-hyphen-compound")
@@ -1172,12 +1190,11 @@ class SentenceExtractor:
                     continue
             e = self.ent_ending_at(j)
             if e and e["label"] not in skip:
-                if e["end"] < self.n and \
-                        self.lows[e["end"]] in ("cells", "cell"):
+                if self._cell_np_after(e):
                     # entity heading a cell NP is a cell-line context
                     # carrier, not a subject ("BT474 cells express
-                    # endogenous PTPN13" — the cell line hosts the
-                    # event; wild-PMC tier r5)
+                    # endogenous PTPN13", "Gab1 -/- MEFs ..." — the cell
+                    # line hosts the event; wild-PMC tier r5)
                     j = e["start"] - 1
                     hops += 1
                     continue
@@ -3221,6 +3238,17 @@ class SentenceExtractor:
     # adjectives heading an absence-PP over the controller entity
     # ("deficient in PTEN", "devoid of X") — wild-PMC tier, r5
     _ABSENT_PRE = frozenset({"deficient", "depleted", "devoid"})
+    # nouns heading a cell NP whose premodifying entity is a context
+    # carrier, never a subject/controller — wild-PMC tier, r5
+    _CELL_NP_NOUNS = frozenset({"cells", "cell", "mefs", "fibroblasts"})
+
+    def _cell_np_after(self, e: Mention) -> bool:
+        """True iff the entity directly heads a cell NP — optionally
+        across a genotype marker ('Gab1 -/- MEFs', 'PTEN +/- cells')."""
+        k = e["end"]
+        while k < self.n and self.lows[k] in ("-", "/", "+"):
+            k += 1
+        return k < self.n and self.lows[k] in self._CELL_NP_NOUNS
 
     def _kd_gerund_controller(self, pos: int) -> Mention | None:
         """Gerund knockdown subject: 'silencing TAK1 [in ... cells]
@@ -3293,13 +3321,13 @@ class SentenceExtractor:
                 j = e["start"] - 1
                 hops += 1
                 continue
-            if e is not None and e["end"] < self.n and \
-                    self.lows[e["end"]] in ("cells", "cell"):
+            if e is not None and self._cell_np_after(e):
                 # an entity heading a cell NP is a cell-line context
                 # carrier, not a controller ("BT474 cells express
-                # endogenous PTPN13" — the cell line hosts the event;
-                # wild-PMC tier r5, the shape-NER analog of the
-                # CONTEXT_ENTITY_LABELS guard above)
+                # endogenous PTPN13", "Gab1 -/- MEFs that express ..." —
+                # the cell line hosts the event; wild-PMC tier r5, the
+                # shape-NER analog of the CONTEXT_ENTITY_LABELS guard
+                # above)
                 j = e["start"] - 1
                 hops += 1
                 continue

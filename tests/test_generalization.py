@@ -37,6 +37,7 @@ SENTS = [
     "ubiquitination.",                                              # pron-subj
     "KPW412 mobilizes ZQX741 and YWB233 complexes away, "
     "accelerating their degradation.",                              # pron-ger
+    "ZQX741 -/- MEFs endogenously express YWB233.",                 # genotype
 ]
 
 
@@ -133,6 +134,23 @@ def test_absence_of_negates_pp_local_event(novel_results):
              if t["pred"] == "Phosphorylation"
              and "YWB233" in (t["obj"] or "")]
     assert trips and all(t["negated"] for t in trips)
+
+
+def test_genotype_cell_np_is_context(novel_results):
+    """Wild-PMC r5 tier: 'ZQX741 -/- MEFs endogenously express YWB233' —
+    the knockout-genotype cell NP head is context; the Transcription
+    fires with no regulation controlled by the knocked-out gene."""
+    trips = novel_results["triples"]
+    assert any(t["pred"] == "Transcription"
+               and "YWB233" in (t["obj"] or "") for t in trips)
+    # the pre-fix failure mode was a POSITIVE regulation of the
+    # expression controlled by the knocked-out gene (the deliberate
+    # Negative_regulation->Transcription from the 'inhibits the
+    # transcription' sentence is unrelated and must survive)
+    assert not any("ZQX741" in (t["subj"] or "")
+                   and t["pred"] in ("Positive_regulation",
+                                     "Positive_regulation->Transcription")
+                   for t in trips)
 
 
 def test_pronoun_subject_excluded_from_antecedents(novel_results):
