@@ -2198,6 +2198,15 @@ class SentenceExtractor:
         # trigger is the cause ("Ras phosphorylation of ASPP2")
         if i + 1 < self.n and self.lows[i + 1] == "of":
             themes = self.conj_ents_right(i + 2)
+            if len(themes) == 1 and \
+                    themes[0]["end"] < self.n and \
+                    self.lows[themes[0]["end"]] in ("targets",
+                                                    "substrates"):
+                # "phosphorylation of mTOR targets": the theme is the
+                # (unnamed) targets of the entity, not the entity itself
+                # (wild-PMC tier r5) — emit nothing rather than a wrong
+                # theme
+                themes = []
             if themes:
                 k = themes[-1]["end"]
                 while k < min(self.n, themes[-1]["end"] + 6):
@@ -3334,12 +3343,18 @@ class SentenceExtractor:
             if e:
                 # wrapper noun left of entity NP: "inhibition of X"
                 k = e["start"] - 1
-                if k >= 1 and self.lows[k] == "of":
-                    ws = _wrapper_sign(self.lows[k - 1])
+                # a determiner between 'of' and the entity is transparent
+                # for the wrapper ("deletion of the RBD reduced ..." —
+                # wild-PMC tier r5)
+                kk = k
+                while kk >= 1 and self.tags[kk] == "DT":
+                    kk -= 1
+                if kk >= 1 and self.lows[kk] == "of":
+                    ws = _wrapper_sign(self.lows[kk - 1])
                     if ws != 0:
                         return e, ws
                     # simple-event nominal as controller: "phosphorylation of X"
-                    hit = self.match_simple_event_trigger(k - 1)
+                    hit = self.match_simple_event_trigger(kk - 1)
                     if hit and hit[1] == "noun":
                         return e, 1
                 # dominant-negative modifier flips the controller sign
@@ -3951,6 +3966,13 @@ class SentenceExtractor:
             # DarpaActions.scala:448-453)
             if controller["label"] == "BioProcess" and \
                     controlled["label"] != "BioProcess":
+                return
+            # a context-class controlled (Organ/Species/CellLine/...) is
+            # a location, never an activation target ("... decreased in
+            # the skin of mice" must not emit activation-of-skin;
+            # wild-PMC tier r5 — the controlled-side analog of the
+            # CONTEXT_ENTITY_LABELS controller guard)
+            if controlled["label"] in R.CONTEXT_ENTITY_LABELS:
                 return
         reg = self._reg(label, trig, controller, controlled, rule)
         self.events.append(reg)

@@ -38,6 +38,8 @@ SENTS = [
     "KPW412 mobilizes ZQX741 and YWB233 complexes away, "
     "accelerating their degradation.",                              # pron-ger
     "ZQX741 -/- MEFs endogenously express YWB233.",                 # genotype
+    "Deletion of the ZQX741 reduced the hydroxylation of YWB233.",  # det-wrap
+    "Glycosylation of QRT55 targets was assayed in parallel.",      # targets
 ]
 
 
@@ -134,6 +136,23 @@ def test_absence_of_negates_pp_local_event(novel_results):
              if t["pred"] == "Phosphorylation"
              and "YWB233" in (t["obj"] or "")]
     assert trips and all(t["negated"] for t in trips)
+
+
+def test_wrapper_sign_crosses_determiner(novel_results):
+    """Wild-PMC r5 tier: 'Deletion of the X reduced the hydroxylation of
+    Y' — the determiner between 'of' and the entity is transparent for
+    the negative wrapper, so the two flips compose to a POSITIVE
+    regulation (X -> Y)."""
+    assert _has(novel_results["triples"], "ZQX741",
+                "Positive_regulation->Hydroxylation", "YWB233")
+
+
+def test_entity_targets_np_takes_no_theme(novel_results):
+    """Wild-PMC r5 tier: 'Glycosylation of QRT55 targets' — the theme is
+    the (unnamed) targets of the entity, never the entity itself."""
+    assert not any(t["pred"].endswith("Glycosylation")
+                   and "QRT55" in (t["obj"] or "")
+                   for t in novel_results["triples"])
 
 
 def test_genotype_cell_np_is_context(novel_results):
