@@ -389,9 +389,9 @@ def _adjectival_tail(tail: str) -> bool:
     with an adjectival suffix or an explicit modifier word."""
     return tail.isalpha() and tail.islower() and (
         tail.endswith(("al", "ic", "ous", "ive"))
-        or tail in ("dependent", "specific", "sensitive", "positive",
-                    "negative", "deficient", "like", "type", "rich",
-                    "free"))
+        or tail in ("dependent", "independent", "specific", "sensitive",
+                    "insensitive", "positive", "negative", "deficient",
+                    "like", "type", "rich", "free"))
 # HGVS-ish mutant token shapes (reference mutants.yml / modifications.yml
 # mutant rules): Ser785His, ΔF508, K29del, K29_M30insQSK, G31_Q33dup,
 # Arg83fs, … The shape vocabulary is DATA in rules/mutant_tokens.yml
@@ -796,7 +796,13 @@ def _shape_ner_key(w: str) -> str | None:
     shape_camel = (w[0].islower() and w.isalnum() and
                    sum(c.isupper() for c in w) >= 2 and
                    low2 not in ("sh", "si", "sg", "mi"))
-    if not (shape_digit or shape_camel):
+    # Greek-letter compounds: "GTPγS", "TGFβ", "IFNγ" — uppercase-initial
+    # alphanumerics with a Greek char are protein/reagent names the
+    # digit/camel shapes miss (wild-PMC tier r5)
+    shape_greek = (w[0].isupper() and w.isalnum() and
+                   any("Ͱ" <= c <= "Ͽ" for c in w) and
+                   sum(c.isascii() and c.isalpha() for c in w) >= 2)
+    if not (shape_digit or shape_camel or shape_greek):
         return None
     return R.canonical_key(w)
 
@@ -1707,6 +1713,11 @@ class SentenceExtractor:
             return None  # mkUbiquitination guard, DarpaActions.scala:153-162
         if theme["label"] in R.CONTEXT_ENTITY_LABELS:
             return None  # PTM themes are BioChemicalEntities (taxonomy.yml)
+        if cause is not None and cause["label"] in R.CONTEXT_ENTITY_LABELS:
+            # a context-class subject (Organ/Species/CellLine) hosts the
+            # event, it never causes it ("breast cancer subtypes express
+            # Her2" — the tissue is context; wild-PMC tier r5)
+            cause = None
         reg_label = ("Positive_regulation" if reg_sign > 0
                      else "Negative_regulation")
         ev = self._event(label, trig, theme, rule, site=site,
@@ -2201,11 +2212,13 @@ class SentenceExtractor:
             if len(themes) == 1 and \
                     themes[0]["end"] < self.n and \
                     self.lows[themes[0]["end"]] in ("targets",
-                                                    "substrates"):
-                # "phosphorylation of mTOR targets": the theme is the
-                # (unnamed) targets of the entity, not the entity itself
-                # (wild-PMC tier r5) — emit nothing rather than a wrong
-                # theme
+                                                    "substrates",
+                                                    "target",
+                                                    "substrate"):
+                # "phosphorylation of mTOR targets" / "degradation of
+                # HuR target mRNAs": the theme is the (unnamed) targets
+                # of the entity, not the entity itself (wild-PMC tier
+                # r5) — emit nothing rather than a wrong theme
                 themes = []
             if themes:
                 k = themes[-1]["end"]
@@ -4282,6 +4295,38 @@ class SentenceExtractor:
                            args=[_arg("theme", anchor), _arg("theme", t)],
                            extra=t["mention_id"]))
 
+    def _sh_long_form_start(self, short: str, j_paren: int) -> int | None:
+        """Schwartz–Hearst (2003) abbreviation alignment: greedy
+        right-to-left match of the short form's alphanumerics against the
+        tokens left of the paren, requiring the FIRST short-form char to
+        start a word. Returns the token index where the long form begins,
+        or None when no valid alignment exists. Used to veto bare-parens
+        aliases whose parenthetical abbreviates a LARGER NP than the
+        anchor entity ("apoptosis-stimulating protein of p53 (ASPP)" —
+        ASPP names the phrase, not p53; wild-PMC tier r5)."""
+        letters = [c.lower() for c in short if c.isalnum()]
+        if len(letters) < 2:
+            return None
+        max_toks = min(j_paren, 2 * len(letters) + 2)
+        chars: list[str] = []
+        tok_of: list[int] = []
+        starts: list[bool] = []
+        for t in range(j_paren - max_toks, j_paren):
+            for ci, c in enumerate(self.lows[t]):
+                chars.append(c)
+                tok_of.append(t)
+                starts.append(ci == 0)
+        li = len(letters) - 1
+        ci = len(chars) - 1
+        while ci >= 0:
+            if li >= 0 and chars[ci] == letters[li] and \
+                    (li > 0 or starts[ci]):
+                li -= 1
+                if li < 0:
+                    return tok_of[ci]
+            ci -= 1
+        return None
+
     def find_aliases(self) -> list[Mention]:
         """Alias constructions (reference coref/Alias.scala:12-75,
         alias_template.yml): bare parens 'Ras (H-Ras)', marker parens
@@ -4329,6 +4374,16 @@ class SentenceExtractor:
                     ok = targets and (k is not None or (
                         len(targets) == 1 and
                         targets[0]["label"] == label))
+                    if ok and k is None and len(targets) == 1 and \
+                            anchor is not None:
+                        # bare parens: if the short form Schwartz–Hearst-
+                        # aligns to a long form starting LEFT of the
+                        # anchor, the parenthetical abbreviates the
+                        # larger NP, not the anchor entity — no alias
+                        sh = self._sh_long_form_start(
+                            targets[0]["text"], j)
+                        if sh is not None and sh < anchor["start"]:
+                            ok = False
                     if ok:
                         if anchor is None:
                             anchor = self._mk_alias_target(i, label)

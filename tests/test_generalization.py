@@ -40,6 +40,9 @@ SENTS = [
     "ZQX741 -/- MEFs endogenously express YWB233.",                 # genotype
     "Deletion of the ZQX741 reduced the hydroxylation of YWB233.",  # det-wrap
     "Glycosylation of QRT55 targets was assayed in parallel.",      # targets
+    "The stress-triggered binder of ZQX741 (STBZ) acetylates "
+    "YWB233.",                                                      # sh-abbrev
+    "Addition of QRTγ5 strongly induced YWB233 methylation.",       # greek
 ]
 
 
@@ -136,6 +139,28 @@ def test_absence_of_negates_pp_local_event(novel_results):
              if t["pred"] == "Phosphorylation"
              and "YWB233" in (t["obj"] or "")]
     assert trips and all(t["negated"] for t in trips)
+
+
+def test_schwartz_hearst_vetoes_np_abbreviation_alias(novel_results):
+    """Wild-PMC r5 tier: 'the stress-triggered binder of ZQX741 (STBZ)'
+    — STBZ Schwartz–Hearst-aligns to the whole NP, so it is NOT an alias
+    of the bare anchor entity ZQX741."""
+    trips = novel_results["triples"]
+    assert not any(t["pred"] == "Alias" and "ZQX741" in (t["subj"] or "")
+                   and "STBZ" in (t["obj"] or "") for t in trips)
+    assert not any(t["pred"] == "Alias" and "STBZ" in (t["subj"] or "")
+                   and "ZQX741" in (t["obj"] or "") for t in trips)
+
+
+def test_greek_letter_shape_ner(novel_results):
+    """Wild-PMC r5 tier: Greek-letter compounds ('QRTγ5', the GTPγS
+    shape) are caught by the shape tier, ground failsafe, and can head a
+    wrapper controller."""
+    ents = {e["text"] for e in novel_results["entities"]}
+    assert "QRTγ5" in ents
+    assert any(t["pred"].endswith("Methylation")
+               and "QRTγ5" in (t["subj"] or "")
+               for t in novel_results["triples"])
 
 
 def test_wrapper_sign_crosses_determiner(novel_results):
